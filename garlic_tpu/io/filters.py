@@ -1,0 +1,61 @@
+"""Site filters.
+
+Reproduces filterMonomorphicSites / filterMonomorphicAndOOBSites
+(src/garlic-data.cpp:871-1195): monomorphic sites (freq outside (0,1)) are
+dropped everywhere; the weighted/cm variant additionally drops sites outside
+the genetic-map scaffold's physical range or strictly inside the centromere.
+All per-chromosome arrays are filtered consistently.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.types import ChromData
+
+
+def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
+    idx = np.flatnonzero(keep)
+    return ChromData(
+        chrom=c.chrom,
+        positions=c.positions[idx],
+        gpos=c.gpos[idx],
+        locus_names=[c.locus_names[i] for i in idx],
+        alleles=c.alleles[idx],
+        genotypes=np.ascontiguousarray(c.genotypes[:, idx]),
+        freq=c.freq[idx],
+        first_copy=(None if c.first_copy is None
+                    else np.ascontiguousarray(c.first_copy[:, idx])),
+        gl=None if c.gl is None else np.ascontiguousarray(c.gl[:, idx]),
+    )
+
+
+def filter_monomorphic(chroms: List[ChromData]) -> tuple[List[ChromData], int]:
+    """Keep sites with freq strictly in (0, 1). Returns (chroms, new_loci)."""
+    out = []
+    n = 0
+    for c in chroms:
+        keep = (c.freq > 0) & (c.freq < 1)
+        c2 = _apply(c, keep)
+        n += c2.nloci
+        out.append(c2)
+    return out, n
+
+
+def filter_monomorphic_and_oob(chroms: List[ChromData], scaffolds,
+                               ) -> tuple[List[ChromData], int]:
+    """Also drop sites outside the scaffold range or strictly inside the
+    centromere (src/garlic-data.cpp:1066-1098)."""
+    out = []
+    n = 0
+    for c, s in zip(chroms, scaffolds):
+        keep = ((c.freq > 0) & (c.freq < 1)
+                & ~(c.positions < s.positions[0])
+                & ~(c.positions > s.positions[-1])
+                & ~((c.positions > s.centro_start) & (c.positions < s.centro_end)))
+        c2 = _apply(c, keep)
+        n += c2.nloci
+        out.append(c2)
+    return out, n

@@ -1,0 +1,83 @@
+"""Allele-frequency file I/O: `CHR SNP POS ALLELE FREQ` (gzip).
+
+Reproduces writeFreqData/readFreqData (src/garlic-data.cpp:1311-1440).  On
+read, when the file's allele disagrees with the internal '1' allele coding
+the frequency flips to 1-freq (src/garlic-data.cpp:1419-1424).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import List
+
+import numpy as np
+
+from ..core.fmt import g
+from ..core.types import ChromData
+
+
+class FreqFileError(Exception):
+    pass
+
+
+def write_freq(freq_outfile: str, chroms: List[ChromData], log=None) -> None:
+    """Writes <basename>.gz (caller passes "<out>.freq")."""
+    path = freq_outfile + ".gz"
+    with gzip.open(path, "wt") as fout:
+        fout.write("CHR\tSNP\tPOS\tALLELE\tFREQ\n")
+        for c in chroms:
+            for locus in range(c.nloci):
+                fout.write(f"{c.chrom}\t{c.locus_names[locus]}\t"
+                           f"{int(c.positions[locus])}\t{c.alleles[locus]}\t"
+                           f"{g(c.freq[locus])}\n")
+    print(f"Wrote allele frequency data to {path}")
+
+
+def read_freq(freqfile: str, chroms: List[ChromData], log=None) -> None:
+    """Reads frequencies into each ChromData in place, validating row counts,
+    column counts and locus-name agreement."""
+    expected_rows = 1 + sum(c.nloci for c in chroms)
+    opener = gzip.open if freqfile.endswith(".gz") else open
+    import sys
+    print(f"Reading {freqfile}", file=sys.stderr)
+    with opener(freqfile, "rt") as fin:
+        fin.readline()  # header
+        line_num = 1
+        prev_cols = -1
+        for c in chroms:
+            freqs = np.empty(c.nloci, dtype=np.float64)
+            for locus in range(c.nloci):
+                line_num += 1
+                line = fin.readline()
+                if not line:
+                    if log is not None:
+                        log.err("ERROR: at line", line_num, nl=False)
+                        log.err(" in", freqfile, nl=False)
+                        log.err(". Perhaps too few lines?")
+                    raise FreqFileError("short freq file")
+                fields = line.split()
+                if len(fields) < 5:
+                    if log is not None:
+                        log.err("ERROR: Found", len(fields), nl=False)
+                        log.err(" in", freqfile, nl=False)
+                        log.err(" on line", line_num, nl=False)
+                        log.err(" but expected at least", 5)
+                    raise FreqFileError("bad freq columns")
+                if prev_cols != -1 and len(fields) != prev_cols:
+                    if log is not None:
+                        log.err("ERROR: Differing number of columns across rows found in",
+                                freqfile)
+                    raise FreqFileError("ragged freq file")
+                prev_cols = len(fields)
+                locus_id, allele, fr = fields[1], fields[3], float(fields[4])
+                if c.locus_names[locus] != locus_id:
+                    if log is not None:
+                        log.err("ERROR: Loci appear mismatched in:", freqfile)
+                        log.err("ERROR: at line:", line_num)
+                        log.err("ERROR: freq file locus name:", locus_id)
+                        log.err("ERROR: tped file locus name:", c.locus_names[locus])
+                    raise FreqFileError("locus mismatch")
+                if c.alleles[locus] != allele:
+                    fr = 1.0 - fr
+                freqs[locus] = fr
+            c.freq = freqs

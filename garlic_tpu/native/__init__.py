@@ -1,0 +1,12 @@
+"""Native (C++) host kernels: streaming gzip TPED parsing and the exact
+float64 rolling-LOD recurrence.
+
+Built on demand with g++ into a shared library loaded via ctypes.  Import
+errors fall back to the pure-Python implementations transparently.
+"""
+
+from .build import (  # noqa: F401
+    lod_windows_exact_native,
+    native_available,
+    parse_tped_native,
+)

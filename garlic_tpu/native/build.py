@@ -1,0 +1,151 @@
+"""On-demand compilation + ctypes bindings for the native host kernels."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "garlic_native.cpp")
+_SO = os.path.join(_HERE, "_garlic_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-o", _SO, _SRC, "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _SO
+    except Exception:
+        try:  # retry without OpenMP
+            cmd = ["g++", "-O3", "-fPIC", "-shared", "-o", _SO, _SRC, "-lz"]
+            subprocess.run(cmd, check=True, capture_output=True)
+            return _SO
+        except Exception:
+            return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GARLIC_TPU_NO_NATIVE"):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.gt_tped_open.restype = ctypes.c_void_p
+        lib.gt_tped_open.argtypes = [ctypes.c_char_p, ctypes.c_char]
+        lib.gt_tped_nchrom.restype = ctypes.c_int
+        lib.gt_tped_nchrom.argtypes = [ctypes.c_void_p]
+        lib.gt_tped_nind.restype = ctypes.c_int64
+        lib.gt_tped_nind.argtypes = [ctypes.c_void_p]
+        lib.gt_tped_nloci.restype = ctypes.c_int64
+        lib.gt_tped_nloci.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.gt_tped_chrom_name.restype = ctypes.c_char_p
+        lib.gt_tped_chrom_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.gt_tped_names_size.restype = ctypes.c_int64
+        lib.gt_tped_names_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.gt_tped_copy.restype = None
+        lib.gt_tped_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p]
+        lib.gt_tped_close.restype = None
+        lib.gt_tped_close.argtypes = [ctypes.c_void_p]
+        lib.gt_lod_windows_exact.restype = None
+        lib.gt_lod_windows_exact.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
+    """Parse a TPED via the C++ parser.  Returns per-chromosome dicts or
+    None if the native library is unavailable (callers fall back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.gt_tped_open(path.encode(), missing.encode()[0:1] or b"0")
+    if not h:
+        raise IOError(f"native TPED parse failed for {path}")
+    try:
+        nchrom = lib.gt_tped_nchrom(h)
+        nind = lib.gt_tped_nind(h)
+        out = []
+        for c in range(nchrom):
+            L = lib.gt_tped_nloci(h, c)
+            name = lib.gt_tped_chrom_name(h, c).decode()
+            nsz = lib.gt_tped_names_size(h, c)
+            positions = np.empty(L, dtype=np.int64)
+            gpos = np.empty(L, dtype=np.float64)
+            alleles = np.empty(L, dtype="S1")
+            geno = np.empty((nind, L), dtype=np.int8)
+            fc = np.empty((nind, L), dtype=np.uint8)
+            freq = np.empty(L, dtype=np.float64)
+            names_buf = ctypes.create_string_buffer(int(nsz) + 1)
+            lib.gt_tped_copy(
+                h, c,
+                positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                gpos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                alleles.ctypes.data_as(ctypes.c_char_p),
+                geno.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                fc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                names_buf)
+            names = names_buf.raw[:nsz].decode().split("\n") if nsz else []
+            out.append({
+                "chrom": name,
+                "positions": positions,
+                "gpos": gpos,
+                "alleles": alleles.astype("<U1"),
+                "genotypes": geno,
+                "first_copy": fc.astype(bool),
+                "freq": freq,
+                "names": names,
+            })
+        return out
+    finally:
+        lib.gt_tped_close(h)
+
+
+def lod_windows_exact_native(terms: np.ndarray, missing: np.ndarray,
+                             winsize: int) -> np.ndarray:
+    from ..core.types import MISSING
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    terms = np.ascontiguousarray(terms, dtype=np.float64)
+    I, L = terms.shape
+    nwin = max(L - winsize + 1, 0)
+    miss = np.ascontiguousarray(missing, dtype=np.uint8)
+    if miss.shape[0] < nwin:
+        raise ValueError("missing mask too short")
+    win = np.empty((I, L), dtype=np.float64)
+    lib.gt_lod_windows_exact(
+        terms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        I, L, winsize, float(MISSING),
+        win.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return win

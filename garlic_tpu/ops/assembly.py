@@ -1,0 +1,162 @@
+"""Phase III: ROH assembly from window scores.
+
+Reproduces assembleROHWindows (src/garlic-roh.cpp:409-546): every SNP covered
+by a window scoring >= cutoff accumulates coverage counts; runs start where
+coverage >= OVERLAP_THRESHOLD (= clamp(OVERLAP_FRAC*winsize, 1, winsize)),
+split at >MAX_GAP gaps / centromere straddles, close where coverage drops or
+the chromosome ends, and are kept only if they span >= OVERLAP_THRESHOLD SNPs.
+
+The hot part (coverage counting) is a sliding-window sum shared with Phase I
+machinery; run extraction is output-sized and runs vectorized on host.  The
+reference's state machine has two edge quirks we preserve:
+
+* a run that OPENS at the last SNP of a chromosome is lost (the loop ends
+  before any closing branch fires, src/garlic-roh.cpp:462-532);
+* the closing branches test `winStart > 0`, so a run whose start SNP has
+  physical position 0 can only close at a gap-split — for such inputs we
+  fall back to a faithful per-locus transliteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from .lod import in_gap, pair_breaks
+
+
+@dataclass
+class ROHCall:
+    chrom_idx: int
+    start: int      # physical start (bp)
+    stop: int       # physical stop (bp)
+    size: float     # bp length (stop-start+1) or cM length (gstop-gstart)
+
+
+@dataclass
+class IndividualROH:
+    ind_id: str
+    calls: List[ROHCall] = field(default_factory=list)
+
+
+def overlap_threshold(overlap_frac: float, winsize: int) -> float:
+    """clamp(frac*winsize, 1, winsize) (src/garlic-roh.cpp:422-424)."""
+    t = overlap_frac * winsize
+    t = t if t >= 1 else 1.0
+    t = t if t <= winsize else float(winsize)
+    return t
+
+
+def coverage_counts(above: np.ndarray, winsize: int) -> np.ndarray:
+    """int64 [L] counts of cutoff-passing windows covering each SNP.
+
+    above: bool [L] per window-start slot (slots beyond the last valid
+    window are MISSING-scored and therefore False)."""
+    k = np.ones(winsize, dtype=np.int64)
+    return np.convolve(above.astype(np.int64), k, mode="full")[: above.shape[0]]
+
+
+def assemble_chromosome(win_row: np.ndarray, positions: np.ndarray,
+                        gpos: np.ndarray, cutoff: float, winsize: int,
+                        max_gap: int, cstart: int, cend: int,
+                        threshold: float, cm: bool) -> List[tuple]:
+    """ROH for one (individual, chromosome): list of (start, stop, size)."""
+    above = win_row >= cutoff
+    counts = coverage_counts(above, winsize)
+    covered = counts >= threshold
+    br = pair_breaks(positions, max_gap, cstart, cend)
+    if np.any(positions <= 0):
+        return _assemble_scan(covered, br, positions, gpos, threshold, cm)
+    return _assemble_segments(covered, br, positions, gpos, threshold, cm)
+
+
+def _emit(out, positions, gpos, ps, pe, threshold, cm):
+    if pe - ps + 1 >= threshold:
+        if cm:
+            size = float(gpos[pe] - gpos[ps])
+        else:
+            size = float(int(positions[pe]) - int(positions[ps]) + 1)
+        out.append((int(positions[ps]), int(positions[pe]), size))
+
+
+def _assemble_segments(covered, br, positions, gpos, threshold, cm):
+    L = covered.shape[0]
+    out: List[tuple] = []
+    c = covered.astype(np.int8)
+    diffs = np.diff(c)
+    starts = list(np.flatnonzero(diffs == 1) + 1)
+    ends = list(np.flatnonzero(diffs == -1))
+    if c[0]:
+        starts.insert(0, 0)
+    if c[-1]:
+        ends.append(L - 1)
+    for s, e in zip(starts, ends):
+        # split points strictly inside (s, e]
+        splits = np.flatnonzero(br[s + 1:e + 1]) + s + 1
+        ps = s
+        for w in splits:
+            _emit(out, positions, gpos, ps, int(w) - 1, threshold, cm)
+            ps = int(w)
+        if ps == L - 1 and e == L - 1 and ps != s:
+            # reopened at the chromosome's last SNP: lost (loop ends).
+            continue
+        if ps == s == e == L - 1:
+            # opened at the chromosome's last SNP: lost.
+            continue
+        _emit(out, positions, gpos, ps, e, threshold, cm)
+    return out
+
+
+def _assemble_scan(covered, br, positions, gpos, threshold, cm):
+    """Faithful per-locus transliteration of src/garlic-roh.cpp:462-532."""
+    L = covered.shape[0]
+    out: List[tuple] = []
+    win_start = -1
+    win_start_idx = -1
+    for w in range(L):
+        if win_start < 0 and covered[w]:
+            win_start = int(positions[w])
+            win_start_idx = w
+        elif covered[w] and br[w]:
+            stop_idx = w - 1
+            if stop_idx - win_start_idx + 1 >= threshold:
+                _emit(out, positions, gpos, win_start_idx, stop_idx, threshold, cm)
+            win_start = int(positions[w])
+            win_start_idx = w
+        elif win_start > 0 and not covered[w]:
+            stop_idx = w - 1
+            if stop_idx - win_start_idx + 1 >= threshold:
+                _emit(out, positions, gpos, win_start_idx, stop_idx, threshold, cm)
+            win_start = -1
+            win_start_idx = -1
+        elif win_start > 0 and w + 1 >= L:
+            if w - win_start_idx + 1 >= threshold:
+                _emit(out, positions, gpos, win_start_idx, w, threshold, cm)
+            win_start = -1
+            win_start_idx = -1
+    return out
+
+
+def assemble_roh(win_by_chr: List[np.ndarray], chroms, ind_ids: List[str],
+                 centro, cutoff: float, winsize: int, max_gap: int,
+                 overlap_frac: float, cm: bool):
+    """Full assembleROHWindows: returns (per-individual ROH, pooled lengths
+    in the reference's (ind, chr, position) order)."""
+    threshold = overlap_threshold(overlap_frac, winsize)
+    lengths: List[float] = []
+    by_ind: List[IndividualROH] = []
+    for i, ind_id in enumerate(ind_ids):
+        rec = IndividualROH(ind_id=ind_id)
+        for ci, chrom in enumerate(chroms):
+            cstart = centro.start(chrom.chrom)
+            cend = centro.end(chrom.chrom)
+            calls = assemble_chromosome(
+                win_by_chr[ci][i], chrom.positions, chrom.gpos, cutoff,
+                winsize, max_gap, cstart, cend, threshold, cm)
+            for start, stop, size in calls:
+                rec.calls.append(ROHCall(ci, start, stop, size))
+                lengths.append(size)
+        by_ind.append(rec)
+    return by_ind, np.asarray(lengths, dtype=np.float64)

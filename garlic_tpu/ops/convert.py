@@ -1,0 +1,39 @@
+"""Window-matrix flattening for KDE, with thinning and subsampling.
+
+Reproduces convertWinData2DoubleData / convertSubsetWinData2DoubleData
+(src/garlic-data.cpp:2026-2150): per chromosome, per individual, every
+`step`-th window slot is taken (the full nloci slots, including the
+MISSING-initialized tail), and MISSING/NaN values are dropped.  The pooled
+order is (chr, individual, window) — preserved because downstream order
+affects nothing but is cheap to keep.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.types import MISSING
+
+
+def win_to_samples(win_by_chr: List[np.ndarray], step: int,
+                   ind_idx: Optional[np.ndarray] = None) -> np.ndarray:
+    parts = []
+    for win in win_by_chr:
+        w = win if ind_idx is None else win[ind_idx]
+        thinned = w[:, ::step]
+        flat = thinned.reshape(-1)  # row-major: individual-major, window-minor
+        mask = (flat != MISSING) & ~np.isnan(flat)
+        parts.append(flat[mask])
+    return np.concatenate(parts) if parts else np.zeros(0)
+
+
+def choose_subsample(nind: int, subsample: int,
+                     rng: np.random.Generator) -> np.ndarray:
+    """Random individual subset preserving original order, like
+    gsl_ran_choose (src/garlic-data.cpp:2079-2095).  subsample >= nind uses
+    everyone."""
+    if subsample >= nind or subsample <= 0:
+        return np.arange(nind)
+    return np.sort(rng.choice(nind, size=subsample, replace=False))

@@ -1,0 +1,129 @@
+"""LOD cutoff discovery: minimum between the two dominant KDE modes.
+
+Faithful port of get_min_btw_modes / get_arg_max / get_arg_min
+(src/garlic-kde.cpp:142-272), including its idiosyncrasies:
+
+* the windowed argmax initializes its running max to DBL_MIN (the smallest
+  positive double), so all-nonpositive windows return index -1
+  (src/garlic-kde.cpp:241-256) — we clamp the resulting out-of-bounds read
+  to index 0 (the reference reads one double before the array; replicating
+  undefined behavior is impossible, and it only arises when the first 20
+  density values are exactly zero);
+* the run-length "unique max" counting scheme with its special-cased i==1
+  write (src/garlic-kde.cpp:156-170);
+* top-two-count selection, then top-two values among those, then the LAST
+  grid index holding each value (src/garlic-kde.cpp:172-222);
+* the final sanity check |x[minIndex]/winsize| < 1 else 0
+  (src/garlic-kde.cpp:231-232).
+
+Do not "fix" this function: every downstream byte of output depends on its
+exact argmax/argmin behavior (SURVEY.md hard part d).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DBL_MIN = 2.2250738585072014e-308  # numeric_limits<double>::min()
+_DBL_MAX = 1.7976931348623157e+308
+
+
+class CutoffError(Exception):
+    pass
+
+
+def _arg_max(vals: np.ndarray) -> int:
+    """get_arg_max (src/garlic-kde.cpp:241-256): strict >, init DBL_MIN."""
+    m = _DBL_MIN
+    arg = -1
+    for i, v in enumerate(vals):
+        if m < v:
+            m = v
+            arg = i
+    return arg
+
+
+def _arg_min(vals: np.ndarray) -> int:
+    """get_arg_min (src/garlic-kde.cpp:258-272): strict <, init DBL_MAX."""
+    m = _DBL_MAX
+    arg = -1
+    for i, v in enumerate(vals):
+        if m > v:
+            m = v
+            arg = i
+    return arg
+
+
+def get_min_btw_modes(x: np.ndarray, y: np.ndarray, wsize: int) -> float:
+    size = x.shape[0]
+    winsize = 20
+    n = size - winsize
+    uniq_maxes = np.zeros(n, dtype=np.float64)
+    uniq_counts = np.zeros(n, dtype=np.float64)
+
+    # Windowed running max per start (vectorized equivalent of repeated
+    # get_arg_max calls; the strict-> + DBL_MIN init means a window of values
+    # all <= DBL_MIN yields the element BEFORE the window, clamped here to 0).
+    index = 0
+    for i in range(n):
+        arg = _arg_max_window(y, i, winsize)
+        maxes = y[max(arg + i, 0)]
+        if i == 1:
+            uniq_maxes[1] = maxes
+            uniq_counts[1] += 1
+        elif uniq_maxes[index] == maxes:
+            uniq_counts[index] += 1
+        else:
+            index += 1
+            uniq_maxes[index] = maxes
+            uniq_counts[index] += 1
+
+    max_count = uniq_counts[0]
+    second_max_count = 0.0
+    for i in range(1, n):
+        if max_count <= uniq_counts[i]:
+            second_max_count = max_count
+            max_count = uniq_counts[i]
+        elif second_max_count <= uniq_counts[i]:
+            second_max_count = uniq_counts[i]
+
+    values = [uniq_maxes[i] for i in range(n)
+              if uniq_counts[i] == max_count or uniq_counts[i] == second_max_count]
+
+    first_max = -1.0
+    second_max = -1.0
+    for v in values:
+        if first_max <= v:
+            second_max = first_max
+            first_max = v
+        elif second_max <= v:
+            second_max = v
+
+    left_max_index = -1
+    right_max_index = -1
+    for i in range(size):
+        if y[i] == first_max:
+            left_max_index = i
+        if y[i] == second_max:
+            right_max_index = i
+    if right_max_index < left_max_index:
+        left_max_index, right_max_index = right_max_index, left_max_index
+    if left_max_index < 0:
+        raise CutoffError("failed to locate KDE modes")
+
+    min_index = _arg_min(y[left_max_index:right_max_index + 1]) + left_max_index
+    if abs(x[min_index] / wsize) < 1:
+        return float(x[min_index])
+    return 0.0
+
+
+def _arg_max_window(y: np.ndarray, start: int, winsize: int) -> int:
+    """Windowed get_arg_max on y[start:start+winsize].  Uses numpy argmax on
+    the common path (some value > DBL_MIN) and the faithful scalar scan on
+    ties; numpy argmax returns the FIRST maximal index, matching the strict->
+    update rule."""
+    w = y[start:start + winsize]
+    m = w.max()
+    if m > _DBL_MIN:
+        return int(np.argmax(w))
+    return -1

@@ -1,0 +1,124 @@
+"""Phase IV: 1-D Gaussian mixture model fit with EM.
+
+Port of GMM (src/gmm.cpp:160-443) and its driver selectSizeClasses
+(src/garlic-roh.cpp:935-1003): K components (default 3), log-space
+responsibilities with logsumexp, fused E+M pass, convergence when
+|delta loglikelihood| <= 1e-5, max 1000 iterations.  Initialization spreads
+means/variances from the data mean/variance:
+
+    W_k = 1/K,  Mu_k = mean*(k+1)/(K+1),  Sigma_k = var*(k+1)/K
+
+A distributed variant exposes the per-iteration sufficient statistics
+(sum_w, sum_wx, sum_wx2, loglik) so they can be psum-ed across a device mesh
+(see garlic_tpu/parallel/dist.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+_LOG2PI_C = -0.5 * np.log(2.0 * np.pi)
+
+
+@dataclass
+class GMMResult:
+    weights: np.ndarray   # [K] mixture coefficients
+    means: np.ndarray     # [K]
+    variances: np.ndarray  # [K]
+    loglikelihood: float
+    bic: float
+    converged: bool
+    iterations: int
+
+
+def gmm_sufficient_stats(x: np.ndarray, w: np.ndarray, mu: np.ndarray,
+                         var: np.ndarray):
+    """One E-step over data x -> (sum_wj, sum_wj_xj, sum_wj_xj2, loglik).
+
+    Matches GMM::update's math (src/gmm.cpp:276-331): log responsibilities
+    log(a_k) + normalLog, logsumexp per point, an extra normalization by the
+    (==1) sum of responsibilities, then weighted moment sums."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lw = np.log(w)[None, :]                              # [1,K]
+        lv = np.log(var)[None, :]
+        d = x[:, None] - mu[None, :]                         # [N,K]
+        logp = lw + (_LOG2PI_C - 0.5 * lv - (d * d) / (2.0 * var[None, :]))
+    lmax = np.max(logp, axis=1, keepdims=True)
+    tmp = lmax[:, 0] + np.log(np.sum(np.exp(logp - lmax), axis=1))
+    loglik = float(np.sum(tmp))
+    resp = np.exp(logp - tmp[:, None])                       # [N,K]
+    den = np.sum(resp, axis=1, keepdims=True)
+    r = resp / den
+    sum_wj = r.sum(axis=0)
+    sum_wj_xj = (x[:, None] * r).sum(axis=0)
+    sum_wj_xj2 = ((x * x)[:, None] * r).sum(axis=0)
+    return sum_wj, sum_wj_xj, sum_wj_xj2, loglik
+
+
+def fit_gmm(x: np.ndarray, k: int, w0: np.ndarray, mu0: np.ndarray,
+            var0: np.ndarray, max_iter: int = 1000, precision: float = 1e-5,
+            verbose: bool = False) -> GMMResult:
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    w, mu, var = w0.copy(), mu0.copy(), var0.copy()
+    last_ll = -np.finfo(np.float64).max
+    ll = last_ll
+    bic = np.finfo(np.float64).max
+    converged = False
+    if verbose:
+        print(f"Begin GMM estimation with k = {k} Gaussians...", file=sys.stderr)
+    it = 0
+    for it in range(1, max_iter + 1):
+        s_w, s_wx, s_wx2, ll = gmm_sufficient_stats(x, w, mu, var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = s_w / float(n)
+            mu = s_wx / s_w
+            var = s_wx2 / s_w - mu * mu
+        if not np.all(np.isfinite(mu)) or not np.all(np.isfinite(var)):
+            raise FloatingPointError(
+                "GMM component collapsed (non-finite parameters)")
+        bic = -2.0 * ll + (3.0 * k - 1) * np.log(n)
+        if abs(ll - last_ll) <= precision:
+            converged = True
+            break
+        last_ll = ll
+    return GMMResult(weights=w, means=mu, variances=var, loglikelihood=ll,
+                     bic=float(bic), converged=converged, iterations=it)
+
+
+def select_size_classes(lengths: np.ndarray, nclust: int, log=None):
+    """selectSizeClasses (src/garlic-roh.cpp:935-1003): fit the GMM, sort
+    components by mean, log their parameters, then root-find the K-1 pairwise
+    Gaussian intersections as size-class boundaries. Returns list of bounds."""
+    from .brent import find_boundary
+    lengths = np.asarray(lengths, dtype=np.float64)
+    var = float(np.var(lengths, ddof=1))
+    mean = float(np.mean(lengths))
+    k = nclust
+    w0 = np.full(k, 1.0 / k)
+    mu0 = np.array([mean * (n + 1) / (k + 1) for n in range(k)])
+    var0 = np.array([var * (n + 1) / k for n in range(k)])
+    res = fit_gmm(lengths, k, w0, mu0, var0, max_iter=1000, precision=1e-5,
+                  verbose=True)
+    order = np.argsort(res.means, kind="stable")
+    size_class = "A"
+    for i in range(k):
+        j = order[i]
+        if log is not None:
+            log.log("Gaussian class", size_class, nl=False)
+            log.log(" ( mixture, mean, std ) = (", float(res.weights[j]), nl=False)
+            log.log(",", float(res.means[j]), nl=False)
+            log.log(",", float(res.variances[j]), nl=False)
+            log.log(" )")
+        size_class = chr(ord(size_class) + 1)
+    bounds = []
+    for i in range(1, k):
+        a, b = order[i - 1], order[i]
+        bounds.append(find_boundary(
+            res.means[a], res.variances[a], res.weights[a],
+            res.means[b], res.variances[b], res.weights[b],
+            max_iter=1000, epsabs=1e-4))
+    return bounds, res

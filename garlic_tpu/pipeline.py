@@ -1,0 +1,578 @@
+"""End-to-end ROH-calling pipeline.
+
+Sequences the four phases exactly as the reference driver does
+(src/garlic-main.cpp:25-421): CLI -> load -> freq -> filter -> winsize ->
+LOD/wLOD -> KDE cutoff -> assembly -> GMM size classes -> writers.  The .log
+file content and ordering reproduce the reference byte-for-byte (it is a
+declared comparison artifact).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import cli
+from .centromeres import Centromere
+from .cli import CLIError, ParsedArgs
+from .core.types import Dataset
+from .io import bed, filters, freqfile, genmap, kdefile, rawlod, tfam, tgls, tped
+from .logger import RunLog
+from .ops import assembly, convert, cutoff as cutoff_ops, density, gmm, kde as kde_ops
+from .ops import ld as ld_ops
+from .ops import lod as lod_ops
+from .ops import wiggle as wiggle_ops
+from .ops import wlod as wlod_ops
+from .version import OUTPUT_COMPAT_VERSION
+
+AUTO_WINSIZE_THRESHOLD = 0.50
+
+
+@dataclass
+class PipelineState:
+    log: RunLog
+    args: ParsedArgs
+    engine: str
+    rng: np.random.Generator
+
+
+def _resolve_engine(name: str) -> str:
+    if name == "auto":
+        return "exact"
+    if name not in ("exact", "fast"):
+        raise CLIError(f"ERROR: unknown engine {name}")
+    return name
+
+
+def run_main(argv: List[str], prog: str = "garlic-tpu") -> int:
+    """Entry point; returns the process exit status (matching the
+    reference's return codes, including returning 0 on CLI parse failure,
+    src/garlic-main.cpp:31-32)."""
+    log = RunLog()
+    try:
+        args = cli.parse_command_line(argv)
+    except CLIError as e:
+        print(str(e), file=sys.stderr)
+        return 0
+    if args is None:  # --help
+        return 0
+    try:
+        return _run(args, argv, prog, log)
+    finally:
+        log.close()
+
+
+def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
+    outfile = args[cli.ARG_OUTFILE]
+    log.init(outfile)
+    log.log(" ".join([prog] + list(argv)))
+    log.log("Output file basename:", outfile)
+
+    argerr = False
+    tpedfile = args[cli.ARG_TPED]
+    tfamfile = args[cli.ARG_TFAM]
+    tglsfile = args[cli.ARG_TGLS]
+    argerr = argerr or cli.check_required_files(log, tpedfile, tfamfile)
+    if argerr:
+        return -1
+    log.log("TPED file:", tpedfile)
+
+    tped_missing = args[cli.ARG_TPED_MISSING]
+    log.log("TPED missing data code:", tped_missing)
+    log.log("TFAM file:", tfamfile)
+    log.log("TGLS file:", tglsfile)
+
+    gl_type = args[cli.ARG_GL_TYPE]
+    argerr = argerr or cli.check_gl_type(log, gl_type, tglsfile)
+    log.log("Genotype likelihood format:", gl_type)
+
+    weighted = args[cli.ARG_WEIGHTED]
+    mapfile = args[cli.ARG_MAP]
+    cm = args[cli.ARG_CM]
+    argerr = argerr or cli.check_cm(log, mapfile, cm)
+    if argerr:
+        return -1
+    log.log("Measure ROH in genetic distance units:", cm)
+    argerr = argerr or cli.check_map_file(log, mapfile, weighted or cm)
+    log.log("Weighted LOD:", weighted)
+    if weighted:
+        log.log("Map file:", mapfile)
+
+    build = args[cli.ARG_BUILD]
+    argerr = argerr or cli.check_build(log, build)
+    if argerr:
+        return -1
+    log.log("Genome build:", build)
+
+    centromere_file = args[cli.ARG_CENTROMERE_FILE]
+    argerr = argerr or cli.check_build_and_centromere_file(log, build, centromere_file)
+    if argerr:
+        return -1
+    log.log("User defined centromere file:", centromere_file)
+
+    nresample = args[cli.ARG_RESAMPLE]
+    freqfile_arg = args[cli.ARG_FREQ_FILE]
+    freq_only_flag = args[cli.ARG_FREQ_ONLY]
+    err_flag, auto_freq = cli.check_auto_freq(log, freqfile_arg, freq_only_flag)
+    argerr = argerr or err_flag
+    if argerr:
+        return -1
+    log.log("Calculate allele frequencies only:", freq_only_flag)
+    log.log("Calculate allele frequencies from data:", auto_freq)
+    if not auto_freq:
+        log.log("Allele frequencies file:", freqfile_arg)
+    else:
+        if nresample <= 0:
+            log.log("Allele frequencies resampled: FALSE")
+        else:
+            log.log("Allele frequencies resampled:", nresample)
+
+    multi_winsizes = args[cli.ARG_WINSIZE_MULTI]
+    err_flag, winsize_explore = cli.check_multi_winsizes(log, multi_winsizes)
+    argerr = argerr or err_flag
+    if argerr:
+        return -1
+    log.log("Explore window sizes:", winsize_explore)
+    if winsize_explore:
+        log.logv("User defined window sizes:", multi_winsizes)
+
+    auto_winsize = args[cli.ARG_AUTO_WINSIZE]
+    log.log("Automatic window size:", auto_winsize)
+
+    auto_winsize_step = args[cli.ARG_AUTO_WINSIZE_STEP]
+    argerr = argerr or cli.check_auto_winsize_step(log, auto_winsize_step)
+    if argerr:
+        return -1
+    log.log("Automatic window step size:", auto_winsize_step)
+
+    winsize = args[cli.ARG_WINSIZE]
+    argerr = argerr or cli.check_winsize(log, winsize, winsize_explore,
+                                         auto_winsize, weighted)
+    if argerr:
+        return -1
+    if not winsize_explore and not auto_winsize:
+        log.log("User defined window size:", winsize)
+
+    lod_cutoff = args[cli.ARG_LOD_CUTOFF]
+    auto_cutoff = cli.check_auto_cutoff(lod_cutoff)
+    log.log("Choose LOD score cutoff automatically:", auto_cutoff)
+    if not auto_cutoff:
+        log.log("User defined LOD score cutoff:", lod_cutoff)
+
+    bound_sizes = list(args[cli.ARG_BOUND_SIZE])
+    err_flag, auto_bounds = cli.check_bound_sizes(log, bound_sizes)
+    argerr = argerr or err_flag
+    if argerr:
+        return -1
+    log.log("Choose ROH class thresholds automatically:", auto_bounds)
+    if not auto_bounds:
+        log.logv("User defined ROH class thresholds:", bound_sizes)
+
+    num_threads = args[cli.ARG_THREADS]
+    argerr = argerr or cli.check_threads(log, num_threads)
+    log.log("Threads:", num_threads)
+
+    error = args[cli.ARG_ERROR]
+    argerr = argerr or cli.check_error(log, error, tglsfile)
+    if argerr:
+        return -1
+    log.log("Genotyping error:", error)
+
+    max_gap = args[cli.ARG_MAX_GAP]
+    argerr = argerr or cli.check_max_gap(log, max_gap)
+    if argerr:
+        return -1
+    log.log("Max gap:", max_gap)
+
+    overlap_frac = args[cli.ARG_OVERLAP_FRAC]
+    argerr = argerr or cli.check_overlap_frac(log, overlap_frac)
+    if argerr:
+        return -1
+    auto_overlap_frac = args[cli.ARG_AUTO_OVERLAP_FRAC]
+    if auto_overlap_frac:
+        log.log("Overlap fraction: automatic")
+    elif overlap_frac != 0:
+        log.log("Overlap fraction:", overlap_frac)
+    else:
+        log.log("Overlap fraction: 1/winsize")
+
+    mu = args[cli.ARG_MU]
+    argerr = argerr or cli.check_mu(log, mu)
+    if argerr:
+        return -1
+    log.log("mu:", mu)
+
+    M = args[cli.ARG_M]
+    argerr = argerr or cli.check_m(log, M)
+    if argerr:
+        return -1
+    log.log("M:", M)
+
+    nclust = args[cli.ARG_NCLUST]
+    argerr = argerr or cli.check_nclust(log, nclust)
+    if argerr:
+        return -1
+    log.log("# GMM clusters:", nclust)
+
+    kde_subsample = args[cli.ARG_KDE_SUBSAMPLE]
+    if kde_subsample <= 0:
+        log.log("# of rand individuals for KDE: ALL")
+    else:
+        log.log("# of rand individuals for KDE:", kde_subsample)
+
+    ld_subsample = args[cli.ARG_LD_SUBSAMPLE]
+    if ld_subsample <= 0:
+        log.log("# of rand individuals for LD: ALL")
+    else:
+        log.log("# of rand individuals for LD:", ld_subsample)
+
+    raw_lod = args[cli.ARG_RAW_LOD]
+    log.log("Output raw LOD scores:", raw_lod)
+
+    phased = args[cli.ARG_PHASED]
+    log.log("Use r2 for weighting phased data:", phased)
+
+    thin = not args[cli.ARG_KDE_THINNING]
+    log.log("Use thinning for KDE estimation:", thin)
+
+    seed = args[cli.ARG_SEED]
+    rng = np.random.default_rng(None if seed < 0 else seed)
+    engine = _resolve_engine(args[cli.ARG_ENGINE])
+
+    if freq_only_flag:
+        tped.freq_only(tpedfile, outfile, nresample, tped_missing, log, rng)
+        return 0
+
+    # ---------------- Datafile reading ----------------
+    centro = Centromere(build, centromere_file, cli.DEFAULT_CENTROMERE_FILE, log)
+    use_gl = False
+    try:
+        ds, num_loci = tped.load_tped(tpedfile, tped_missing, nresample,
+                                      phased, auto_freq, log, rng)
+        log.log("Total loci:", num_loci)
+        ds.ind_ids, ds.pop = tfam.read_tfam(tfamfile, log)
+        num_ind = ds.nind
+        log.log("Population:", ds.pop)
+        log.log("Total diploid individuals:", num_ind)
+        for c in ds.chroms:
+            if c.genotypes.shape[0] != num_ind:
+                log.err("ERROR: TPED and TFAM disagree on individual count.")
+                return 1
+
+        if tglsfile != cli.DEFAULT_TGLS:
+            tgls.read_tgls(tglsfile, ds.chroms, num_ind, gl_type, log)
+            use_gl = True
+
+        scaffolds = None
+        if weighted or cm:
+            scaffolds = genmap.load_map_scaffold(mapfile, centro, log)
+            if len(scaffolds) != len(ds.chroms):
+                log.err("ERROR: Scaffold genetic map does not have the same "
+                        "number of chromosomes as data.")
+                return -1
+    except Exception:
+        return 1
+
+    # ---------------- Allele frequencies ----------------
+    if auto_freq:
+        freqfile.write_freq(outfile + ".freq", ds.chroms, log)
+    else:
+        print(f"Loading user provided allele frequencies from {freqfile_arg}")
+        try:
+            freqfile.read_freq(freqfile_arg, ds.chroms, log)
+        except Exception:
+            return -1
+
+    # ---------------- Filtering ----------------
+    if weighted or cm:
+        ds.chroms, new_loci = filters.filter_monomorphic_and_oob(ds.chroms, scaffolds)
+        log.log("Monomorphic or out of bounds loci filtered:", num_loci - new_loci)
+        num_interp = 0
+        for c, s in zip(ds.chroms, scaffolds):
+            c.gpos, n = genmap.interpolate_genetic_map(c.positions, s)
+            num_interp += n
+        log.log("Number of genetic map locations interpolated:", num_interp)
+    else:
+        ds.chroms, new_loci = filters.filter_monomorphic(ds.chroms)
+        log.log("Monomorphic loci filtered:", num_loci - new_loci)
+
+    log.log("Total loci used for analysis:", new_loci)
+    num_loci = new_loci
+
+    variant_density = -1.0
+    if (auto_winsize and weighted) or auto_overlap_frac:
+        variant_density = density.calc_density(num_loci, ds.chroms, centro)
+
+    st = PipelineState(log=log, args=args, engine=engine, rng=rng)
+
+    # ---------------- Winsize resolution ----------------
+    kde_result = None
+    if winsize_explore and auto_winsize and not weighted:
+        kde_result, winsize = _select_winsize_from_list(
+            st, ds, centro, multi_winsizes, error, use_gl, max_gap,
+            kde_subsample, outfile, thin)
+        if kde_result is None:
+            return 1
+    elif winsize_explore:
+        _explore_winsizes(st, ds, centro, multi_winsizes, error, use_gl,
+                          max_gap, kde_subsample, outfile, weighted, M, mu,
+                          phased, thin, ld_subsample)
+        return 0
+    elif auto_winsize:
+        if not weighted:
+            try:
+                kde_result, winsize = _select_winsize(
+                    st, ds, centro, winsize, auto_winsize_step, error, use_gl,
+                    max_gap, kde_subsample, outfile, thin)
+            except Exception:
+                return 1
+            if kde_result is None:
+                return 1
+        else:
+            winsize = density.select_winsize_weighted(variant_density)
+        log.log("Selected window size:", winsize)
+
+    print(f"Window size: {winsize}")
+
+    if auto_overlap_frac:
+        overlap_frac = density.select_overlap_frac(variant_density, winsize)
+        log.log("Selected overlap fraction:", overlap_frac)
+
+    # ---------------- Phase I ----------------
+    if weighted:
+        print("Calculating LD matrix.", file=sys.stderr)
+        sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, rng)
+        win_by_chr = []
+        print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
+        for c in ds.chroms:
+            print(f"{c.chrom}    ", file=sys.stderr, end="")
+            ldm = ld_ops.calc_ld(c, winsize, phased, sub_idx, engine=st.engine)
+            win_by_chr.append(wlod_ops.wlod_windows(
+                c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
+        print(file=sys.stderr)
+    else:
+        win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
+                                       max_gap, use_gl)
+
+    if raw_lod:
+        try:
+            rawlod.write_win_data(win_by_chr,
+                                  [c.chrom for c in ds.chroms], ds.pop, outfile)
+        except Exception:
+            return -1
+
+    # ---------------- Phase II: cutoff ----------------
+    if auto_cutoff:
+        if kde_result is None:
+            lod_cutoff = _select_lod_cutoff(
+                st, win_by_chr, ds, kde_subsample,
+                kdefile.make_kde_filename(outfile, winsize),
+                winsize if thin else 1, winsize)
+        else:
+            lod_cutoff = _cutoff_from_kde(st, kde_result, winsize)
+        log.log("Selected LOD score cutoff:", lod_cutoff)
+    else:
+        print(f"User defined LOD score cutoff: {lod_cutoff}")
+
+    # ---------------- Phase III: assembly ----------------
+    print("Assembling ROH windows")
+    roh_by_ind, lengths = assembly.assemble_roh(
+        win_by_chr, ds.chroms, ds.ind_ids, centro, lod_cutoff, winsize,
+        max_gap, overlap_frac, cm)
+
+    # ---------------- Phase IV: size classes ----------------
+    if auto_bounds:
+        print(f"Fitting {nclust}-component GMM for size classification")
+        try:
+            bound_sizes, _ = gmm.select_size_classes(lengths, nclust, log)
+        except Exception as e:
+            # The reference aborts inside GSL here (collapsed component /
+            # root bracket failure); we fail cleanly instead.
+            log.err("ERROR: GMM size classification failed:", str(e))
+            log.err("\tToo few ROH calls or degenerate length distribution; "
+                    "size boundaries can be supplied with --size-bounds.")
+            return 1
+        log.logv("Selected ROH size boundaries = (", bound_sizes, nl=False)
+        log.log(" )")
+    else:
+        log.logv("User provided ROH size boundaries = (", bound_sizes, nl=False)
+        log.log(" )")
+
+    print("Writing ROH tracts.")
+    bed.write_roh(bed.make_roh_filename(outfile), roh_by_ind,
+                  [c.chrom for c in ds.chroms], bound_sizes, ds.pop,
+                  OUTPUT_COMPAT_VERSION, cm, log)
+    print("Finished.")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Helpers mirroring garlic-roh.cpp drivers
+# ---------------------------------------------------------------------------
+
+def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
+                      error: float, max_gap: int, use_gl: bool,
+                      ind_idx: Optional[np.ndarray] = None):
+    """calcLODWindows (src/garlic-roh.cpp:279-309)."""
+    print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
+    out = []
+    for c in ds.chroms:
+        print(f"{c.chrom}    ", file=sys.stderr, end="")
+        cc = c
+        if ind_idx is not None:
+            cc = _subset_chrom(c, ind_idx)
+        out.append(lod_ops.calc_lod_windows(cc, centro, winsize, error,
+                                            max_gap, use_gl, engine=st.engine))
+    print(file=sys.stderr)
+    return out
+
+
+def _subset_chrom(c, idx):
+    from .core.types import ChromData
+    return ChromData(chrom=c.chrom, positions=c.positions, gpos=c.gpos,
+                     locus_names=c.locus_names, alleles=c.alleles,
+                     genotypes=c.genotypes[idx], freq=c.freq,
+                     first_copy=None if c.first_copy is None else c.first_copy[idx],
+                     gl=None if c.gl is None else c.gl[idx])
+
+
+def _ld_subsample_idx(nind: int, ld_subsample: int,
+                      rng: np.random.Generator) -> Optional[np.ndarray]:
+    if ld_subsample >= nind or ld_subsample <= 0:
+        return None
+    return np.sort(rng.choice(nind, size=ld_subsample, replace=False))
+
+
+def _select_lod_cutoff(st: PipelineState, win_by_chr, ds: Dataset,
+                       kde_subsample: int, kdeoutfile: str, step: int,
+                       wsize: int) -> float:
+    """selectLODCutoff (src/garlic-roh.cpp:667-697): thin/subsample, KDE,
+    write, min-between-modes.  Failures return -1 and the pipeline continues,
+    exactly like the reference."""
+    log = st.log
+    if kde_subsample <= 0:
+        samples = convert.win_to_samples(win_by_chr, step)
+    else:
+        idx = convert.choose_subsample(ds.nind, kde_subsample, st.rng)
+        log.logn("Individuals used for KDE: ")
+        for i in idx:
+            log.logn(ds.ind_ids[i])
+            log.logn(" ")
+        log.logn("\n")
+        samples = convert.win_to_samples(win_by_chr, step, ind_idx=idx)
+    print("Estimating distribution of raw LOD score windows:", file=sys.stderr)
+    kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+    try:
+        kdefile.write_kde(kr, kdeoutfile, log)
+    except Exception:
+        return -1.0
+    try:
+        return cutoff_ops.get_min_btw_modes(kr.x, kr.y, wsize)
+    except Exception:
+        log.err("ERROR: Failed to find the minimum between modes in the LOD score density.")
+        log.err("\tResults from density estimation have been written to file for inspection.")
+        log.err("\tA cutoff can be manually specified on the command line with",
+                cli.ARG_LOD_CUTOFF)
+        return -1.0
+
+
+def _cutoff_from_kde(st: PipelineState, kde_result, wsize: int) -> float:
+    """selectLODCutoff(KDEResult*) (src/garlic-roh.cpp:652-664)."""
+    try:
+        return cutoff_ops.get_min_btw_modes(kde_result.x, kde_result.y, wsize)
+    except Exception:
+        st.log.err("ERROR: Failed to find the minimum between modes in the LOD score density.")
+        st.log.err("\tResults from density estimation have been written to file for inspection.")
+        st.log.err("\tA cutoff can be manually specified on the command line with",
+                   cli.ARG_LOD_CUTOFF)
+        return -1.0
+
+
+def _subset_for_kde(st: PipelineState, ds: Dataset, kde_subsample: int):
+    """subsetData (src/garlic-data.cpp:2171-2244) + its log line."""
+    idx = convert.choose_subsample(ds.nind, kde_subsample, st.rng)
+    st.log.loga("Individuals used for KDE:", [ds.ind_ids[i] for i in idx])
+    return idx
+
+
+def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
+                    step: int, error: float, use_gl: bool, max_gap: int,
+                    kde_subsample: int, outfile: str, thin: bool):
+    """selectWinsize (src/garlic-roh.cpp:766-850): grow winsize by step until
+    the wiggle metric <= 0.5."""
+    log = st.log
+    ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    log.log("Searching for acceptable window size, smoothness threshold:",
+            AUTO_WINSIZE_THRESHOLD)
+    log.log("winsize\tsmoothness")
+    wq = winsize
+    while True:
+        win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
+                                       use_gl, ind_idx=ind_idx)
+        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        mse = wiggle_ops.calculate_wiggle(kr)
+        log.log("", wq, nl=False)
+        log.log("\t", mse)
+        if mse <= AUTO_WINSIZE_THRESHOLD:
+            selected = kr.clone()
+            kdefile.write_kde(selected, kdefile.make_kde_filename(outfile, wq), log)
+            return selected, wq
+        wq += step
+
+
+def _select_winsize_from_list(st: PipelineState, ds: Dataset, centro,
+                              multi: List[int], error: float, use_gl: bool,
+                              max_gap: int, kde_subsample: int, outfile: str,
+                              thin: bool):
+    """selectWinsizeFromList (src/garlic-roh.cpp:852-933)."""
+    log = st.log
+    ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    log.log("Searching for acceptable window size, smoothness threshold:",
+            AUTO_WINSIZE_THRESHOLD)
+    log.log("winsize\tsmoothness")
+    for i, wq in enumerate(multi):
+        win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
+                                       use_gl, ind_idx=ind_idx)
+        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        mse = wiggle_ops.calculate_wiggle(kr)
+        log.log("", wq, nl=False)
+        log.log("\t", mse)
+        if mse <= AUTO_WINSIZE_THRESHOLD or i == len(multi) - 1:
+            selected = kr.clone()
+            kdefile.write_kde(selected, kdefile.make_kde_filename(outfile, wq), log)
+            return selected, wq
+    return None, 0
+
+
+def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
+                      multi: List[int], error: float, use_gl: bool,
+                      max_gap: int, kde_subsample: int, outfile: str,
+                      weighted: bool, M: int, mu: float, phased: bool,
+                      thin: bool, ld_subsample: int):
+    """exploreWinsizes (src/garlic-roh.cpp:699-763): dump a KDE per candidate
+    winsize and exit."""
+    log = st.log
+    ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    for wq in multi:
+        if weighted:
+            sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, st.rng)
+            win_by_chr = []
+            print(f"Calculating LOD scores with winsize {wq}.", file=sys.stderr)
+            for c in ds.chroms:
+                print(f"{c.chrom}    ", file=sys.stderr, end="")
+                ldm = ld_ops.calc_ld(c, wq, phased, sub_idx, engine=st.engine)
+                cc = _subset_chrom(c, ind_idx) if ind_idx is not None else c
+                win_by_chr.append(wlod_ops.wlod_windows(
+                    cc, centro, ldm, wq, error, max_gap, use_gl, mu, M))
+            print(file=sys.stderr)
+        else:
+            win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
+                                           max_gap, use_gl, ind_idx=ind_idx)
+        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)

@@ -1,0 +1,151 @@
+"""Shared test utilities: synthetic panel generation and oracle harness.
+
+The reference ships no test inputs (example blobs stripped), so panels are
+synthesized with planted autozygous segments to give the LOD distribution its
+two modes, then outputs are diffed against the runnable oracle binary.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import subprocess
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Panel:
+    chrom_names: List[str]
+    positions: List[np.ndarray]       # per chr
+    freq: List[np.ndarray]            # per chr, truth freqs used to simulate
+    genotypes: List[np.ndarray]       # per chr [I, L] 0/1/2/-9
+    ind_ids: List[str]
+    pop: str = "POP1"
+
+
+def make_panel(nind=30, nloci_per_chr=(4000, 3000), seed=7,
+               roh_rate=0.35, missing_rate=0.002, chrom_names=None,
+               big_gap_every=0, spacing_mean=3000) -> Panel:
+    """Synthesize a diploid panel with planted ROH segments."""
+    rng = np.random.default_rng(seed)
+    if chrom_names is None:
+        chrom_names = [f"{i+1}" for i in range(len(nloci_per_chr))]
+    positions, freqs, genos = [], [], []
+    for ci, L in enumerate(nloci_per_chr):
+        gaps = rng.integers(100, spacing_mean * 2, size=L)
+        if big_gap_every:
+            idx = np.arange(big_gap_every, L, big_gap_every)
+            gaps[idx] = 300000 + rng.integers(0, 100000, size=idx.shape[0])
+        pos = 100000 + np.cumsum(gaps)
+        f = rng.beta(0.8, 0.8, size=L)
+        f = np.clip(f, 0.02, 0.98)
+        g = np.empty((nind, L), dtype=np.int8)
+        for i in range(nind):
+            a1 = rng.random(L) < f
+            a2 = rng.random(L) < f
+            gi = (a1.astype(np.int8) + a2.astype(np.int8))
+            # plant autozygous stretches: both alleles identical by descent
+            ptr = 0
+            while ptr < L:
+                if rng.random() < roh_rate * 0.01:
+                    seg = int(rng.integers(150, 600))
+                    a = rng.random(min(seg, L - ptr)) < f[ptr:ptr + seg]
+                    gi[ptr:ptr + seg] = 2 * a.astype(np.int8)
+                    ptr += seg
+                else:
+                    ptr += int(rng.integers(50, 200))
+            g[i] = gi
+        miss = rng.random((nind, L)) < missing_rate
+        g[miss] = -9
+        positions.append(pos.astype(np.int64))
+        freqs.append(f)
+        genos.append(g)
+    ind_ids = [f"IND{i:04d}" for i in range(nind)]
+    return Panel(chrom_names=chrom_names, positions=positions, freq=freqs,
+                 genotypes=genos, ind_ids=ind_ids)
+
+
+def write_tped(panel: Panel, tped_path: str, tfam_path: str,
+               gpos: Optional[List[np.ndarray]] = None) -> None:
+    """Write TPED/TFAM. Allele 'A' = alt (counted), 'C' = ref, '0' missing."""
+    op = gzip.open if tped_path.endswith(".gz") else open
+    with op(tped_path, "wt") as f:
+        for ci, chrom in enumerate(panel.chrom_names):
+            pos = panel.positions[ci]
+            g = panel.genotypes[ci]
+            gp = gpos[ci] if gpos is not None else np.zeros(len(pos))
+            for l in range(len(pos)):
+                row = [chrom, f"rs{ci}_{l}", f"{gp[l]:g}", str(int(pos[l]))]
+                col = g[:, l]
+                for v in col:
+                    if v == -9:
+                        row += ["0", "0"]
+                    elif v == 0:
+                        row += ["C", "C"]
+                    elif v == 1:
+                        row += ["A", "C"]
+                    else:
+                        row += ["A", "A"]
+                f.write(" ".join(row) + "\n")
+    with open(tfam_path, "w") as f:
+        for ind in panel.ind_ids:
+            f.write(f"{panel.pop} {ind} 0 0 0 -9\n")
+
+
+def write_map_scaffold(panel: Panel, path: str, rate_cm_per_mb=1.2) -> List[np.ndarray]:
+    """Write a 4-col genetic map scaffold covering each chromosome with a
+    coarse grid; returns per-chr true gpos at data sites (approx)."""
+    op = gzip.open if path.endswith(".gz") else open
+    out = []
+    with op(path, "wt") as f:
+        for ci, chrom in enumerate(panel.chrom_names):
+            pos = panel.positions[ci]
+            lo, hi = int(pos[0]) - 1000, int(pos[-1]) + 1000
+            grid = np.unique(np.linspace(lo, hi, 200).astype(np.int64))
+            gp = (grid - grid[0]) * rate_cm_per_mb / 1e6 * 100
+            for x, g in zip(grid, gp):
+                f.write(f"{chrom} map{ci}_{x} {g:.8f} {x}\n")
+            out.append(None)
+    return out
+
+
+def run_oracle(oracle_bin: str, workdir: str, args: List[str]) -> subprocess.CompletedProcess:
+    return subprocess.run([oracle_bin] + args, cwd=workdir,
+                          capture_output=True, text=True, timeout=600)
+
+
+def run_ours(workdir: str, args: List[str]) -> int:
+    """Run our pipeline in-process inside workdir."""
+    from garlic_tpu.pipeline import run_main
+    old = os.getcwd()
+    os.chdir(workdir)
+    try:
+        return run_main(args, prog="garlic")
+    finally:
+        os.chdir(old)
+
+
+def read_text(path: str) -> str:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+def diff_logs(log_a: str, log_b: str, base_a: str = "oracle",
+              base_b: str = "ours") -> List[str]:
+    """Compare .log files ignoring the first (command) line and normalizing
+    the output basenames."""
+    a = [l.replace(base_a, "BASE") for l in log_a.splitlines()[1:]]
+    b = [l.replace(base_b, "BASE") for l in log_b.splitlines()[1:]]
+    diffs = []
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x != y:
+            diffs.append(f"line {i+2}: {x!r} != {y!r}")
+    if len(a) != len(b):
+        diffs.append(f"length {len(a)} != {len(b)}")
+    return diffs
