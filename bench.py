@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end Phase I-III-IV ROH calling throughput.
+
+Measures LOD windows/second on a 45-individual x 600k-locus synthetic panel
+(the bundled example's scale: 45 x 577,489, example/example.log:31-33) with a
+pinned cutoff/bounds config (the reference's KDE-subsample RNG is
+time-seeded, so auto-cutoff runs are not comparable run-to-run), end-to-end:
+gzip TPED parse -> freq -> LOD window scan -> assembly -> GMM -> BED.
+
+Baseline: single-core `bin/linux/garlic` (the reference publishes no
+numbers, BASELINE.md) on the identical panel + flags, measured once and
+cached in .bench_cache/oracle_baseline.json.
+
+Prints ONE JSON line:
+  {"metric": "lod_windows_per_sec", "value": N, "unit": "windows/s",
+   "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+ORACLE = "/root/reference/bin/linux/garlic"
+
+NIND = 45
+NLOCI = (300_000, 300_000)
+WINSIZE = 60
+FLAGS = ["--build", "hg18", "--winsize", str(WINSIZE), "--error", "0.001",
+         "--lod-cutoff", "1.5", "--size-bounds", "500000", "1000000",
+         "--kde-subsample", "0"]
+
+# Measured fallback if the oracle binary is absent in the bench environment:
+# single-core garlic v1.1.6a on this panel/flags on this machine (see
+# .bench_cache/oracle_baseline.json provenance).
+FALLBACK_ORACLE_WINDOWS_PER_SEC = None  # filled from cache when available
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def total_windows() -> int:
+    return NIND * sum(L - WINSIZE + 1 for L in NLOCI)
+
+
+def ensure_panel():
+    os.makedirs(CACHE, exist_ok=True)
+    tped = os.path.join(CACHE, "bench.tped.gz")
+    tfam = os.path.join(CACHE, "bench.tfam")
+    if os.path.exists(tped) and os.path.exists(tfam):
+        return tped, tfam
+    log(f"bench: synthesizing {NIND}x{sum(NLOCI)} panel (cached after first run)")
+    sys.path.insert(0, REPO)
+    from tests.util import make_panel, write_tped
+    panel = make_panel(nind=NIND, nloci_per_chr=NLOCI, seed=42,
+                       spacing_mean=4000)
+    write_tped(panel, tped, tfam)
+    return tped, tfam
+
+
+def oracle_baseline(tped: str, tfam: str) -> float:
+    """windows/s of single-core garlic on the bench panel (cached)."""
+    cache = os.path.join(CACHE, "oracle_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["windows_per_sec"]
+    if not os.access(ORACLE, os.X_OK):
+        raise RuntimeError("oracle binary unavailable and no cached baseline")
+    log("bench: measuring single-core oracle baseline (one-time)")
+    args = [ORACLE, "--tped", os.path.basename(tped),
+            "--tfam", os.path.basename(tfam), "--threads", "1",
+            "--out", "oracle_bench"] + FLAGS
+    t0 = time.perf_counter()
+    r = subprocess.run(args, cwd=CACHE, capture_output=True, text=True,
+                       timeout=3600)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise RuntimeError(f"oracle failed: {r.stderr[-500:]}")
+    wps = total_windows() / dt
+    with open(cache, "w") as f:
+        json.dump({"windows_per_sec": wps, "wall_s": dt,
+                   "panel": {"nind": NIND, "nloci": list(NLOCI),
+                             "winsize": WINSIZE},
+                   "binary": ORACLE, "flags": FLAGS}, f, indent=1)
+    log(f"bench: oracle {dt:.1f}s -> {wps:,.0f} windows/s")
+    return wps
+
+
+def run_ours(tped: str, tfam: str) -> float:
+    """End-to-end wall-clock of our pipeline (fast engine) -> windows/s."""
+    sys.path.insert(0, REPO)
+    from garlic_tpu.pipeline import run_main
+    args = (["--tped", os.path.basename(tped),
+             "--tfam", os.path.basename(tfam),
+             "--out", "ours_bench", "--tpu-engine", "fast"] + FLAGS)
+    old = os.getcwd()
+    os.chdir(CACHE)
+    buf = io.StringIO()
+    try:
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(buf):
+            rc = run_main(args, prog="garlic-tpu")
+        dt = time.perf_counter() - t0
+    finally:
+        os.chdir(old)
+    log(buf.getvalue().strip())
+    if rc != 0:
+        raise RuntimeError(f"pipeline exited {rc}")
+    bedfile = os.path.join(CACHE, "ours_bench.roh.bed")
+    if not os.path.exists(bedfile) or os.path.getsize(bedfile) == 0:
+        raise RuntimeError("pipeline produced no BED output (silent failure)")
+    os.remove(bedfile)
+    return total_windows() / dt
+
+
+def kernel_throughput() -> float:
+    """Device-only Phase-I kernel windows/s (diagnostic, stderr only)."""
+    import jax
+    import jax.numpy as jnp
+    from garlic_tpu.ops import lod as lod_ops
+    I, L, W = NIND, NLOCI[0], WINSIZE
+    rng = np.random.default_rng(0)
+    geno = jnp.asarray(rng.integers(0, 3, size=(I, L)).astype(np.int8))
+    table = jnp.asarray(rng.standard_normal((4, L)).astype(np.float32))
+    missing = jnp.asarray(np.zeros(L - W + 1, dtype=bool))
+    out = lod_ops.lod_windows_fast_jax(geno, table, missing, W)
+    jax.block_until_ready(out)  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = lod_ops.lod_windows_fast_jax(geno, table, missing, W)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return I * (L - W + 1) / dt
+
+
+def main():
+    tped, tfam = ensure_panel()
+    try:
+        base = oracle_baseline(tped, tfam)
+    except RuntimeError as e:
+        log(f"bench: WARNING no oracle baseline ({e}); vs_baseline=0")
+        base = None
+    try:
+        kwps = kernel_throughput()
+        log(f"bench: device kernel {kwps:,.0f} windows/s")
+    except Exception as e:
+        log(f"bench: kernel diagnostic failed: {e}")
+    wps = run_ours(tped, tfam)
+    log(f"bench: end-to-end {wps:,.0f} windows/s")
+    print(json.dumps({
+        "metric": "lod_windows_per_sec",
+        "value": round(wps, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / base, 2) if base else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

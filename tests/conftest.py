@@ -1,14 +1,19 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so sharding
-logic is exercised without TPU hardware (SURVEY.md §4)."""
+logic is exercised without TPU hardware (SURVEY.md §4).
+
+NOTE: under the axon TPU plugin the JAX_PLATFORMS *env var* is overridden at
+import time; only `jax.config.update("jax_platforms", ...)` reliably selects
+the CPU backend, so we do both (XLA_FLAGS is honored either way)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip(),
-)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
