@@ -18,6 +18,37 @@ MISSING = -9999  # sentinel for window scores / positions (src/garlic-data.h:24)
 GENO_MISSING = -9  # genotype missing code (src/garlic-data.cpp:114-128)
 
 
+class LocusNames:
+    """Lazy '\\n'-joined locus-name buffer.
+
+    The native TPED parser hands back one bytes blob per chromosome; most
+    runs only ever need it verbatim (the native freq writer takes the raw
+    buffer), so the 10^5-element Python list is materialized on first
+    indexed access only."""
+
+    __slots__ = ("raw", "_list")
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+        self._list = None
+
+    def _mat(self):
+        if self._list is None:
+            self._list = self.raw.decode().split("\n") if self.raw else []
+        return self._list
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __len__(self):
+        if self._list is not None:
+            return len(self._list)
+        return (self.raw.count(b"\n") + 1) if self.raw else 0
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
 @dataclass
 class ChromData:
     """All per-chromosome arrays."""

@@ -16,13 +16,34 @@ import numpy as np
 from ..core.types import ChromData
 
 
+class _FilteredNames:
+    """Lazy filtered locus-name view: downstream phases never read names
+    post-filter (freq I/O runs pre-filter), so avoid materializing 10^5
+    strings on every run."""
+
+    __slots__ = ("_parent", "_idx")
+
+    def __init__(self, parent, idx):
+        self._parent = parent
+        self._idx = idx
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, i):
+        return self._parent[int(self._idx[i])]
+
+    def __iter__(self):
+        return (self._parent[int(i)] for i in self._idx)
+
+
 def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
     idx = np.flatnonzero(keep)
     return ChromData(
         chrom=c.chrom,
         positions=c.positions[idx],
         gpos=c.gpos[idx],
-        locus_names=[c.locus_names[i] for i in idx],
+        locus_names=_FilteredNames(c.locus_names, idx),
         alleles=c.alleles[idx],
         genotypes=np.ascontiguousarray(c.genotypes[:, idx]),
         freq=c.freq[idx],

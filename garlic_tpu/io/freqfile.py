@@ -23,13 +23,34 @@ class FreqFileError(Exception):
 def write_freq(freq_outfile: str, chroms: List[ChromData], log=None) -> None:
     """Writes <basename>.gz (caller passes "<out>.freq")."""
     path = freq_outfile + ".gz"
-    with gzip.open(path, "wt") as fout:
+    try:
+        from ..native import write_freq_chrom_native
+        done = True
+        for ci, c in enumerate(chroms):
+            if not write_freq_chrom_native(path, ci > 0, c.chrom,
+                                           c.locus_names, c.positions,
+                                           c.alleles, c.freq):
+                done = False
+                break
+        if done:
+            print(f"Wrote allele frequency data to {path}")
+            return
+    except ImportError:
+        pass
+    # Python fallback.  compresslevel 1: the decompressed content is the
+    # comparison artifact, not the container bytes.
+    with gzip.open(path, "wt", compresslevel=1) as fout:
         fout.write("CHR\tSNP\tPOS\tALLELE\tFREQ\n")
         for c in chroms:
-            for locus in range(c.nloci):
-                fout.write(f"{c.chrom}\t{c.locus_names[locus]}\t"
-                           f"{int(c.positions[locus])}\t{c.alleles[locus]}\t"
-                           f"{g(c.freq[locus])}\n")
+            chrom = c.chrom
+            names = c.locus_names
+            pos = c.positions
+            alleles = c.alleles
+            freq = c.freq
+            fout.write("".join(
+                f"{chrom}\t{names[locus]}\t{int(pos[locus])}\t"
+                f"{alleles[locus]}\t{g(freq[locus])}\n"
+                for locus in range(c.nloci)))
     print(f"Wrote allele frequency data to {path}")
 
 

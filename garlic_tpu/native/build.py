@@ -73,6 +73,19 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double)]
+        lib.gt_write_freq_chrom.restype = ctypes.c_int
+        lib.gt_write_freq_chrom.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.gt_assemble_runs.restype = ctypes.c_int64
+        lib.gt_assemble_runs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -114,20 +127,83 @@ def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
                 fc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 names_buf)
-            names = names_buf.raw[:nsz].decode().split("\n") if nsz else []
+            from ..core.types import LocusNames
             out.append({
                 "chrom": name,
                 "positions": positions,
                 "gpos": gpos,
                 "alleles": alleles.astype("<U1"),
                 "genotypes": geno,
-                "first_copy": fc.astype(bool),
+                "first_copy": fc.view(np.bool_),
                 "freq": freq,
-                "names": names,
+                "names": LocusNames(names_buf.raw[:nsz]),
             })
         return out
     finally:
         lib.gt_tped_close(h)
+
+
+def write_freq_chrom_native(path: str, append: bool, chrom: str,
+                            names: List[str], positions: np.ndarray,
+                            alleles: np.ndarray, freq: np.ndarray) -> bool:
+    """Append one chromosome to the gz freq file; False -> caller falls back
+    to the Python writer."""
+    lib = _load()
+    if lib is None:
+        return False
+    names_raw = names.raw if hasattr(names, "raw") else \
+        "\n".join(names).encode()
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    al = np.ascontiguousarray(alleles.astype("S1"))
+    fr = np.ascontiguousarray(freq, dtype=np.float64)
+    rc = lib.gt_write_freq_chrom(
+        path.encode(), 1 if append else 0, chrom.encode(), names_raw,
+        len(names_raw),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        al.ctypes.data_as(ctypes.c_char_p),
+        fr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pos.shape[0])
+    if rc != 0:
+        raise IOError(f"native freq write failed for {path}")
+    return True
+
+
+def assemble_runs_native(covered_packed: np.ndarray, br: np.ndarray,
+                         positions: np.ndarray, gpos: np.ndarray,
+                         threshold: float, cm: bool):
+    """ROH runs for one chromosome from bit-packed coverage.
+
+    Returns (ind[int32], start[i64], stop[i64], size[f64]) in individual-major
+    order, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cp = np.ascontiguousarray(covered_packed, dtype=np.uint8)
+    I, row_bytes = cp.shape
+    brr = np.ascontiguousarray(br, dtype=np.uint8)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    gp = np.ascontiguousarray(gpos, dtype=np.float64)
+    L = pos.shape[0]
+    cap = max(1024, I * 64)
+    while True:
+        out_ind = np.empty(cap, dtype=np.int32)
+        out_start = np.empty(cap, dtype=np.int64)
+        out_stop = np.empty(cap, dtype=np.int64)
+        out_size = np.empty(cap, dtype=np.float64)
+        n = lib.gt_assemble_runs(
+            cp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), row_bytes,
+            brr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            gp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            I, L, float(threshold), 1 if cm else 0,
+            out_ind.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_stop.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_size.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
+        if n < 0:
+            cap = -n
+            continue
+        return (out_ind[:n], out_start[:n], out_stop[:n], out_size[:n])
 
 
 def lod_windows_exact_native(terms: np.ndarray, missing: np.ndarray,

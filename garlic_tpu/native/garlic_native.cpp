@@ -9,6 +9,14 @@
 //    non-missing run, then win[l] = (win[l-1] - a[l-1]) + a[l+W-1]) —
 //    reference behavior: src/garlic-roh.cpp:46-126.
 //
+// 3. Gzip .freq writer with C "%g" formatting (identical to the reference's
+//    ostream defaults) — reference behavior: src/garlic-data.cpp:1311-1343.
+// 4. ROH run extraction from bit-packed coverage masks: a verbatim
+//    transliteration of the assembleROHWindows state machine
+//    (src/garlic-roh.cpp:462-532), including its edge quirks (a run opening
+//    at the last SNP is lost; a run whose start position is 0 only closes
+//    at a gap split).
+//
 // Exposed as a C ABI for ctypes.  Build: see build.py.
 
 #include <cctype>
@@ -74,79 +82,168 @@ int count_fields(const std::string &s) {
 
 extern "C" {
 
+namespace {
+
+// Per-line parse results for the parallel tokenizer.
+struct LineRec {
+  const char *chrom_b;
+  int chrom_len;
+  const char *name_b;
+  int name_len;
+  double gpos;
+  int64_t ppos;
+  char allele;
+  double freq;
+  bool skip;  // blank line
+  bool bad;
+};
+
+// Parse one TPED line. geno/fc point at this line's [nind] output slots.
+// Allele semantics match the reference (src/garlic-data.cpp:109-160): the
+// first non-missing allele character observed becomes the '1' allele; a
+// half-missing genotype still contributes its observed allele to the
+// frequency; any missing half makes the genotype -9.
+void parse_line(const char *p, const char *end, char missing, int64_t nind,
+                LineRec &r, int8_t *geno, uint8_t *fc) {
+  r.skip = r.bad = false;
+  while (p < end && (*p == ' ' || *p == '\t')) p++;
+  if (p >= end) { r.skip = true; return; }
+  r.chrom_b = p;
+  while (p < end && !isspace((unsigned char)*p)) p++;
+  r.chrom_len = (int)(p - r.chrom_b);
+  while (p < end && isspace((unsigned char)*p)) p++;
+  r.name_b = p;
+  while (p < end && !isspace((unsigned char)*p)) p++;
+  r.name_len = (int)(p - r.name_b);
+  char *endp;
+  r.gpos = strtod(p, &endp);
+  p = endp;
+  r.ppos = (int64_t)strtod(p, &endp);
+  p = endp;
+  char one_allele = missing;
+  int64_t nalleles = 0, total = 0;
+  for (int64_t i = 0; i < nind; i++) {
+    while (p < end && isspace((unsigned char)*p)) p++;
+    char a1 = p < end ? *p++ : missing;
+    while (p < end && isspace((unsigned char)*p)) p++;
+    char a2 = p < end ? *p++ : missing;
+    if (one_allele == missing && a1 != missing) one_allele = a1;
+    if (one_allele == missing && a2 != missing) one_allele = a2;
+    int d = 0;
+    if (a1 == missing) d += -9;
+    else if (a1 == one_allele) { d += 1; nalleles++; total++; }
+    else total++;
+    if (a2 == missing) d += -9;
+    else if (a2 == one_allele) { d += 1; nalleles++; total++; }
+    else total++;
+    if (d < 0) d = -9;
+    geno[i] = (int8_t)d;
+    fc[i] = (a1 == one_allele);
+  }
+  r.allele = one_allele;
+  r.freq = total == 0 ? 0.0 : (double)nalleles / (double)total;
+}
+
+}  // namespace
+
+// Chunked-streaming parallel TPED parser: gz decompression is sequential
+// (zlib), tokenization of each decompressed chunk's lines fans out over
+// OpenMP threads (the reference parses single-threaded via `>>`,
+// src/garlic-data.cpp:10-177; byte-identical results, ~NCPU x faster).
 void *gt_tped_open(const char *path, char missing) {
   gzFile f = gzopen(path, "rb");
   if (!f) return nullptr;
+  gzbuffer(f, 1 << 20);
   auto *h = new TpedHandle;
-  std::string line;
+  const size_t CHUNK = 64u << 20;
+  std::string buf;
+  buf.reserve(CHUNK + (1u << 20));
+  std::string carry;
   ChromBlock *blk = nullptr;
   std::string prev_chr;
-  std::vector<int8_t> geno_row;
-  std::vector<uint8_t> fc_row;
-  while (read_line(f, line)) {
-    if (line.find_first_not_of(" \t") == std::string::npos) continue;
-    int nfields = count_fields(line);
-    int64_t nind = (nfields - 4) / 2;
-    if (nind <= 0) { h->error = "bad tped line"; break; }
-    h->nind = nind;
-    const char *p = line.c_str();
-    // field 1: chromosome
-    while (isspace((unsigned char)*p)) p++;
-    const char *q = p;
-    while (*q && !isspace((unsigned char)*q)) q++;
-    std::string chrom(p, q - p);
-    p = q;
-    // field 2: locus name
-    while (isspace((unsigned char)*p)) p++;
-    q = p;
-    while (*q && !isspace((unsigned char)*q)) q++;
-    std::string lname(p, q - p);
-    p = q;
-    // fields 3-4: genetic and physical position
-    char *endp;
-    double gpos = strtod(p, &endp);
-    p = endp;
-    double ppos = strtod(p, &endp);
-    p = endp;
-
-    if (blk == nullptr || chrom != prev_chr) {
-      h->chroms.emplace_back();
-      blk = &h->chroms.back();
-      blk->name = chrom;
-      prev_chr = chrom;
+  std::vector<const char *> starts;
+  std::vector<size_t> lens;
+  std::vector<LineRec> recs;
+  std::vector<int8_t> geno_chunk;
+  std::vector<uint8_t> fc_chunk;
+  int64_t nind = -1;
+  bool done = false;
+  while (!done) {
+    buf.assign(carry);
+    carry.clear();
+    buf.resize(buf.size() + CHUNK);
+    int got = gzread(f, &buf[buf.size() - CHUNK], (unsigned)CHUNK);
+    if (got < 0) { h->error = "gzread failed"; break; }
+    buf.resize(buf.size() - CHUNK + (size_t)got);
+    done = (size_t)got < CHUNK;
+    // hold back the trailing partial line
+    if (!done) {
+      size_t last_nl = buf.rfind('\n');
+      if (last_nl == std::string::npos) { carry.swap(buf); continue; }
+      carry.assign(buf, last_nl + 1, std::string::npos);
+      buf.resize(last_nl + 1);
     }
-    blk->positions.push_back((int64_t)ppos);
-    blk->gpos.push_back(gpos);
-    if (!blk->names.empty()) blk->names += '\n';
-    blk->names += lname;
-
-    // allele stream: one non-whitespace char at a time (matches C++ `>> char`)
-    char one_allele = missing;
-    int64_t nalleles = 0, total = 0;
-    geno_row.assign(nind, 0);
-    fc_row.assign(nind, 0);
-    for (int64_t i = 0; i < nind; i++) {
-      while (isspace((unsigned char)*p)) p++;
-      char a1 = *p ? *p++ : missing;
-      while (isspace((unsigned char)*p)) p++;
-      char a2 = *p ? *p++ : missing;
-      if (one_allele == missing && a1 != missing) one_allele = a1;
-      if (one_allele == missing && a2 != missing) one_allele = a2;
-      int d = 0;
-      if (a1 == missing) d += -9;
-      else if (a1 == one_allele) { d += 1; nalleles++; total++; }
-      else total++;
-      if (a2 == missing) d += -9;
-      else if (a2 == one_allele) { d += 1; nalleles++; total++; }
-      else total++;
-      if (d < 0) d = -9;
-      geno_row[i] = (int8_t)d;
-      fc_row[i] = (a1 == one_allele);
+    if (buf.empty()) continue;
+    // split lines
+    starts.clear();
+    lens.clear();
+    const char *p = buf.data();
+    const char *bend = p + buf.size();
+    while (p < bend) {
+      const char *nl = (const char *)memchr(p, '\n', bend - p);
+      const char *e = nl ? nl : bend;
+      size_t len = e - p;
+      if (len && e[-1] == '\r') len--;
+      starts.push_back(p);
+      lens.push_back(len);
+      p = nl ? nl + 1 : bend;
     }
-    blk->allele.push_back(one_allele);
-    blk->freq.push_back(total == 0 ? 0.0 : (double)nalleles / (double)total);
-    blk->geno.insert(blk->geno.end(), geno_row.begin(), geno_row.end());
-    blk->first_copy.insert(blk->first_copy.end(), fc_row.begin(), fc_row.end());
+    size_t n = starts.size();
+    if (n == 0) continue;
+    if (nind < 0) {
+      // establish individual count from the first line
+      std::string first(starts[0], lens[0]);
+      int nf = count_fields(first);
+      nind = (nf - 4) / 2;
+      if (nind <= 0) { h->error = "bad tped line"; break; }
+      h->nind = nind;
+    }
+    recs.assign(n, LineRec());
+    geno_chunk.resize(n * (size_t)nind);
+    fc_chunk.resize(n * (size_t)nind);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+      parse_line(starts[i], starts[i] + lens[i], missing, nind, recs[i],
+                 geno_chunk.data() + i * (size_t)nind,
+                 fc_chunk.data() + i * (size_t)nind);
+    }
+    // serial: chromosome boundaries + appends
+    for (size_t i = 0; i < n; i++) {
+      LineRec &r = recs[i];
+      if (r.skip) continue;
+      if (r.bad) { h->error = "bad tped line"; break; }
+      if (blk == nullptr || prev_chr.compare(0, std::string::npos, r.chrom_b,
+                                             r.chrom_len) != 0) {
+        h->chroms.emplace_back();
+        blk = &h->chroms.back();
+        blk->name.assign(r.chrom_b, r.chrom_len);
+        prev_chr = blk->name;
+      }
+      blk->positions.push_back(r.ppos);
+      blk->gpos.push_back(r.gpos);
+      if (!blk->names.empty()) blk->names += '\n';
+      blk->names.append(r.name_b, r.name_len);
+      blk->allele.push_back(r.allele);
+      blk->freq.push_back(r.freq);
+      blk->geno.insert(blk->geno.end(), geno_chunk.begin() + i * nind,
+                       geno_chunk.begin() + (i + 1) * nind);
+      blk->first_copy.insert(blk->first_copy.end(),
+                             fc_chunk.begin() + i * nind,
+                             fc_chunk.begin() + (i + 1) * nind);
+    }
+    if (!h->error.empty()) break;
   }
   gzclose(f);
   if (!h->error.empty() || h->chroms.empty()) {
@@ -232,6 +329,123 @@ void gt_lod_windows_exact(const double *terms, const uint8_t *missing,
       l++;
     }
   }
+}
+
+// Append one chromosome's rows to <path> (gzip level 1; the decompressed
+// bytes are the comparison artifact, not the container). append=0 truncates
+// and writes the header line first. names: '\n'-joined locus names.
+int gt_write_freq_chrom(const char *path, int append, const char *chrom,
+                        const char *names, int64_t names_len,
+                        const int64_t *pos, const char *alleles,
+                        const double *freq, int64_t L) {
+  gzFile f = gzopen(path, append ? "ab1" : "wb1");
+  if (!f) return -1;
+  std::string buf;
+  buf.reserve(1 << 20);
+  if (!append) buf += "CHR\tSNP\tPOS\tALLELE\tFREQ\n";
+  const char *np = names;
+  const char *nend = names + names_len;
+  char tmp[160];
+  for (int64_t l = 0; l < L; l++) {
+    const char *ne = np;
+    while (ne < nend && *ne != '\n') ne++;
+    int n = snprintf(tmp, sizeof(tmp), "%s\t%.*s\t%lld\t%c\t%g\n", chrom,
+                     (int)(ne - np), np, (long long)pos[l], alleles[l],
+                     freq[l]);
+    buf.append(tmp, n);
+    np = ne < nend ? ne + 1 : nend;
+    if (buf.size() > (1 << 20) - 256) {
+      if (gzwrite(f, buf.data(), (unsigned)buf.size()) <= 0) {
+        gzclose(f);
+        return -1;
+      }
+      buf.clear();
+    }
+  }
+  if (!buf.empty() && gzwrite(f, buf.data(), (unsigned)buf.size()) <= 0) {
+    gzclose(f);
+    return -1;
+  }
+  return gzclose(f) == Z_OK ? 0 : -1;
+}
+
+namespace {
+
+struct Run {
+  int32_t ind;
+  int64_t start_idx, stop_idx;
+};
+
+// Verbatim transliteration of the reference run scan
+// (src/garlic-roh.cpp:462-532) over one individual's covered bits
+// (little-endian bit packing, numpy packbits bitorder="little").
+void scan_runs(const uint8_t *bits, const uint8_t *br, const int64_t *pos,
+               int64_t L, double threshold, int32_t ind,
+               std::vector<Run> &out) {
+  int64_t win_start = -1, win_start_idx = -1;
+  for (int64_t w = 0; w < L; w++) {
+    bool cov = (bits[w >> 3] >> (w & 7)) & 1;
+    if (win_start < 0 && cov) {
+      win_start = pos[w];
+      win_start_idx = w;
+    } else if (cov && br[w]) {
+      int64_t stop_idx = w - 1;
+      if ((double)(stop_idx - win_start_idx + 1) >= threshold)
+        out.push_back({ind, win_start_idx, stop_idx});
+      win_start = pos[w];
+      win_start_idx = w;
+    } else if (win_start > 0 && !cov) {
+      int64_t stop_idx = w - 1;
+      if ((double)(stop_idx - win_start_idx + 1) >= threshold)
+        out.push_back({ind, win_start_idx, stop_idx});
+      win_start = -1;
+      win_start_idx = -1;
+    } else if (win_start > 0 && w + 1 >= L) {
+      if ((double)(w - win_start_idx + 1) >= threshold)
+        out.push_back({ind, win_start_idx, w});
+      win_start = -1;
+      win_start_idx = -1;
+    }
+  }
+}
+
+}  // namespace
+
+// Extract ROH runs for all individuals of one chromosome.
+// covered_packed: [I][row_bytes] little-endian bit-packed coverage flags.
+// br: [L] pair-break flags; pos/gpos: [L]. Returns the run count, or
+// -(needed) when cap is too small (caller retries with a larger buffer).
+// Output order is individual-major then position — the reference's pooled
+// (ind, chr, position) ordering per chromosome.
+int64_t gt_assemble_runs(const uint8_t *covered_packed, int64_t row_bytes,
+                         const uint8_t *br, const int64_t *pos,
+                         const double *gpos, int64_t I, int64_t L,
+                         double threshold, int use_cm, int32_t *out_ind,
+                         int64_t *out_start, int64_t *out_stop,
+                         double *out_size, int64_t cap) {
+  std::vector<std::vector<Run>> per_ind((size_t)I);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < I; i++) {
+    scan_runs(covered_packed + i * row_bytes, br, pos, L, threshold,
+              (int32_t)i, per_ind[(size_t)i]);
+  }
+  int64_t total = 0;
+  for (auto &v : per_ind) total += (int64_t)v.size();
+  if (total > cap) return -total;
+  int64_t n = 0;
+  for (auto &v : per_ind) {
+    for (const Run &r : v) {
+      out_ind[n] = r.ind;
+      out_start[n] = pos[r.start_idx];
+      out_stop[n] = pos[r.stop_idx];
+      out_size[n] = use_cm ? (gpos[r.stop_idx] - gpos[r.start_idx])
+                           : (double)(pos[r.stop_idx] - pos[r.start_idx] + 1);
+      n++;
+    }
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -139,24 +139,99 @@ def _assemble_scan(covered, br, positions, gpos, threshold, cm):
     return out
 
 
-def assemble_roh(win_by_chr: List[np.ndarray], chroms, ind_ids: List[str],
+def assemble_from_covered(covered_row: np.ndarray, positions: np.ndarray,
+                          gpos: np.ndarray, max_gap: int, cstart: int,
+                          cend: int, threshold: float, cm: bool) -> List[tuple]:
+    """Run extraction given a precomputed covered mask (device fast path)."""
+    br = pair_breaks(positions, max_gap, cstart, cend)
+    if np.any(positions <= 0):
+        return _assemble_scan(covered_row, br, positions, gpos, threshold, cm)
+    return _assemble_segments(covered_row, br, positions, gpos, threshold, cm)
+
+
+def coverage_counts_batch(above: np.ndarray, winsize: int) -> np.ndarray:
+    """Vectorized coverage_counts over [I, L] window-above flags."""
+    cs = np.cumsum(above.astype(np.int64), axis=1)
+    counts = cs.copy()
+    counts[:, winsize:] -= cs[:, :-winsize]
+    return counts
+
+
+def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
+                       cstart: int, cend: int, threshold: float, cm: bool):
+    """(ind, start, stop, size) arrays for one chromosome via the C++
+    extractor, or None to fall back to Python."""
+    from ..native import assemble_runs_native
+    from .device_win import covered_packed, is_device_win
+    if is_device_win(win):
+        packed = covered_packed(win, cutoff, winsize, threshold)
+    else:
+        above = win >= cutoff
+        covered = coverage_counts_batch(above, winsize) >= threshold
+        packed = np.packbits(covered, axis=1, bitorder="little")
+    br = pair_breaks(chrom.positions, max_gap, cstart, cend)
+    return assemble_runs_native(packed, br, chrom.positions, chrom.gpos,
+                                threshold, cm)
+
+
+def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
                  centro, cutoff: float, winsize: int, max_gap: int,
                  overlap_frac: float, cm: bool):
     """Full assembleROHWindows: returns (per-individual ROH, pooled lengths
-    in the reference's (ind, chr, position) order)."""
+    in the reference's (ind, chr, position) order).
+
+    win_by_chr entries are either numpy [I, L] window matrices (exact
+    engine) or DeviceWin handles (fast engine: coverage counting runs on
+    device, only bit-packed masks cross the host link).  Run extraction
+    runs in the C++ scan (a verbatim transliteration of the reference state
+    machine) with a pure-Python fallback."""
+    from .device_win import covered_mask, is_device_win
     threshold = overlap_threshold(overlap_frac, winsize)
+    nind = len(ind_ids)
+    per_chrom = []
+    for ci, chrom in enumerate(chroms):
+        cstart = centro.start(chrom.chrom)
+        cend = centro.end(chrom.chrom)
+        runs = _chrom_runs_native(win_by_chr[ci], chrom, cutoff, winsize,
+                                  max_gap, cstart, cend, threshold, cm)
+        if runs is None:
+            w = win_by_chr[ci]
+            covered = covered_mask(w, cutoff, winsize, threshold) \
+                if is_device_win(w) else None
+            calls_by_ind = []
+            for i in range(nind):
+                if covered is not None:
+                    calls = assemble_from_covered(
+                        covered[i], chrom.positions, chrom.gpos, max_gap,
+                        cstart, cend, threshold, cm)
+                else:
+                    calls = assemble_chromosome(
+                        w[i], chrom.positions, chrom.gpos, cutoff, winsize,
+                        max_gap, cstart, cend, threshold, cm)
+                calls_by_ind.append(calls)
+            per_chrom.append(("py", calls_by_ind))
+        else:
+            ind_arr, start_arr, stop_arr, size_arr = runs
+            # individual-major: slice boundaries via searchsorted
+            bounds = np.searchsorted(ind_arr, np.arange(nind + 1))
+            per_chrom.append(("nat", (bounds, start_arr, stop_arr, size_arr)))
+
     lengths: List[float] = []
     by_ind: List[IndividualROH] = []
     for i, ind_id in enumerate(ind_ids):
         rec = IndividualROH(ind_id=ind_id)
-        for ci, chrom in enumerate(chroms):
-            cstart = centro.start(chrom.chrom)
-            cend = centro.end(chrom.chrom)
-            calls = assemble_chromosome(
-                win_by_chr[ci][i], chrom.positions, chrom.gpos, cutoff,
-                winsize, max_gap, cstart, cend, threshold, cm)
-            for start, stop, size in calls:
-                rec.calls.append(ROHCall(ci, start, stop, size))
-                lengths.append(size)
+        for ci in range(len(chroms)):
+            kind, data = per_chrom[ci]
+            if kind == "py":
+                for start, stop, size in data[i]:
+                    rec.calls.append(ROHCall(ci, start, stop, size))
+                    lengths.append(size)
+            else:
+                bounds, start_arr, stop_arr, size_arr = data
+                for k in range(bounds[i], bounds[i + 1]):
+                    rec.calls.append(ROHCall(ci, int(start_arr[k]),
+                                             int(stop_arr[k]),
+                                             float(size_arr[k])))
+                    lengths.append(float(size_arr[k]))
         by_ind.append(rec)
     return by_ind, np.asarray(lengths, dtype=np.float64)

@@ -19,10 +19,15 @@ from ..core.types import MISSING
 
 def win_to_samples(win_by_chr: List[np.ndarray], step: int,
                    ind_idx: Optional[np.ndarray] = None) -> np.ndarray:
+    from .device_win import is_device_win, thinned_block
     parts = []
     for win in win_by_chr:
-        w = win if ind_idx is None else win[ind_idx]
-        thinned = w[:, ::step]
+        if is_device_win(win):
+            # device slice: only 1/step of the matrix crosses the host link
+            thinned = thinned_block(win, step, ind_idx=ind_idx)
+        else:
+            w = win if ind_idx is None else win[ind_idx]
+            thinned = w[:, ::step]
         flat = thinned.reshape(-1)  # row-major: individual-major, window-minor
         mask = (flat != MISSING) & ~np.isnan(flat)
         parts.append(flat[mask])

@@ -1,0 +1,147 @@
+"""Device-resident Phase-I window matrices (fast engine runtime).
+
+The reference materializes WinData (nind x nloci doubles) in host RAM and
+every downstream phase walks it (src/garlic-data.h:73-79).  On TPU the
+window matrix stays in HBM and only compact artifacts cross the (slow)
+host link:
+
+* thinned KDE samples          win[:, ::step]          ~ I x L/step  f32
+* assembly coverage masks      packbits(covered)       ~ I x L/8     u8
+* full matrix                  only for --raw-lod dumps
+
+Coverage counting (assembleROHWindows' inWin accumulation,
+src/garlic-roh.cpp:446-454) is a width-W sliding sum over the cutoff
+indicator — the same conv machinery as Phase I, fused on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from ..core.types import MISSING
+
+
+@dataclass
+class DeviceWin:
+    """One chromosome's [I, L] f32 window-score matrix living on device."""
+    win: object          # jax.Array [I, L] float32, MISSING-padded
+    nind: int
+    nloci: int
+
+    @property
+    def shape(self):
+        return (self.nind, self.nloci)
+
+    def __getitem__(self, idx):
+        # row access falls back to a (cheap, cached) full transfer
+        return self.to_numpy()[idx]
+
+    def to_numpy(self) -> np.ndarray:
+        if not hasattr(self, "_host"):
+            self._host = np.asarray(self.win, dtype=np.float64)
+        return self._host
+
+
+def is_device_win(obj) -> bool:
+    return isinstance(obj, DeviceWin)
+
+
+def lod_windows_device(chrom, centro, winsize: int, error: float,
+                       max_gap: int, use_gl: bool) -> DeviceWin:
+    """Phase-I fast path with NO host transfer (cf. ops.lod.calc_lod_windows
+    which converts to f64 numpy)."""
+    import jax.numpy as jnp
+
+    from .lod import (lod_table, lod_windows_fast_gl, lod_windows_fast_jax,
+                      window_missing_mask)
+
+    cstart = centro.start(chrom.chrom)
+    cend = centro.end(chrom.chrom)
+    nwin = max(chrom.nloci - winsize + 1, 0)
+    if nwin == 0:
+        win = jnp.full((chrom.nind, chrom.nloci), jnp.float32(MISSING))
+        return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci)
+    missing = window_missing_mask(chrom.positions, winsize, max_gap,
+                                  cstart, cend)
+    if use_gl:
+        win = lod_windows_fast_gl(jnp.asarray(chrom.genotypes),
+                                  jnp.asarray(chrom.freq),
+                                  jnp.asarray(chrom.gl),
+                                  jnp.asarray(missing), winsize)
+    else:
+        table = lod_table(chrom.freq, error).astype(np.float32)
+        win = lod_windows_fast_jax(jnp.asarray(chrom.genotypes),
+                                   jnp.asarray(table),
+                                   jnp.asarray(missing), winsize)
+    return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci)
+
+
+def thinned_block(dwin: DeviceWin, step: int,
+                  ind_idx=None) -> np.ndarray:
+    """win[:, ::step] transferred to host ([I, ceil(L/step)] f64).
+
+    This is convertWinData2DoubleData's thinning (src/garlic-data.cpp:2037)
+    done as a device slice so only 1/step of the matrix crosses the link."""
+    w = dwin.win[:, ::step]
+    out = np.asarray(w, dtype=np.float64)
+    if ind_idx is not None:
+        out = out[ind_idx]
+    return out
+
+
+def _covered_kernel_factory():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @partial(jax.jit, static_argnames=("winsize",))
+    def _covered(win, cutoff, threshold, winsize: int):
+        above = (win >= cutoff).astype(jnp.float32)
+        I, L = above.shape
+        padded = jnp.concatenate(
+            [jnp.zeros((I, winsize - 1), jnp.float32), above], axis=1)
+        counts = lax.conv_general_dilated(
+            padded.reshape(I, 1, L + winsize - 1),
+            jnp.ones((1, 1, winsize), jnp.float32),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32).reshape(I, L)
+        covered = counts >= threshold
+        # pack along loci: 8 SNP flags per byte for the host link
+        pad = (-L) % 8
+        cp = jnp.concatenate(
+            [covered, jnp.zeros((I, pad), bool)], axis=1) if pad else covered
+        return jnp.packbits(cp, axis=1, bitorder="little")
+
+    return _covered
+
+
+_covered_jit = None
+
+
+def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
+                   threshold: float) -> np.ndarray:
+    """uint8 [I, ceil(L/8)] little-endian bit-packed coverage flags.
+
+    Device compute + bit-packed transfer (8x smaller than bool, 32x smaller
+    than the f32 matrix); bit w = coverage_counts >= threshold at SNP w.
+    MISSING window slots score -9999 < cutoff, so they never count — same
+    comparison the reference performs (src/garlic-roh.cpp:446-448)."""
+    global _covered_jit
+    import jax.numpy as jnp
+    if _covered_jit is None:
+        _covered_jit = _covered_kernel_factory()
+    packed = _covered_jit(dwin.win, jnp.float32(cutoff),
+                          jnp.float32(threshold), winsize)
+    return np.asarray(packed)
+
+
+def covered_mask(dwin: DeviceWin, cutoff: float, winsize: int,
+                 threshold: float) -> np.ndarray:
+    """bool [I, L] unpacked coverage flags (see covered_packed)."""
+    host = covered_packed(dwin, cutoff, winsize, threshold)
+    bits = np.unpackbits(host, axis=1, bitorder="little")
+    return bits[:, :dwin.nloci].astype(bool)

@@ -21,7 +21,8 @@ from .cli import CLIError, ParsedArgs
 from .core.types import Dataset
 from .io import bed, filters, freqfile, genmap, kdefile, rawlod, tfam, tgls, tped
 from .logger import RunLog
-from .ops import assembly, convert, cutoff as cutoff_ops, density, gmm, kde as kde_ops
+from .ops import assembly, convert, cutoff as cutoff_ops, density, device_win
+from .ops import gmm, kde as kde_ops
 from .ops import ld as ld_ops
 from .ops import lod as lod_ops
 from .ops import wiggle as wiggle_ops
@@ -241,6 +242,9 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     seed = args[cli.ARG_SEED]
     rng = np.random.default_rng(None if seed < 0 else seed)
     engine = _resolve_engine(args[cli.ARG_ENGINE])
+    if engine == "fast":
+        from .runtime import start_link_warmup
+        start_link_warmup()  # overlap first-transfer init with parsing
 
     if freq_only_flag:
         tped.freq_only(tpedfile, outfile, nresample, tped_missing, log, rng)
@@ -424,8 +428,14 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
         cc = c
         if ind_idx is not None:
             cc = _subset_chrom(c, ind_idx)
-        out.append(lod_ops.calc_lod_windows(cc, centro, winsize, error,
-                                            max_gap, use_gl, engine=st.engine))
+        if st.engine == "fast":
+            # device-resident: no [I, L] matrix crosses the host link
+            out.append(device_win.lod_windows_device(
+                cc, centro, winsize, error, max_gap, use_gl))
+        else:
+            out.append(lod_ops.calc_lod_windows(
+                cc, centro, winsize, error, max_gap, use_gl,
+                engine=st.engine))
     print(file=sys.stderr)
     return out
 
