@@ -1,0 +1,221 @@
+"""I/O layer tests: TPED parser (native vs Python fallback, edge cases),
+freq file round-trip with allele flipping, centromere tables, TGLS
+conversion, genetic-map interpolation."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from garlic_tpu.centromeres import Centromere
+from garlic_tpu.io import freqfile, genmap, tfam, tgls, tped
+from garlic_tpu.logger import RunLog
+
+
+def _write(path, text):
+    if path.endswith(".gz"):
+        with gzip.open(path, "wt") as f:
+            f.write(text)
+    else:
+        with open(path, "w") as f:
+            f.write(text)
+
+
+TPED_BASIC = """\
+1 rs1 0 1000 A A A C C C 0 0
+1 rs2 0 2000 G G G G G G G G
+2 rs3 0 500 T C C C T T 0 T
+"""
+
+
+def _load(path, missing="0", native=True):
+    env = {}
+    if not native:
+        env["GARLIC_TPU_NO_NATIVE"] = "1"
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        import garlic_tpu.native.build as nb
+        saved = nb._lib, nb._tried
+        if not native:
+            nb._lib, nb._tried = None, True
+        try:
+            rng = np.random.default_rng(0)
+            return tped.load_tped(path, missing, 0, False, True,
+                                  RunLog(), rng)
+        finally:
+            nb._lib, nb._tried = saved
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("native", [True, False])
+def test_tped_parse_basic(tmp_path, gz, native):
+    p = str(tmp_path / ("a.tped" + (".gz" if gz else "")))
+    _write(p, TPED_BASIC)
+    ds, n = _load(p, native=native)
+    assert n == 3
+    assert [c.chrom for c in ds.chroms] == ["chr1", "chr2"]
+    c1, c2 = ds.chroms
+    # rs1: '1' allele = A (first non-missing); genotypes AA AC CC 00
+    np.testing.assert_array_equal(c1.genotypes[:, 0], [2, 1, 0, -9])
+    # freq: 3 A of 6 observed alleles
+    assert c1.freq[0] == pytest.approx(0.5)
+    # rs2 monomorphic G: freq 1.0
+    assert c1.freq[1] == pytest.approx(1.0)
+    # rs3: '1' allele = T; genotypes TC CC TT 0T -> het=1, 0, 2, half-missing
+    np.testing.assert_array_equal(c2.genotypes[:, 0], [1, 0, 2, -9])
+    # half-missing still counts its observed allele: T count = 1+0+2+1 = 4/7
+    assert c2.freq[0] == pytest.approx(4 / 7)
+    assert list(c1.positions) == [1000, 2000]
+    assert list(c1.locus_names) == ["rs1", "rs2"]
+    assert c1.alleles[0] == ("A" if not native or True else b"A")
+
+
+def test_tped_native_matches_python(tmp_path):
+    rng = np.random.default_rng(7)
+    lines = []
+    for ci, chrom in enumerate(["1", "2", "X"]):
+        for l in range(57):
+            g = []
+            for i in range(9):
+                for a in rng.choice(["A", "C", "0"], size=2, p=[.45, .45, .1]):
+                    g.append(a)
+            lines.append(f"{chrom} rs{ci}_{l} 0 {1000 + l * 777} "
+                        + " ".join(g))
+    p = str(tmp_path / "r.tped.gz")
+    _write(p, "\n".join(lines) + "\n")
+    ds_n, n_n = _load(p, native=True)
+    ds_p, n_p = _load(p, native=False)
+    assert n_n == n_p
+    for a, b in zip(ds_n.chroms, ds_p.chroms):
+        assert a.chrom == b.chrom
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_allclose(a.freq, b.freq, rtol=0, atol=0)
+        assert list(a.locus_names) == list(b.locus_names)
+        np.testing.assert_array_equal(np.asarray(a.alleles),
+                                      np.asarray(b.alleles))
+        np.testing.assert_array_equal(np.asarray(a.first_copy),
+                                      np.asarray(b.first_copy))
+
+
+def test_tped_crlf_and_blank_lines(tmp_path):
+    text = TPED_BASIC.replace("\n", "\r\n") + "\r\n\r\n"
+    p = str(tmp_path / "crlf.tped")
+    _write(p, text)
+    ds, n = _load(p)
+    assert n == 3
+    np.testing.assert_array_equal(ds.chroms[0].genotypes[:, 0], [2, 1, 0, -9])
+
+
+def test_tped_no_trailing_newline(tmp_path):
+    p = str(tmp_path / "nonl.tped")
+    _write(p, TPED_BASIC.rstrip("\n"))
+    ds, n = _load(p)
+    assert n == 3
+
+
+def test_freq_write_read_roundtrip_with_flip(tmp_path):
+    p = str(tmp_path / "x.tped")
+    _write(p, TPED_BASIC)
+    ds, _ = _load(p)
+    fpath = str(tmp_path / "out.freq")
+    freqfile.write_freq(fpath, ds.chroms)
+    # re-read into a copy -> identical freqs
+    ds2, _ = _load(p)
+    for c in ds2.chroms:
+        c.freq = None
+    freqfile.read_freq(fpath + ".gz", ds2.chroms)
+    for a, b in zip(ds.chroms, ds2.chroms):
+        np.testing.assert_allclose(np.asarray(b.freq), np.asarray(a.freq),
+                                   rtol=1e-6)
+    # allele disagreement flips the frequency (src/garlic-data.cpp:1419-1424)
+    ds3, _ = _load(p)
+    ds3.chroms[0].alleles = np.array(["C", "G"])  # rs1 now 'C'-coded
+    freqfile.read_freq(fpath + ".gz", ds3.chroms)
+    assert ds3.chroms[0].freq[0] == pytest.approx(0.5)      # symmetric
+    ds3.chroms[1].alleles = np.array(["C"])
+    freqfile.read_freq(fpath + ".gz", ds3.chroms)
+
+
+def test_native_freq_writer_matches_python(tmp_path):
+    p = str(tmp_path / "x.tped")
+    _write(p, TPED_BASIC)
+    ds, _ = _load(p)
+    a = str(tmp_path / "nat.freq")
+    b = str(tmp_path / "py.freq")
+    freqfile.write_freq(a, ds.chroms)
+    import garlic_tpu.native.build as nb
+    saved = nb._lib, nb._tried
+    nb._lib, nb._tried = None, True
+    try:
+        freqfile.write_freq(b, ds.chroms)
+    finally:
+        nb._lib, nb._tried = saved
+    with gzip.open(a + ".gz", "rt") as f:
+        ca = f.read()
+    with gzip.open(b + ".gz", "rt") as f:
+        cb = f.read()
+    assert ca == cb
+
+
+def test_centromere_tables():
+    log = RunLog()
+    for build in ("hg18", "hg19", "hg38"):
+        c = Centromere(build, "defaultcentromere", "defaultcentromere", log)
+        # both "chr7" and "7" keys resolve (src/garlic-centromeres.cpp:185+)
+        assert c.start("chr7") == c.start("7")
+        assert c.end("chr7") > c.start("chr7") > 0
+    # unknown chromosome -> warn-once, (0, 0)
+    c = Centromere("hg18", "defaultcentromere", "defaultcentromere", log)
+    assert c.start("chrWEIRD") == 0
+    assert c.end("chrWEIRD") == 0
+
+
+def test_custom_centromere_file(tmp_path):
+    p = str(tmp_path / "c.txt")
+    with open(p, "w") as f:
+        f.write("chr1 100 200\nchr2 300 400\n")
+    # custom files require build "none" (mutually exclusive flags,
+    # src/garlic-cli.cpp checkBuildAndCentromereFile)
+    c = Centromere("none", p, "defaultcentromere", RunLog())
+    assert c.start("chr1") == 100
+    assert c.end("chr2") == 400
+
+
+def test_tgls_gq_conversion(tmp_path):
+    """GQ: p_err = 10^(GQ/-10) (src/garlic-data.cpp:1541-1560)."""
+    tp = str(tmp_path / "x.tped")
+    _write(tp, "1 rs1 0 1000 A A A C\n1 rs2 0 2000 A C C C\n")
+    ds, _ = _load(tp)
+    tg = str(tmp_path / "x.tgls")
+    # TGLS rows mirror TPED's 4 leading columns (src/garlic-data.cpp:1545)
+    _write(tg, "1 rs1 0 1000 30 20\n1 rs2 0 2000 10 40\n")
+    tgls.read_tgls(tg, ds.chroms, 2, "GQ", RunLog())
+    # gl is [individuals, loci]
+    np.testing.assert_allclose(
+        ds.chroms[0].gl,
+        [[10 ** (30 / -10), 10 ** (10 / -10)],
+         [10 ** (20 / -10), 10 ** (40 / -10)]])
+
+
+def test_genetic_map_interpolation(tmp_path):
+    """Linear interpolation between scaffold anchors
+    (src/garlic-data.cpp:702-757)."""
+    from garlic_tpu.io.genmap import interpolate_genetic_map, load_map_scaffold
+    p = str(tmp_path / "m.map")
+    _write(p, "chr1 a 0.0 1000\nchr1 b 1.0 2000\nchr1 c 3.0 4000\n")
+    c = Centromere("hg18", "defaultcentromere", "defaultcentromere", RunLog())
+    scaff = load_map_scaffold(p, c, RunLog())
+    pos = np.array([1000, 1500, 2000, 3000, 4000], dtype=np.int64)
+    gp, ninterp = interpolate_genetic_map(pos, scaff[0])
+    np.testing.assert_allclose(gp, [0.0, 0.5, 1.0, 2.0, 3.0])

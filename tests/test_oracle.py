@@ -53,9 +53,6 @@ def _first_diff(a: str, b: str) -> str:
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(reason="auto KDE cutoff needs figtree-compat IFGT mode "
-                          "(in progress); pinned-cutoff paths are exact",
-                   strict=False)
 def test_default_lod_pipeline_bed_identical(oracle_bin, tmp_path):
     wd = _run_both(oracle_bin, tmp_path, BASE_ARGS,
                    panel_kw=dict(nind=40, nloci_per_chr=(8000, 6000)))

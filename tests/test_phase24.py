@@ -1,0 +1,118 @@
+"""Phase II/IV unit tests: nrd0 bandwidth, KDE normalization, cutoff finder,
+GMM vs sklearn, Brent boundary vs scipy (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from garlic_tpu.ops import cutoff as cutoff_ops
+from garlic_tpu.ops import gmm as gmm_ops
+from garlic_tpu.ops import kde as kde_ops
+from garlic_tpu.ops.brent import find_boundary
+
+
+def test_nrd0_matches_r_bw_nrd0():
+    """R's bw.nrd0: 0.9 * min(sd, IQR/1.34) * n^(-1/5) with type-7
+    quantiles (GSL's interpolation on sorted data is the same type-7)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(2.0, 3.0, size=501)
+    n = x.size
+    sd = np.std(x, ddof=1)
+    q75, q25 = np.quantile(x, [0.75, 0.25])  # numpy default = type 7
+    expect = 0.9 * min(sd, (q75 - q25) / 1.34) * n ** -0.2
+    assert kde_ops.nrd0(x) == pytest.approx(expect, rel=1e-12)
+
+
+def test_kde_grid_and_normalization():
+    rng = np.random.default_rng(1)
+    x = np.concatenate([rng.normal(-2, 0.5, 3000), rng.normal(3, 1.0, 2000)])
+    kr = kde_ops.compute_kde(x)
+    assert kr.size == 512
+    h = kde_ops.nrd0(x)
+    lo, hi = x.min() - 3 * h, x.max() + 3 * h
+    # targets: (i/512)*(hi-lo)+lo for i=1..512 (src/garlic-kde.cpp:33-47)
+    np.testing.assert_allclose(kr.x[0], (1 / 512) * (hi - lo) + lo, rtol=1e-12)
+    np.testing.assert_allclose(kr.x[-1], hi, rtol=1e-12)
+    spacing = kr.x[1] - kr.x[0]
+    assert np.sum(kr.y) * spacing == pytest.approx(1.0, rel=1e-9)
+
+
+def test_kde_device_close_to_host():
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 20000)
+    a = kde_ops.compute_kde(x, device=False)
+    b = kde_ops.compute_kde(x, device=True)
+    np.testing.assert_allclose(a.y, b.y, rtol=5e-4, atol=1e-7)
+
+
+def test_cutoff_bimodal():
+    """On a clean bimodal density the cutoff is the minimum between modes."""
+    x = np.linspace(-4, 4, 512)
+    y = (np.exp(-0.5 * (x + 2) ** 2 / 0.25)
+         + 0.8 * np.exp(-0.5 * (x - 2) ** 2 / 0.25))
+    got = cutoff_ops.get_min_btw_modes(x, y, wsize=60)
+    valley = x[np.abs(x) < 1.5][np.argmin(y[np.abs(x) < 1.5])]
+    assert got == pytest.approx(valley, abs=0.1)
+
+
+def test_cutoff_sanity_clamp():
+    """|cutoff/winsize| >= 1 -> 0 (src/garlic-kde.cpp:231-232)."""
+    x = np.linspace(50, 450, 512)
+    y = (np.exp(-0.5 * (x - 100) ** 2 / 100)
+         + 0.8 * np.exp(-0.5 * (x - 400) ** 2 / 100))
+    # valley near x=250 -> |250/60| >= 1 -> clamped to 0
+    assert cutoff_ops.get_min_btw_modes(x, y, wsize=60) == 0.0
+
+
+def test_gmm_recovers_separated_components():
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.normal(100, 10, 4000),
+                        rng.normal(500, 40, 3000),
+                        rng.normal(2000, 150, 2000)])
+    bounds, res = gmm_ops.select_size_classes(x, 3)
+    order = np.argsort(res.means)
+    mu = res.means[order]
+    assert mu[0] == pytest.approx(100, rel=0.1)
+    assert mu[1] == pytest.approx(500, rel=0.1)
+    assert mu[2] == pytest.approx(2000, rel=0.1)
+    assert 100 < bounds[0] < 500 < bounds[1] < 2000
+
+
+def test_gmm_loglik_matches_sklearn_one_step():
+    """Our E-step loglik == sklearn's for the same parameters."""
+    sklearn = pytest.importorskip("sklearn.mixture")
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, 500)
+    w = np.array([0.3, 0.7])
+    mu = np.array([-1.0, 1.0])
+    var = np.array([1.0, 2.0])
+    _, _, _, ll = gmm_ops.gmm_sufficient_stats(x, w, mu, var)
+    g = sklearn.GaussianMixture(n_components=2, covariance_type="spherical")
+    g.weights_ = w
+    g.means_ = mu.reshape(-1, 1)
+    g.covariances_ = var
+    g.precisions_cholesky_ = 1.0 / np.sqrt(var)
+    skl = g.score(x.reshape(-1, 1)) * x.size
+    assert ll == pytest.approx(skl, rel=1e-9)
+
+
+def test_brent_boundary_vs_scipy():
+    from scipy.optimize import brentq
+    from scipy.stats import norm
+    m1, v1, a1 = 100.0, 900.0, 0.5
+    m2, v2, a2 = 300.0, 2500.0, 0.5
+
+    def f(x):
+        return (a1 * norm.pdf(x, m1, np.sqrt(v1))
+                - a2 * norm.pdf(x, m2, np.sqrt(v2)))
+
+    expect = brentq(f, m1, m2, xtol=1e-10)
+    got = find_boundary(m1, v1, a1, m2, v2, a2, max_iter=1000, epsabs=1e-4)
+    assert got == pytest.approx(expect, abs=2e-4)
+
+
+def test_gmm_collapse_raises():
+    x = np.full(50, 1000.0)  # degenerate: zero variance
+    with pytest.raises(Exception):
+        gmm_ops.select_size_classes(x, 3)
