@@ -72,10 +72,20 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
                                   jnp.asarray(chrom.gl),
                                   jnp.asarray(missing), winsize)
     else:
+        import jax
         table = lod_table(chrom.freq, error).astype(np.float32)
-        win = lod_windows_fast_jax(jnp.asarray(chrom.genotypes),
-                                   jnp.asarray(table),
-                                   jnp.asarray(missing), winsize)
+        if jax.default_backend() == "tpu":
+            # Pallas kernel: ~1.7x faster than the XLA conv lowering AND
+            # ~1000x more accurate (the TPU conv path accumulates the
+            # window sum through the MXU in bf16 despite
+            # preferred_element_type=f32; the kernel keeps true f32 adds).
+            from .pallas_lod import lod_windows_pallas
+            win = lod_windows_pallas(chrom.genotypes, table, missing,
+                                     winsize)
+        else:
+            win = lod_windows_fast_jax(jnp.asarray(chrom.genotypes),
+                                       jnp.asarray(table),
+                                       jnp.asarray(missing), winsize)
     return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci)
 
 

@@ -1,0 +1,148 @@
+"""Pallas TPU kernel for the Phase-I sliding-window LOD scan.
+
+The reference's hot loop is a per-individual rolling-sum over loci
+(src/garlic-roh.cpp:46-126, O(1)/window serial).  On TPU the scan is
+re-shaped as a data-parallel windowed reduction: each grid cell owns a
+[BI x BL] tile of (individual, window-start) space, DMAs its genotype tile
+plus an aligned 128-column halo tile HBM->VMEM (int8 HBM slices must be
+(32, 128)-tile aligned, so the halo is a second aligned copy rather than an
+unaligned BL+W-1 window), builds per-locus terms with VPU selects (no
+gathers), and accumulates the W shifted adds fully unrolled (static
+slices).  The window-missing mask is applied by the caller (one fused XLA
+select) — keeping it out of the kernel avoids a sub-tile [1, BL] DMA.
+
+Accuracy matches the conv formulation (W-term f32 sums, no long-cumsum
+cancellation).  The sequential-scan data dependence of the reference is
+gone: every window is independent, so the kernel saturates the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..core.types import MISSING
+
+_ROW_TILE = 32   # int8 sublane packing: HBM row slices must be 32-aligned
+_COL_TILE = 128  # lane tile
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _lod_windows_pallas_padded(geno, table, winsize: int,
+                               block_i: int, block_l: int,
+                               interpret: bool = False):
+    """Padded core: geno [I2, L2] int8, table [8, L2] f32 (rows 0-2 live,
+    rest zero) with I2 % block_i == 0, block_i % 32 == 0, block_l % 128 ==
+    0, L2 == NW2 + HW where NW2 % block_l == 0 and HW is the 128-aligned
+    halo >= winsize - 1.  Returns raw window sums [I2, NW2] f32 (no mask)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    I2, L2 = geno.shape
+    W = winsize
+    BI, BL = block_i, block_l
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    NW2 = L2 - HW
+
+    def kernel(geno_hbm, table_hbm, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(g_vmem, t_vmem, sems):
+            row0 = i * BI
+            col0 = j * BL
+            # aligned main tile + aligned halo tile (both tile-multiples)
+            cp_g0 = pltpu.make_async_copy(
+                geno_hbm.at[pl.ds(row0, BI), pl.ds(col0, BL)],
+                g_vmem.at[:, 0:BL], sems.at[0])
+            cp_g1 = pltpu.make_async_copy(
+                geno_hbm.at[pl.ds(row0, BI), pl.ds(col0 + BL, HW)],
+                g_vmem.at[:, BL:BL + HW], sems.at[1])
+            cp_t0 = pltpu.make_async_copy(
+                table_hbm.at[:, pl.ds(col0, BL)],
+                t_vmem.at[:, 0:BL], sems.at[2])
+            cp_t1 = pltpu.make_async_copy(
+                table_hbm.at[:, pl.ds(col0 + BL, HW)],
+                t_vmem.at[:, BL:BL + HW], sems.at[3])
+            cp_g0.start()
+            cp_g1.start()
+            cp_t0.start()
+            cp_t1.start()
+            cp_g0.wait()
+            cp_g1.wait()
+            cp_t0.wait()
+            cp_t1.wait()
+
+            g = g_vmem[:].astype(jnp.int32)           # [BI, BL+HW]
+            t0 = t_vmem[0:1, :]
+            t1 = t_vmem[1:2, :]
+            t2 = t_vmem[2:3, :]
+            a = jnp.where(g == 0, t0,
+                          jnp.where(g == 1, t1,
+                                    jnp.where(g == 2, t2,
+                                              jnp.float32(0.0))))
+            acc = jnp.zeros((BI, BL), jnp.float32)
+            for k in range(W):                         # static, unrolled
+                acc = acc + a[:, k:k + BL]
+            out_ref[:] = acc
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((BI, BL + HW), jnp.int8),
+            pltpu.VMEM((8, BL + HW), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        )
+
+    grid = (I2 // BI, NW2 // BL)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BI, BL), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I2, NW2), jnp.float32),
+        interpret=interpret,
+    )(geno, table)
+
+
+def lod_windows_pallas(geno: np.ndarray, table: np.ndarray,
+                       missing: np.ndarray, winsize: int,
+                       block_i: int = 32, block_l: int = 1024,
+                       interpret: bool = False):
+    """Full [I, L] window matrix (f32, MISSING-padded tail), same contract
+    as ops.lod.lod_windows_fast_jax.  Host-side padding to tile multiples;
+    padded windows are masked MISSING after the kernel."""
+    import jax.numpy as jnp
+
+    I, L = geno.shape
+    W = winsize
+    nwin = L - W + 1
+    if nwin <= 0:
+        return jnp.full((I, L), jnp.float32(MISSING))
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _cdiv(nwin, block_l) * block_l
+    L2 = NW2 + HW
+    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp[:I, :L] = np.asarray(geno)
+    tp = np.zeros((8, L2), dtype=np.float32)
+    tp[:4, :L] = np.asarray(table, dtype=np.float32)[:4, :L]
+    win = _lod_windows_pallas_padded(
+        jnp.asarray(gp), jnp.asarray(tp), W, block_i, block_l, interpret)
+    out = win[:I, :nwin]
+    m = jnp.asarray(np.asarray(missing)[:nwin])
+    out = jnp.where(m[None, :], jnp.float32(MISSING), out)
+    pad = jnp.full((I, W - 1), jnp.float32(MISSING))
+    return jnp.concatenate([out, pad], axis=1)

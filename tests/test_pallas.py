@@ -1,0 +1,66 @@
+"""Pallas Phase-I kernel tests (interpret mode on the CPU backend)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from garlic_tpu.core.types import MISSING
+from garlic_tpu.ops import lod as lod_ops
+from garlic_tpu.ops.pallas_lod import lod_windows_pallas
+
+
+def _case(I, L, W, seed=0, with_mask=True):
+    rng = np.random.default_rng(seed)
+    geno = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.03] = -9
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    table = lod_ops.lod_table(freq, 0.001).astype(np.float32)
+    pos = np.cumsum(rng.integers(100, 4000, L)).astype(np.int64)
+    if with_mask:
+        miss = lod_ops.window_missing_mask(pos, W, 100000,
+                                           pos[L // 3], pos[L // 3 + 20])
+    else:
+        miss = np.zeros(max(L - W + 1, 0), dtype=bool)
+    return geno, table, miss
+
+
+@pytest.mark.parametrize("I,L,W", [
+    (5, 1000, 17),        # unaligned everything
+    (32, 2048, 60),       # tile-aligned
+    (7, 700, 60),         # fewer windows than one block
+    (3, 64, 33),          # tiny
+])
+def test_pallas_matches_conv(I, L, W):
+    geno, table, miss = _case(I, L, W)
+    ref = np.asarray(lod_ops.lod_windows_fast_jax(
+        jnp.asarray(geno), jnp.asarray(table), jnp.asarray(miss), W))
+    got = np.asarray(lod_windows_pallas(geno, table, miss, W,
+                                        interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_degenerate_no_windows():
+    geno, table, miss = _case(4, 10, 20, with_mask=False)
+    out = np.asarray(lod_windows_pallas(geno, table, miss, 20,
+                                        interpret=True))
+    assert out.shape == (4, 10)
+    assert (out == MISSING).all()
+
+
+def test_pallas_padding_is_inert():
+    """Padded rows/columns must not leak into real outputs."""
+    geno, table, miss = _case(5, 300, 30, seed=7)
+    a = np.asarray(lod_windows_pallas(geno, table, miss, 30,
+                                      interpret=True))
+    # same data embedded among more individuals: rows must be unchanged
+    geno2 = np.vstack([geno, geno])
+    b = np.asarray(lod_windows_pallas(geno2, table, miss, 30,
+                                      interpret=True))
+    np.testing.assert_array_equal(a, b[:5])
+    np.testing.assert_array_equal(a, b[5:])
