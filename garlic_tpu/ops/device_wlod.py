@@ -1,0 +1,178 @@
+"""Device-resident weighted path: banded LD + wLOD window scan (fast engine).
+
+The reference's weighted run is dominated by the LD matrix —
+O(L * W^2 * I_sub) with pthread fan-out (src/garlic-data.cpp:330-646) —
+and a non-rolling wLOD window sum O(I * L * W) (src/garlic-roh.cpp:241-276).
+On TPU both become banded vector ops:
+
+* pair band P[m, d] = ld(m, m+d): per-offset elementwise AND/counts reduced
+  over individuals (VPU, O(L*W*I) total — the W^2 recomputation is gone);
+* LD band assembly via the cumsum decomposition
+  LD[l][j] = 1 + D[l+j, j] + S[l+j, W-1-j] (O(L*W));
+* wLOD windows: W unrolled FMAs win[l] += score[l+j] * (1/LD[l][j]).
+
+All f32 on device (fast-engine contract); the f64 numpy engine in ops/ld.py
+and ops/wlod.py remains the byte-exact path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..core.types import MISSING
+from .device_win import DeviceWin
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _hr2_band(geno_sub, hom_freq, winsize: int):
+    """P [L, W] f32: HR^2 between m and m+d (d in [1, W-1]).
+
+    Joint hom-hom counts over the (sub)panel; marginal homozygosity
+    frequencies from the full panel (src/garlic-data.cpp:558-583)."""
+    import jax.numpy as jnp
+    I, L = geno_sub.shape
+    valid = (geno_sub != -9)
+    homv = valid & (geno_sub != 1)
+    HA = hom_freq
+    ok = (HA > 0) & (HA < 1)
+    denom = HA * (1.0 - HA)
+    vf = valid.astype(jnp.float32)
+    hf = homv.astype(jnp.float32)
+    cols = []
+    zero_col = jnp.zeros((L,), jnp.float32)
+    cols.append(zero_col)  # d = 0 slot unused
+    for d in range(1, winsize):
+        if d >= L:
+            cols.append(zero_col)
+            continue
+        total = jnp.sum(vf[:, :-d] * vf[:, d:], axis=0)
+        hab = jnp.sum(hf[:, :-d] * hf[:, d:], axis=0)
+        hab = hab / total
+        h = hab - HA[:-d] * HA[d:]
+        hr2 = (h * h) / (denom[:-d] * denom[d:])
+        hr2 = jnp.minimum(hr2, 1.0)
+        hr2 = jnp.where(ok[:-d] & ok[d:], hr2, 0.0)
+        hr2 = jnp.where(jnp.isfinite(hr2), hr2, 0.0)
+        cols.append(jnp.concatenate([hr2, jnp.zeros((d,), jnp.float32)]))
+    return jnp.stack(cols, axis=1)
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _r2_band(geno_sub, fc_sub, freq, winsize: int):
+    """P [L, W] f32: phased r^2 (src/garlic-data.cpp:585-617)."""
+    import jax.numpy as jnp
+    I, L = geno_sub.shape
+    valid = (geno_sub != -9)
+    p = freq
+    ok = (p > 0) & (p < 1)
+    denom = p * (1.0 - p)
+    g2 = (geno_sub == 2)
+    g1 = (geno_sub == 1)
+    cols = [jnp.zeros((L,), jnp.float32)]
+    for d in range(1, winsize):
+        if d >= L:
+            cols.append(cols[0])
+            continue
+        bv = valid[:, :-d] & valid[:, d:]
+        a2, b2 = g2[:, :-d], g2[:, d:]
+        a1, b1 = g1[:, :-d], g1[:, d:]
+        same = fc_sub[:, :-d] == fc_sub[:, d:]
+        x11 = (2 * (a2 & b2) + (a1 & b2) + (a2 & b1)
+               + (a1 & b1 & same)).astype(jnp.float32)
+        x11 = jnp.sum(jnp.where(bv, x11, 0.0), axis=0)
+        total = 2.0 * jnp.sum(bv.astype(jnp.float32), axis=0)
+        x11 = x11 / total
+        D = x11 - p[:-d] * p[d:]
+        r2 = (D * D) / (denom[:-d] * denom[d:])
+        r2 = jnp.minimum(r2, 1.0)
+        r2 = jnp.where(ok[:-d] & ok[d:], r2, 0.0)
+        r2 = jnp.where(jnp.isfinite(r2), r2, 0.0)
+        cols.append(jnp.concatenate([r2, jnp.zeros((d,), jnp.float32)]))
+    return jnp.stack(cols, axis=1)
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _assemble_band(P, winsize: int):
+    """LD [L, W] from the pair band (cumsum decomposition, see
+    ops/ld.py assemble_ld_fast)."""
+    import jax.numpy as jnp
+    L, W = P.shape
+    nwin = L - W + 1
+    S = jnp.cumsum(P, axis=1)                       # S[m, j] = sum_{d<=j}
+    # D[m, j] = sum_{d=1}^{j} P[m-d, d] built iteratively
+    prev = jnp.zeros((L,), P.dtype)
+    outs = [prev]
+    for j in range(1, W):
+        shifted = jnp.concatenate(
+            [jnp.zeros((j,), P.dtype), P[:-j, j]]) if j < L else \
+            jnp.zeros((L,), P.dtype)
+        prev = prev + shifted
+        outs.append(prev)
+    D = jnp.stack(outs, axis=1)
+    l = jnp.arange(nwin)
+    cols = []
+    for j in range(W):
+        m = l + j
+        cols.append(1.0 + D[m, j] + S[m, W - 1 - j])
+    LD = jnp.stack(cols, axis=1)                    # [nwin, W]
+    pad = jnp.zeros((L - nwin, W), P.dtype)
+    return jnp.concatenate([LD, pad], axis=0)
+
+
+def ld_band_device(chrom, winsize: int, phased: bool,
+                   sub_idx: Optional[np.ndarray] = None):
+    """Full [L, W] LD matrix on device (calcLDData per-chr step)."""
+    import jax.numpy as jnp
+    from .ld import geno_hom_freq
+    g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
+    if phased:
+        fc = chrom.first_copy if sub_idx is None \
+            else chrom.first_copy[sub_idx]
+        P = _r2_band(jnp.asarray(g), jnp.asarray(fc),
+                     jnp.asarray(chrom.freq, dtype=jnp.float32), winsize)
+    else:
+        hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
+        P = _hr2_band(jnp.asarray(g),
+                      jnp.asarray(np.nan_to_num(hf), dtype=jnp.float32),
+                      winsize)
+    return _assemble_band(P, winsize)
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
+    """win [I, L] f32: Σ_j score[:, l+j] * inv_ld[l, j], masked."""
+    import jax.numpy as jnp
+    I, L = score.shape
+    nwin = L - winsize + 1
+    acc = jnp.zeros((I, nwin), jnp.float32)
+    for j in range(winsize):
+        acc = acc + score[:, j:j + nwin] * inv_ld[:nwin, j][None, :]
+    acc = jnp.where(missing[None, :], jnp.float32(MISSING), acc)
+    pad = jnp.full((I, winsize - 1), jnp.float32(MISSING))
+    return jnp.concatenate([acc, pad], axis=1)
+
+
+def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
+                        max_gap: int, use_gl: bool, mu: float,
+                        M: int) -> DeviceWin:
+    """Weighted Phase-I on device -> DeviceWin (no host transfer)."""
+    import jax.numpy as jnp
+    from .lod import window_missing_mask
+    from .wlod import wlod_scores
+    I, L = chrom.genotypes.shape
+    nwin = L - winsize + 1
+    if nwin <= 0:
+        win = jnp.full((I, L), jnp.float32(MISSING))
+        return DeviceWin(win=win, nind=I, nloci=L)
+    cstart = centro.start(chrom.chrom)
+    cend = centro.end(chrom.chrom)
+    missing = window_missing_mask(chrom.positions, winsize, max_gap,
+                                  cstart, cend)
+    score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
+    inv_ld = 1.0 / ld_dev
+    win = _wlod_windows_dev(jnp.asarray(score), inv_ld,
+                            jnp.asarray(missing), winsize)
+    return DeviceWin(win=win, nind=I, nloci=L)

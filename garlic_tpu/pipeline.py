@@ -353,9 +353,16 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
         for c in ds.chroms:
             print(f"{c.chrom}    ", file=sys.stderr, end="")
-            ldm = ld_ops.calc_ld(c, winsize, phased, sub_idx, engine=st.engine)
-            win_by_chr.append(wlod_ops.wlod_windows(
-                c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
+            if st.engine == "fast":
+                from .ops import device_wlod
+                ldm = device_wlod.ld_band_device(c, winsize, phased, sub_idx)
+                win_by_chr.append(device_wlod.wlod_windows_device(
+                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
+            else:
+                ldm = ld_ops.calc_ld(c, winsize, phased, sub_idx,
+                                     engine=st.engine)
+                win_by_chr.append(wlod_ops.wlod_windows(
+                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
         print(file=sys.stderr)
     else:
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,

@@ -1,0 +1,83 @@
+"""Device (fast-engine) weighted path vs the f64 numpy reference engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from garlic_tpu.core.types import ChromData, MISSING
+from garlic_tpu.ops import device_wlod, ld as ld_ops, wlod as wlod_ops
+
+
+class _Centro:
+    def __init__(self, s=10**9, e=10**9 + 1):
+        self._s, self._e = s, e
+
+    def start(self, c):
+        return self._s
+
+    def end(self, c):
+        return self._e
+
+
+def _chrom(I=18, L=300, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    g[rng.random((I, L)) < 0.04] = -9
+    pos = np.cumsum(rng.integers(200, 4000, L)).astype(np.int64)
+    gpos = np.cumsum(rng.random(L) * 0.01)
+    freq = np.clip(rng.beta(1, 1, L), 0.05, 0.95)
+    fc = rng.random((I, L)) < 0.5
+    return ChromData(chrom="chr1", positions=pos, gpos=gpos,
+                     locus_names=[f"r{i}" for i in range(L)],
+                     alleles=np.array(["A"] * L), genotypes=g, freq=freq,
+                     first_copy=fc)
+
+
+@pytest.mark.parametrize("phased", [False, True])
+def test_ld_band_device_matches_numpy(phased):
+    c = _chrom(seed=1)
+    W = 12
+    ref = ld_ops.calc_ld(c, W, phased, None, engine="fast")
+    got = np.asarray(device_wlod.ld_band_device(c, W, phased, None))
+    nwin = c.nloci - W + 1
+    np.testing.assert_allclose(got[:nwin], ref[:nwin], rtol=2e-4, atol=2e-4)
+
+
+def test_ld_band_device_subsample():
+    c = _chrom(I=24, seed=2)
+    W = 8
+    sub = np.arange(10)
+    ref = ld_ops.calc_ld(c, W, False, sub, engine="fast")
+    got = np.asarray(device_wlod.ld_band_device(c, W, False, sub))
+    nwin = c.nloci - W + 1
+    np.testing.assert_allclose(got[:nwin], ref[:nwin], rtol=2e-4, atol=2e-4)
+
+
+def test_wlod_windows_device_matches_numpy():
+    c = _chrom(seed=3)
+    W = 10
+    centro = _Centro()
+    ld = ld_ops.calc_ld(c, W, False, None, engine="exact")
+    ref = wlod_ops.wlod_windows(c, centro, ld, W, 0.001, 200000, False,
+                                1e-9, 7)
+    ld_dev = device_wlod.ld_band_device(c, W, False, None)
+    got_dw = device_wlod.wlod_windows_device(c, centro, ld_dev, W, 0.001,
+                                             200000, False, 1e-9, 7)
+    got = got_dw.to_numpy()
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=3e-3, atol=3e-3)
+
+
+def test_wlod_windows_device_centromere_mask():
+    c = _chrom(seed=4)
+    W = 10
+    centro = _Centro(int(c.positions[100]), int(c.positions[140]))
+    ld_dev = device_wlod.ld_band_device(c, W, False, None)
+    got = device_wlod.wlod_windows_device(c, centro, ld_dev, W, 0.001,
+                                          200000, False, 1e-9, 7).to_numpy()
+    ld = ld_ops.calc_ld(c, W, False, None, engine="exact")
+    ref = wlod_ops.wlod_windows(c, centro, ld, W, 0.001, 200000, False,
+                                1e-9, 7)
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)

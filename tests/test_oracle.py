@@ -95,6 +95,30 @@ def test_freq_only(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_weighted_wlod_bed_identical(oracle_bin, tmp_path):
+    """--weighted with a genetic-map scaffold: LD + wLOD + assembly
+    (pinned cutoff/bounds to bypass KDE sensitivity)."""
+    from .util import write_map_scaffold
+    panel, tped, tfam = _prepare(tmp_path, nind=25,
+                                 nloci_per_chr=(3000, 2500), seed=21)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted",
+            "--build", "hg18", "--winsize", "30", "--error", "0.002",
+            "--lod-cutoff", "50", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+    diffs = diff_logs(read_text(os.path.join(wd, "oracle.log")),
+                      read_text(os.path.join(wd, "ours.log")))
+    assert not diffs, diffs[:10]
+
+
+@pytest.mark.slow
 def test_raw_lod_windows_match(oracle_bin, tmp_path):
     """--raw-lod dumps are the direct Phase-I comparison artifact."""
     args = BASE_ARGS + ["--raw-lod", "--lod-cutoff", "1.5",
