@@ -1,11 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: end-to-end Phase I-III-IV ROH calling throughput.
 
-Measures LOD windows/second on a 45-individual x 600k-locus synthetic panel
-(the bundled example's scale: 45 x 577,489, example/example.log:31-33) with a
-pinned cutoff/bounds config (the reference's KDE-subsample RNG is
-time-seeded, so auto-cutoff runs are not comparable run-to-run), end-to-end:
-gzip TPED parse -> freq -> LOD window scan -> assembly -> GMM -> BED.
+Measures LOD windows/second on a WGS-scale synthetic panel (200 diploid
+individuals x 1M SNPs — BASELINE.json config #5) with a pinned
+cutoff/bounds config (the reference's KDE-subsample RNG is time-seeded, so
+auto-cutoff runs are not comparable run-to-run), end-to-end: gzip TPED
+parse -> freq -> LOD window scan -> assembly -> BED.
 
 Baseline: single-core `bin/linux/garlic` (the reference publishes no
 numbers, BASELINE.md) on the identical panel + flags, measured once and
@@ -32,8 +32,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
 ORACLE = "/root/reference/bin/linux/garlic"
 
-NIND = 45
-NLOCI = (300_000, 300_000)
+NIND = 200
+NLOCI = (500_000, 500_000)
 WINSIZE = 60
 FLAGS = ["--build", "hg18", "--winsize", str(WINSIZE), "--error", "0.001",
          "--lod-cutoff", "1.5", "--size-bounds", "500000", "1000000",
@@ -55,8 +55,9 @@ def total_windows() -> int:
 
 def ensure_panel():
     os.makedirs(CACHE, exist_ok=True)
-    tped = os.path.join(CACHE, "bench.tped.gz")
-    tfam = os.path.join(CACHE, "bench.tfam")
+    tag = f"{NIND}x{sum(NLOCI) // 1000}k"
+    tped = os.path.join(CACHE, f"bench_{tag}.tped.gz")
+    tfam = os.path.join(CACHE, f"bench_{tag}.tfam")
     if os.path.exists(tped) and os.path.exists(tfam):
         return tped, tfam
     log(f"bench: synthesizing {NIND}x{sum(NLOCI)} panel (cached after first run)")
@@ -70,7 +71,8 @@ def ensure_panel():
 
 def oracle_baseline(tped: str, tfam: str) -> float:
     """windows/s of single-core garlic on the bench panel (cached)."""
-    cache = os.path.join(CACHE, "oracle_baseline.json")
+    cache = os.path.join(
+        CACHE, f"oracle_baseline_{NIND}x{sum(NLOCI) // 1000}k.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)["windows_per_sec"]

@@ -74,6 +74,7 @@ ARG_KDE_THINNING = "--no-kde-thinning"
 # TPU-engine extensions (not in reference)
 ARG_ENGINE = "--tpu-engine"
 ARG_SEED = "--tpu-seed"
+ARG_PROFILE = "--tpu-profile"
 
 DEFAULT_OUTFILE = "outfile"
 DEFAULT_TPED = "none"
@@ -178,6 +179,9 @@ def _flag_specs() -> List[FlagSpec]:
         FlagSpec(ARG_SEED, "int", -1,
                  "RNG seed for subsampling/resampling; -1 uses a time-based seed "
                  "(matching the reference's non-reproducible default)."),
+        FlagSpec(ARG_PROFILE, "bool", False,
+                 "Print per-phase wall-clock and throughput counters to stderr; "
+                 "set GARLIC_TPU_TRACE_DIR to also capture a JAX profiler trace."),
     ]
 
 

@@ -73,16 +73,18 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
                                   jnp.asarray(missing), winsize)
     else:
         import jax
-        table = lod_table(chrom.freq, error).astype(np.float32)
         if jax.default_backend() == "tpu":
             # Pallas kernel: ~1.7x faster than the XLA conv lowering AND
             # ~1000x more accurate (the TPU conv path accumulates the
             # window sum through the MXU in bf16 despite
             # preferred_element_type=f32; the kernel keeps true f32 adds).
-            from .pallas_lod import lod_windows_pallas
-            win = lod_windows_pallas(chrom.genotypes, table, missing,
-                                     winsize)
+            # 2-bit genotype packing + on-device table: 4x fewer host
+            # link bytes.
+            from .pallas_lod import lod_windows_pallas_packed
+            win = lod_windows_pallas_packed(chrom.genotypes, chrom.freq,
+                                            error, missing, winsize)
         else:
+            table = lod_table(chrom.freq, error).astype(np.float32)
             win = lod_windows_fast_jax(jnp.asarray(chrom.genotypes),
                                        jnp.asarray(table),
                                        jnp.asarray(missing), winsize)

@@ -245,6 +245,8 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     if engine == "fast":
         from .runtime import start_link_warmup
         start_link_warmup()  # overlap first-transfer init with parsing
+    from .runtime import PhaseProfiler
+    prof = PhaseProfiler(args[cli.ARG_PROFILE])
 
     if freq_only_flag:
         tped.freq_only(tpedfile, outfile, nresample, tped_missing, log, rng)
@@ -279,6 +281,7 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
                 return -1
     except Exception:
         return 1
+    prof.mark("load", num_loci * ds.nind, "genotypes")
 
     # ---------------- Allele frequencies ----------------
     if auto_freq:
@@ -289,6 +292,8 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
             freqfile.read_freq(freqfile_arg, ds.chroms, log)
         except Exception:
             return -1
+
+    prof.mark("freq", num_loci, "loci")
 
     # ---------------- Filtering ----------------
     if weighted or cm:
@@ -350,9 +355,11 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         print("Calculating LD matrix.", file=sys.stderr)
         sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, rng)
         win_by_chr = []
+        from .core.pbar import Bar
         print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
         for c in ds.chroms:
             print(f"{c.chrom}    ", file=sys.stderr, end="")
+            bar = Bar(total=c.nind)
             if st.engine == "fast":
                 from .ops import device_wlod
                 ldm = device_wlod.ld_band_device(c, winsize, phased, sub_idx)
@@ -363,10 +370,14 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
                                      engine=st.engine)
                 win_by_chr.append(wlod_ops.wlod_windows(
                     c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
-        print(file=sys.stderr)
+            bar.current = bar.total
+            bar.finalize()
     else:
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
                                        max_gap, use_gl)
+    prof.mark("phase1-lod",
+              sum(max(c.nloci - winsize + 1, 0) for c in ds.chroms)
+              * ds.nind, "windows")
 
     if raw_lod:
         try:
@@ -387,12 +398,14 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         log.log("Selected LOD score cutoff:", lod_cutoff)
     else:
         print(f"User defined LOD score cutoff: {lod_cutoff}")
+    prof.mark("phase2-cutoff")
 
     # ---------------- Phase III: assembly ----------------
     print("Assembling ROH windows")
     roh_by_ind, lengths = assembly.assemble_roh(
         win_by_chr, ds.chroms, ds.ind_ids, centro, lod_cutoff, winsize,
         max_gap, overlap_frac, cm)
+    prof.mark("phase3-assembly", float(lengths.size), "ROH")
 
     # ---------------- Phase IV: size classes ----------------
     if auto_bounds:
@@ -412,10 +425,13 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         log.logv("User provided ROH size boundaries = (", bound_sizes, nl=False)
         log.log(" )")
 
+    prof.mark("phase4-gmm")
     print("Writing ROH tracts.")
     bed.write_roh(bed.make_roh_filename(outfile), roh_by_ind,
                   [c.chrom for c in ds.chroms], bound_sizes, ds.pop,
                   OUTPUT_COMPAT_VERSION, cm, log)
+    prof.mark("write-bed")
+    prof.report()
     print("Finished.")
     return 0
 
@@ -428,10 +444,12 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
                       error: float, max_gap: int, use_gl: bool,
                       ind_idx: Optional[np.ndarray] = None):
     """calcLODWindows (src/garlic-roh.cpp:279-309)."""
+    from .core.pbar import Bar
     print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
     out = []
     for c in ds.chroms:
         print(f"{c.chrom}    ", file=sys.stderr, end="")
+        bar = Bar(total=c.nind)
         cc = c
         if ind_idx is not None:
             cc = _subset_chrom(c, ind_idx)
@@ -443,7 +461,8 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
             out.append(lod_ops.calc_lod_windows(
                 cc, centro, winsize, error, max_gap, use_gl,
                 engine=st.engine))
-    print(file=sys.stderr)
+        bar.current = bar.total
+        bar.finalize()
     return out
 
 

@@ -2,9 +2,60 @@
 
 from __future__ import annotations
 
+import sys
+import time
 import threading
 
 _warmup_thread = None
+
+
+class PhaseProfiler:
+    """Per-phase wall-clock + throughput counters (--tpu-profile).
+
+    The reference has no tracing at all (SURVEY.md §5); this is the
+    observability layer the BASELINE windows/s metric needs.  mark()
+    closes the current phase; report() prints a summary to stderr.  When
+    GARLIC_TPU_TRACE_DIR is set, a JAX profiler trace covers the run."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.phases = []
+        self._t0 = time.perf_counter()
+        self._trace = None
+        if enabled:
+            import os
+            tdir = os.environ.get("GARLIC_TPU_TRACE_DIR")
+            if tdir:
+                try:
+                    import jax
+                    self._trace = jax.profiler.trace(tdir)
+                    self._trace.__enter__()
+                except Exception:
+                    self._trace = None
+
+    def mark(self, name: str, items: float = 0.0, unit: str = ""):
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        self.phases.append((name, now - self._t0, items, unit))
+        self._t0 = now
+
+    def report(self):
+        if not self.enabled:
+            return
+        if self._trace is not None:
+            try:
+                self._trace.__exit__(None, None, None)
+            except Exception:
+                pass
+        total = sum(p[1] for p in self.phases)
+        print("[profile] phase breakdown:", file=sys.stderr)
+        for name, dt, items, unit in self.phases:
+            rate = f"  ({items / dt:,.0f} {unit}/s)" if items and dt > 0 \
+                else ""
+            print(f"[profile]   {name:<18} {dt:8.3f}s{rate}",
+                  file=sys.stderr)
+        print(f"[profile]   {'TOTAL':<18} {total:8.3f}s", file=sys.stderr)
 
 
 def start_link_warmup() -> threading.Thread:

@@ -45,6 +45,37 @@ def test_pallas_matches_conv(I, L, W):
     np.testing.assert_allclose(got[live], ref[live], rtol=1e-4, atol=1e-4)
 
 
+def test_pack_genotypes_roundtrip():
+    from garlic_tpu.ops.pallas_lod import pack_genotypes
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 3, size=(5, 64)).astype(np.int8)
+    g[rng.random((5, 64)) < 0.2] = -9
+    p = pack_genotypes(g)
+    assert p.shape == (5, 16)
+    codes = np.stack([(p >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=-1).reshape(5, 64)
+    back = np.where(codes == 3, -9, codes).astype(np.int8)
+    np.testing.assert_array_equal(back, g)
+
+
+@pytest.mark.parametrize("I,L,W", [(9, 1700, 23), (32, 2048, 60)])
+def test_pallas_packed_matches_conv(I, L, W):
+    from garlic_tpu.ops.pallas_lod import lod_windows_pallas_packed
+    geno, table, miss = _case(I, L, W, seed=11)
+    rng = np.random.default_rng(11)
+    # reconstruct freq from the same seed path used by _case
+    geno2 = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    geno2[rng.random((I, L)) < 0.03] = -9
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    ref = np.asarray(lod_ops.lod_windows_fast_jax(
+        jnp.asarray(geno), jnp.asarray(table), jnp.asarray(miss), W))
+    got = np.asarray(lod_windows_pallas_packed(
+        geno, freq, 0.001, miss, W, interpret=True))
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_degenerate_no_windows():
     geno, table, miss = _case(4, 10, 20, with_mask=False)
     out = np.asarray(lod_windows_pallas(geno, table, miss, 20,

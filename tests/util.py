@@ -70,26 +70,32 @@ def make_panel(nind=30, nloci_per_chr=(4000, 3000), seed=7,
 
 def write_tped(panel: Panel, tped_path: str, tfam_path: str,
                gpos: Optional[List[np.ndarray]] = None) -> None:
-    """Write TPED/TFAM. Allele 'A' = alt (counted), 'C' = ref, '0' missing."""
+    """Write TPED/TFAM. Allele 'A' = alt (counted), 'C' = ref, '0' missing.
+
+    Vectorized: the genotype columns are rendered as one fixed-width byte
+    matrix per chromosome (4 chars per diploid genotype: ' x y') so
+    WGS-scale panels write in seconds, not minutes."""
+    # genotype code -> 4 ASCII bytes " a b"; index 3 = missing (-9)
+    lut = np.array([b" C C", b" A C", b" A A", b" 0 0"], dtype="S4")
     op = gzip.open if tped_path.endswith(".gz") else open
-    with op(tped_path, "wt") as f:
+    with op(tped_path, "wb") as f:
         for ci, chrom in enumerate(panel.chrom_names):
             pos = panel.positions[ci]
             g = panel.genotypes[ci]
             gp = gpos[ci] if gpos is not None else np.zeros(len(pos))
-            for l in range(len(pos)):
-                row = [chrom, f"rs{ci}_{l}", f"{gp[l]:g}", str(int(pos[l]))]
-                col = g[:, l]
-                for v in col:
-                    if v == -9:
-                        row += ["0", "0"]
-                    elif v == 0:
-                        row += ["C", "C"]
-                    elif v == 1:
-                        row += ["A", "C"]
-                    else:
-                        row += ["A", "A"]
-                f.write(" ".join(row) + "\n")
+            L = len(pos)
+            codes = np.where(g == -9, 3, g).astype(np.uint8)     # [I, L]
+            cells = np.ascontiguousarray(lut[codes.T])            # [L, I] S4
+            geno_part = cells.view("S1").reshape(L, -1)           # [L, 4I]
+            geno_rows = geno_part.view(f"S{geno_part.shape[1]}")[:, 0]
+            for start in range(0, L, 65536):
+                stop = min(start + 65536, L)
+                chunk = []
+                for l in range(start, stop):
+                    chunk.append(
+                        f"{chrom} rs{ci}_{l} {gp[l]:g} {int(pos[l])}"
+                        .encode() + geno_rows[l] + b"\n")
+                f.write(b"".join(chunk))
     with open(tfam_path, "w") as f:
         for ind in panel.ind_ids:
             f.write(f"{panel.pop} {ind} 0 0 0 -9\n")
