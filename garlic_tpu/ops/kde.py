@@ -87,7 +87,13 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
     step = 1 << 16
     for s in range(0, n, step):
         d = sources[s:s + step, None] - t
-        out += np.exp(-(d * d) * inv_h2).sum(axis=0)
+        e = -(d * d) * inv_h2
+        # clamp at -700: exp(-700) ~ 1e-304 is still a normal double, so no
+        # subnormal results are produced (x86 FP-assist traps on subnormals
+        # make the unclamped version ~50x slower); the 1e-304 floor is
+        # invisible at the .kde file's %g precision
+        np.maximum(e, -700.0, out=e)
+        out += np.exp(e, out=e).sum(axis=0)
     return out * q
 
 

@@ -77,7 +77,13 @@ def write_tped(panel: Panel, tped_path: str, tfam_path: str,
     WGS-scale panels write in seconds, not minutes."""
     # genotype code -> 4 ASCII bytes " a b"; index 3 = missing (-9)
     lut = np.array([b" C C", b" A C", b" A A", b" 0 0"], dtype="S4")
-    op = gzip.open if tped_path.endswith(".gz") else open
+    if tped_path.endswith(".gz"):
+        # level 1: WGS-scale panels are ~1 GB of text; level 9 takes tens
+        # of minutes for no benefit to the consumer
+        def op(p, m):
+            return gzip.open(p, m, compresslevel=1)
+    else:
+        op = open
     with op(tped_path, "wb") as f:
         for ci, chrom in enumerate(panel.chrom_names):
             pos = panel.positions[ci]
