@@ -146,27 +146,38 @@ def kernel_throughput() -> float:
     return I * (L - W + 1) / dt
 
 
-def warmup_device():
-    """Prepay the per-process tunneled-link init (30-400s, variance of the
-    dev attachment, absent on production PCIe-attached hosts) and seed the
-    persistent XLA compile cache so the timed run measures the workload."""
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(CACHE, "xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+def start_warmup_thread():
+    """Prepay the per-process tunneled-link init (30-1000s observed on the
+    dev attachment, absent on production PCIe-attached hosts) CONCURRENTLY
+    with panel synthesis + oracle measurement, and seed the persistent XLA
+    compile cache so the timed run measures the workload."""
+    import threading
+
     t0 = time.perf_counter()
-    np.asarray(jax.device_put(np.zeros(8, np.float32)))
-    log(f"bench: device link init {time.perf_counter() - t0:.1f}s (untimed)")
+
+    def _w():
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        np.asarray(jax.device_put(np.zeros(8, np.float32)))
+        log(f"bench: device link init {time.perf_counter() - t0:.1f}s "
+            "(untimed, overlapped)")
+
+    th = threading.Thread(target=_w, daemon=True)
+    th.start()
+    return th
 
 
 def main():
+    warmup = start_warmup_thread()
     tped, tfam = ensure_panel()
     try:
         base = oracle_baseline(tped, tfam)
     except RuntimeError as e:
         log(f"bench: WARNING no oracle baseline ({e}); vs_baseline=0")
         base = None
-    warmup_device()
+    warmup.join()
     try:
         kwps = kernel_throughput()
         log(f"bench: device kernel {kwps:,.0f} windows/s")
