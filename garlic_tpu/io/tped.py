@@ -106,7 +106,7 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
         raise FileNotFoundError(tpedfile)
     try:
         from ..native import parse_tped_native
-        native = parse_tped_native(tpedfile, tped_missing)
+        native = parse_tped_native(tpedfile, tped_missing, want_fc=phased)
     except Exception:
         native = None
 

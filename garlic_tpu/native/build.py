@@ -94,9 +94,12 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
+def parse_tped_native(path: str, missing: str,
+                      want_fc: bool = True) -> Optional[List[dict]]:
     """Parse a TPED via the C++ parser.  Returns per-chromosome dicts or
-    None if the native library is unavailable (callers fall back)."""
+    None if the native library is unavailable (callers fall back).
+    want_fc=False skips the phased first-copy matrix (halves the
+    transpose/copy work; unphased runs never read it)."""
     lib = _load()
     if lib is None:
         return None
@@ -115,7 +118,7 @@ def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
             gpos = np.empty(L, dtype=np.float64)
             alleles = np.empty(L, dtype="S1")
             geno = np.empty((nind, L), dtype=np.int8)
-            fc = np.empty((nind, L), dtype=np.uint8)
+            fc = np.empty((nind, L), dtype=np.uint8) if want_fc else None
             freq = np.empty(L, dtype=np.float64)
             names_buf = ctypes.create_string_buffer(int(nsz) + 1)
             lib.gt_tped_copy(
@@ -124,7 +127,8 @@ def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
                 gpos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 alleles.ctypes.data_as(ctypes.c_char_p),
                 geno.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                fc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                fc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if fc is not None else None,
                 freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 names_buf)
             from ..core.types import LocusNames
@@ -134,7 +138,7 @@ def parse_tped_native(path: str, missing: str) -> Optional[List[dict]]:
                 "gpos": gpos,
                 "alleles": alleles.astype("<U1"),
                 "genotypes": geno,
-                "first_copy": fc.view(np.bool_),
+                "first_copy": fc.view(np.bool_) if fc is not None else None,
                 "freq": freq,
                 "names": LocusNames(names_buf.raw[:nsz]),
             })

@@ -20,7 +20,9 @@
 // Exposed as a C ABI for ctypes.  Build: see build.py.
 
 #include <cctype>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -151,6 +153,12 @@ void parse_line(const char *p, const char *end, char missing, int64_t nind,
 // OpenMP threads (the reference parses single-threaded via `>>`,
 // src/garlic-data.cpp:10-177; byte-identical results, ~NCPU x faster).
 void *gt_tped_open(const char *path, char missing) {
+  const bool timing = getenv("GT_PARSE_TIMING") != nullptr;
+  double t_read = 0, t_split = 0, t_parse = 0, t_append = 0;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
   gzFile f = gzopen(path, "rb");
   if (!f) return nullptr;
   gzbuffer(f, 1 << 20);
@@ -169,12 +177,14 @@ void *gt_tped_open(const char *path, char missing) {
   int64_t nind = -1;
   bool done = false;
   while (!done) {
+    auto t0 = now();
     buf.assign(carry);
     carry.clear();
     buf.resize(buf.size() + CHUNK);
     int got = gzread(f, &buf[buf.size() - CHUNK], (unsigned)CHUNK);
     if (got < 0) { h->error = "gzread failed"; break; }
     buf.resize(buf.size() - CHUNK + (size_t)got);
+    t_read += secs(t0, now());
     done = (size_t)got < CHUNK;
     // hold back the trailing partial line
     if (!done) {
@@ -184,6 +194,7 @@ void *gt_tped_open(const char *path, char missing) {
       buf.resize(last_nl + 1);
     }
     if (buf.empty()) continue;
+    auto t1 = now();
     // split lines
     starts.clear();
     lens.clear();
@@ -208,6 +219,8 @@ void *gt_tped_open(const char *path, char missing) {
       if (nind <= 0) { h->error = "bad tped line"; break; }
       h->nind = nind;
     }
+    t_split += secs(t1, now());
+    auto t2 = now();
     recs.assign(n, LineRec());
     geno_chunk.resize(n * (size_t)nind);
     fc_chunk.resize(n * (size_t)nind);
@@ -219,31 +232,56 @@ void *gt_tped_open(const char *path, char missing) {
                  geno_chunk.data() + i * (size_t)nind,
                  fc_chunk.data() + i * (size_t)nind);
     }
-    // serial: chromosome boundaries + appends
+    t_parse += secs(t2, now());
+    auto t3 = now();
+    // serial: chromosome boundaries + span-wise bulk appends (per-line
+    // vector inserts cost ~5s/GB; whole same-chromosome spans are one
+    // memcpy each)
+    size_t span_start = (size_t)-1;
+    auto flush_span = [&](size_t begin, size_t end_excl) {
+      if (begin == (size_t)-1 || begin >= end_excl) return;
+      size_t cnt = end_excl - begin;
+      blk->geno.insert(blk->geno.end(),
+                       geno_chunk.begin() + begin * nind,
+                       geno_chunk.begin() + end_excl * nind);
+      blk->first_copy.insert(blk->first_copy.end(),
+                             fc_chunk.begin() + begin * nind,
+                             fc_chunk.begin() + end_excl * nind);
+      (void)cnt;
+    };
     for (size_t i = 0; i < n; i++) {
       LineRec &r = recs[i];
-      if (r.skip) continue;
-      if (r.bad) { h->error = "bad tped line"; break; }
+      if (r.skip || r.bad) {
+        flush_span(span_start, i);
+        span_start = (size_t)-1;
+        if (r.bad) { h->error = "bad tped line"; break; }
+        continue;
+      }
       if (blk == nullptr || prev_chr.compare(0, std::string::npos, r.chrom_b,
                                              r.chrom_len) != 0) {
+        flush_span(span_start, i);
+        span_start = (size_t)-1;
         h->chroms.emplace_back();
         blk = &h->chroms.back();
         blk->name.assign(r.chrom_b, r.chrom_len);
         prev_chr = blk->name;
       }
+      if (span_start == (size_t)-1) span_start = i;
       blk->positions.push_back(r.ppos);
       blk->gpos.push_back(r.gpos);
       if (!blk->names.empty()) blk->names += '\n';
       blk->names.append(r.name_b, r.name_len);
       blk->allele.push_back(r.allele);
       blk->freq.push_back(r.freq);
-      blk->geno.insert(blk->geno.end(), geno_chunk.begin() + i * nind,
-                       geno_chunk.begin() + (i + 1) * nind);
-      blk->first_copy.insert(blk->first_copy.end(),
-                             fc_chunk.begin() + i * nind,
-                             fc_chunk.begin() + (i + 1) * nind);
     }
+    if (h->error.empty()) flush_span(span_start, n);
+    t_append += secs(t3, now());
     if (!h->error.empty()) break;
+  }
+  if (timing) {
+    fprintf(stderr,
+            "[gt_parse] read=%.2fs split=%.2fs parse=%.2fs append=%.2fs\n",
+            t_read, t_split, t_parse, t_append);
   }
   gzclose(f);
   if (!h->error.empty() || h->chroms.empty()) {
@@ -268,8 +306,35 @@ int64_t gt_tped_names_size(void *hv, int c) {
   return (int64_t)((TpedHandle *)hv)->chroms[c].names.size();
 }
 
+namespace {
+
+// Cache-blocked [L][I] -> [I][L] byte transpose (the naive loop's
+// stride-L writes cost ~10s on a 500k x 200 chromosome; 128x128 tiles
+// keep both sides in L1).
+extern "C++" template <typename T>
+void transpose_blocked(const T *src, T *dst, int64_t L, int64_t I) {
+  const int64_t B = 128;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t l0 = 0; l0 < L; l0 += B) {
+    int64_t l1 = l0 + B < L ? l0 + B : L;
+    for (int64_t i0 = 0; i0 < I; i0 += B) {
+      int64_t i1 = i0 + B < I ? i0 + B : I;
+      for (int64_t l = l0; l < l1; l++) {
+        for (int64_t i = i0; i < i1; i++) {
+          dst[i * L + l] = src[l * I + i];
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
 // Copy chromosome c into caller buffers. geno/first_copy become
-// individual-major [I][L].
+// individual-major [I][L].  first_copy may be null (skip — unphased runs
+// never read it).
 void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
                   char *alleles, int8_t *geno, uint8_t *first_copy,
                   double *freq, char *names_buf) {
@@ -282,14 +347,9 @@ void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
   memcpy(alleles, b.allele.data(), L * sizeof(char));
   memcpy(freq, b.freq.data(), L * sizeof(double));
   memcpy(names_buf, b.names.data(), b.names.size());
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-  for (int64_t l = 0; l < L; l++) {
-    for (int64_t i = 0; i < I; i++) {
-      geno[i * L + l] = b.geno[l * I + i];
-      first_copy[i * L + l] = b.first_copy[l * I + i];
-    }
+  transpose_blocked(b.geno.data(), geno, L, I);
+  if (first_copy != nullptr) {
+    transpose_blocked(b.first_copy.data(), first_copy, L, I);
   }
 }
 

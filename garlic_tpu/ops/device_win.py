@@ -91,14 +91,26 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
     return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci)
 
 
+_thin_jit = None
+
+
 def thinned_block(dwin: DeviceWin, step: int,
                   ind_idx=None) -> np.ndarray:
     """win[:, ::step] transferred to host ([I, ceil(L/step)] f64).
 
     This is convertWinData2DoubleData's thinning (src/garlic-data.cpp:2037)
-    done as a device slice so only 1/step of the matrix crosses the link."""
-    w = dwin.win[:, ::step]
-    out = np.asarray(w, dtype=np.float64)
+    done as a jitted device slice so only 1/step of the matrix crosses the
+    link (eager slicing would compile a fresh strided-slice per shape)."""
+    global _thin_jit
+    if _thin_jit is None:
+        import jax
+
+        @partial(jax.jit, static_argnames=("step",))
+        def _thin(w, step):
+            return w[:, ::step]
+
+        _thin_jit = _thin
+    out = np.asarray(_thin_jit(dwin.win, step), dtype=np.float64)
     if ind_idx is not None:
         out = out[ind_idx]
     return out

