@@ -75,6 +75,7 @@ ARG_KDE_THINNING = "--no-kde-thinning"
 ARG_ENGINE = "--tpu-engine"
 ARG_SEED = "--tpu-seed"
 ARG_PROFILE = "--tpu-profile"
+ARG_MESH = "--tpu-mesh"
 
 DEFAULT_OUTFILE = "outfile"
 DEFAULT_TPED = "none"
@@ -182,6 +183,10 @@ def _flag_specs() -> List[FlagSpec]:
         FlagSpec(ARG_PROFILE, "bool", False,
                  "Print per-phase wall-clock and throughput counters to stderr; "
                  "set GARLIC_TPU_TRACE_DIR to also capture a JAX profiler trace."),
+        FlagSpec(ARG_MESH, "string", "none",
+                 "Device mesh 'DPxSP' for the fast engine (e.g. 4x2: individuals "
+                 "sharded over 4 ways, loci over 2 with halo exchange). "
+                 "Requires DP*SP visible devices; default single-device."),
     ]
 
 

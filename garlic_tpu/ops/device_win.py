@@ -41,7 +41,9 @@ class DeviceWin:
 
     def to_numpy(self) -> np.ndarray:
         if not hasattr(self, "_host"):
-            self._host = np.asarray(self.win, dtype=np.float64)
+            # slice away any mesh-padding rows/columns
+            self._host = np.asarray(
+                self.win, dtype=np.float64)[:self.nind, :self.nloci]
         return self._host
 
 
@@ -66,13 +68,18 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
         return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci)
     missing = window_missing_mask(chrom.positions, winsize, max_gap,
                                   cstart, cend)
+    import jax
     if use_gl:
-        win = lod_windows_fast_gl(jnp.asarray(chrom.genotypes),
-                                  jnp.asarray(chrom.freq),
-                                  jnp.asarray(chrom.gl),
-                                  jnp.asarray(missing), winsize)
+        if jax.default_backend() == "tpu":
+            from .pallas_lod import lod_windows_pallas_gl
+            win = lod_windows_pallas_gl(chrom.genotypes, chrom.freq,
+                                        chrom.gl, missing, winsize)
+        else:
+            win = lod_windows_fast_gl(jnp.asarray(chrom.genotypes),
+                                      jnp.asarray(chrom.freq),
+                                      jnp.asarray(chrom.gl),
+                                      jnp.asarray(missing), winsize)
     else:
-        import jax
         if jax.default_backend() == "tpu":
             # Pallas kernel: ~1.7x faster than the XLA conv lowering AND
             # ~1000x more accurate (the TPU conv path accumulates the
@@ -111,6 +118,7 @@ def thinned_block(dwin: DeviceWin, step: int,
 
         _thin_jit = _thin
     out = np.asarray(_thin_jit(dwin.win, step), dtype=np.float64)
+    out = out[:dwin.nind]  # drop mesh-padding rows (their windows are 0)
     if ind_idx is not None:
         out = out[ind_idx]
     return out

@@ -120,6 +120,130 @@ def _lod_windows_pallas_padded(geno, table, winsize: int,
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
+                               interpret: bool = False):
+    """Windowed-sum core over precomputed f32 terms: a [I2, L2] with
+    I2 % block_i == 0 (block_i % 8 == 0), L2 == NW2 + HW.  Returns raw
+    window sums [I2, NW2] f32.  Serves the TGLS/GL path, whose per-
+    genotype error terms cannot come from a 4-row table."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    I2, L2 = a.shape
+    W = winsize
+    BI, BL = block_i, block_l
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    NW2 = L2 - HW
+
+    def kernel(a_hbm, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(a_vmem, sems):
+            row0 = i * BI
+            col0 = j * BL
+            cp0 = pltpu.make_async_copy(
+                a_hbm.at[pl.ds(row0, BI), pl.ds(col0, BL)],
+                a_vmem.at[:, 0:BL], sems.at[0])
+            cp1 = pltpu.make_async_copy(
+                a_hbm.at[pl.ds(row0, BI), pl.ds(col0 + BL, HW)],
+                a_vmem.at[:, BL:BL + HW], sems.at[1])
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
+            av = a_vmem[:]
+            acc = jnp.zeros((BI, BL), jnp.float32)
+            for k in range(W):
+                acc = acc + av[:, k:k + BL]
+            out_ref[:] = acc
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((BI, BL + HW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    grid = (I2 // BI, NW2 // BL)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BI, BL), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I2, NW2), jnp.float32),
+        interpret=interpret,
+    )(a)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
+              interpret: bool = False):
+    """TGLS fast path: per-genotype error terms (src/garlic-roh.cpp:68,
+    91-95 — TGLS value replaces epsilon per (ind, locus)), then the Pallas
+    window-sum core.  geno [I2, L2] int8, freq/gl padded alike."""
+    import jax.numpy as jnp
+
+    g = geno.astype(jnp.int32)
+    p = freq[None, :]
+    e = gl
+    one_minus = 1.0 - p
+    non0 = one_minus * one_minus
+    aut0 = (1.0 - e) * one_minus + e * non0
+    non1 = 2.0 * p * one_minus
+    aut1 = e * non1
+    non2 = p * p
+    aut2 = (1.0 - e) * p + e * non2
+    r0 = jnp.log10(aut0 / non0)
+    r1 = jnp.log10(aut1 / non1)
+    r2 = jnp.log10(aut2 / non2)
+    a = jnp.where(g == 0, r0, jnp.where(g == 1, r1,
+                  jnp.where(g == 2, r2, 0.0)))
+    mono = (p <= 0.0) | (p >= 1.0)
+    a = jnp.where(mono, 0.0, a).astype(jnp.float32)
+    return _window_sums_pallas_padded(a, winsize, block_i, block_l,
+                                      interpret)
+
+
+def lod_windows_pallas_gl(geno: np.ndarray, freq: np.ndarray,
+                          gl: np.ndarray, missing: np.ndarray,
+                          winsize: int, block_i: int = 32,
+                          block_l: int = 1024, interpret: bool = False):
+    """TGLS variant of lod_windows_pallas_packed (true f32 window sums;
+    the conv lowering's MXU route accumulates in bf16)."""
+    import jax.numpy as jnp
+
+    I, L = geno.shape
+    W = winsize
+    nwin = L - W + 1
+    if nwin <= 0:
+        return jnp.full((I, L), jnp.float32(MISSING))
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _cdiv(nwin, block_l) * block_l
+    L2 = NW2 + HW
+    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp[:I, :L] = np.asarray(geno)
+    fp = np.zeros(L2, dtype=np.float32)
+    fp[:L] = np.asarray(freq, dtype=np.float32)
+    ep = np.zeros((I2, L2), dtype=np.float32)
+    ep[:I, :L] = np.asarray(gl, dtype=np.float32)
+    win = _gl_entry(jnp.asarray(gp), jnp.asarray(fp), jnp.asarray(ep), W,
+                    block_i, block_l, interpret)
+    out = win[:I, :nwin]
+    m = jnp.asarray(np.asarray(missing)[:nwin])
+    out = jnp.where(m[None, :], jnp.float32(MISSING), out)
+    pad = jnp.full((I, W - 1), jnp.float32(MISSING))
+    return jnp.concatenate([out, pad], axis=1)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
 def _packed_entry(packed, freq, error, winsize: int, block_i: int,
                   block_l: int, interpret: bool = False):
     """Unpack 2-bit genotype codes and build the LOD table on device, then

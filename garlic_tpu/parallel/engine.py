@@ -223,6 +223,60 @@ def make_analysis_step(mesh, winsize: int, error: float,
     return step
 
 
+_sharded_cache = {}
+
+
+def lod_windows_sharded(chrom, centro, winsize: int, error: float,
+                        max_gap: int, mesh):
+    """Phase-I window scan sharded over a ("dp", "sp") mesh -> DeviceWin.
+
+    Individuals shard over dp, loci over sp with a (winsize-1) ppermute
+    halo; the per-SNP frequency row is replicated along dp and sharded
+    along sp.  The result stays device-resident (and sharded) so the
+    downstream covered/thinned kernels compile as SPMD programs over the
+    same mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.device_win import DeviceWin
+
+    I, L = chrom.genotypes.shape
+    cstart = centro.start(chrom.chrom)
+    cend = centro.end(chrom.chrom)
+    miss = full_window_missing(chrom.positions, winsize, max_gap,
+                               cstart, cend)
+    geno_p, miss_p, _ = pad_for_mesh(chrom.genotypes, miss, mesh)
+    L2 = geno_p.shape[1]
+    freq_p = np.zeros(L2, dtype=np.float32)
+    freq_p[:L] = np.asarray(chrom.freq, dtype=np.float32)
+
+    key = (id(mesh), winsize, float(error))
+    fn = _sharded_cache.get(key)
+    if fn is None:
+        n_sp = mesh.shape[AXIS_SP]
+
+        def block_fn(geno_blk, freq_blk, miss_blk):
+            a = _lod_terms_block(geno_blk, freq_blk, error)
+            halo = _halo_right(a, winsize - 1, AXIS_SP)
+            a_ext = jnp.concatenate([a, halo], axis=1)
+            s = _window_sums_conv(a_ext, winsize)
+            return jnp.where(miss_blk[None, :], jnp.float32(MISSING), s)
+
+        shard_fn = jax.shard_map(
+            block_fn, mesh=mesh,
+            in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_SP), P(AXIS_SP)),
+            out_specs=P(AXIS_DP, AXIS_SP))
+        fn = jax.jit(shard_fn)
+        _sharded_cache[key] = fn
+
+    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
+    ls = NamedSharding(mesh, P(AXIS_SP))
+    win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
+             jax.device_put(miss_p, ls))
+    return DeviceWin(win=win, nind=I, nloci=L)
+
+
 # ---------------------------------------------------------------------------
 # Host-side driver helpers
 # ---------------------------------------------------------------------------

@@ -38,6 +38,25 @@ class PipelineState:
     args: ParsedArgs
     engine: str
     rng: np.random.Generator
+    mesh: object = None  # jax.sharding.Mesh for the fast engine (--tpu-mesh)
+
+
+def _resolve_mesh(spec: str, log):
+    """Parse 'DPxSP' and build the mesh (None for single-device)."""
+    if spec in ("none", "", "1", "1x1"):
+        return None
+    try:
+        parts = spec.lower().replace(",", "x").split("x")
+        n_dp = int(parts[0])
+        n_sp = int(parts[1]) if len(parts) > 1 else 1
+    except (ValueError, IndexError):
+        raise CLIError(f"ERROR: bad {cli.ARG_MESH} spec '{spec}' "
+                       "(expected DPxSP, e.g. 4x2)")
+    from .parallel import make_mesh
+    try:
+        return make_mesh(n_dp=n_dp, n_sp=n_sp)
+    except ValueError as e:
+        raise CLIError(f"ERROR: {e}")
 
 
 def _resolve_engine(name: str) -> str:
@@ -315,7 +334,13 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     if (auto_winsize and weighted) or auto_overlap_frac:
         variant_density = density.calc_density(num_loci, ds.chroms, centro)
 
-    st = PipelineState(log=log, args=args, engine=engine, rng=rng)
+    try:
+        mesh = _resolve_mesh(args[cli.ARG_MESH], log) \
+            if engine == "fast" else None
+    except CLIError as e:
+        log.err(str(e))
+        return -1
+    st = PipelineState(log=log, args=args, engine=engine, rng=rng, mesh=mesh)
 
     # ---------------- Winsize resolution ----------------
     kde_result = None
@@ -453,7 +478,13 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
         cc = c
         if ind_idx is not None:
             cc = _subset_chrom(c, ind_idx)
-        if st.engine == "fast":
+        if st.engine == "fast" and st.mesh is not None and not use_gl:
+            # SPMD over the ("dp", "sp") mesh: individuals data-parallel,
+            # loci sequence-parallel with a ppermute halo
+            from .parallel.engine import lod_windows_sharded
+            out.append(lod_windows_sharded(cc, centro, winsize, error,
+                                           max_gap, st.mesh))
+        elif st.engine == "fast":
             # device-resident: no [I, L] matrix crosses the host link
             out.append(device_win.lod_windows_device(
                 cc, centro, winsize, error, max_gap, use_gl))

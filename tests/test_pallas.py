@@ -76,6 +76,26 @@ def test_pallas_packed_matches_conv(I, L, W):
     np.testing.assert_allclose(got[live], ref[live], rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_gl_matches_conv():
+    from garlic_tpu.ops.pallas_lod import lod_windows_pallas_gl
+    rng = np.random.default_rng(3)
+    I, L, W = 7, 900, 19
+    geno = rng.integers(0, 3, (I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.04] = -9
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    gl = np.clip(rng.random((I, L)), 1e-6, 0.99)
+    pos = np.cumsum(rng.integers(100, 4000, L)).astype(np.int64)
+    miss = lod_ops.window_missing_mask(pos, W, 100000, pos[300], pos[330])
+    ref = np.asarray(lod_ops.lod_windows_fast_gl(
+        jnp.asarray(geno), jnp.asarray(freq), jnp.asarray(gl),
+        jnp.asarray(miss), W))
+    got = np.asarray(lod_windows_pallas_gl(geno, freq, gl, miss, W,
+                                           interpret=True))
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_degenerate_no_windows():
     geno, table, miss = _case(4, 10, 20, with_mask=False)
     out = np.asarray(lod_windows_pallas(geno, table, miss, 20,

@@ -108,6 +108,51 @@ def test_gmm_step_matches_numpy():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("mesh_spec", ["4x2", "8x1", "2x4"])
+def test_pipeline_end_to_end_on_mesh(tmp_path, mesh_spec):
+    """Full CLI run with --tpu-mesh on the virtual 8-device CPU mesh must
+    produce the same BED as the single-device fast engine."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+
+    panel = make_panel(nind=22, nloci_per_chr=(3000, 2000), seed=13)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0",
+            "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", mesh_spec,
+                                "--out", "meshed"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "meshed.roh.bed")).read()
+    assert a == b
+
+
+def test_pipeline_mesh_with_auto_cutoff(tmp_path):
+    """Auto KDE cutoff through the sharded path (thinned device samples
+    must exclude mesh padding)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+
+    panel = make_panel(nind=30, nloci_per_chr=(6000,), seed=17)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "50", "--error", "0.001", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", "4x2", "--out", "meshed"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "meshed.roh.bed")).read()
+    assert a == b
+
+
 def test_factor_devices():
     assert factor_devices(8) == (2, 4)
     assert factor_devices(1) == (1, 1)
