@@ -48,7 +48,8 @@ def _load():
             return None
         lib = ctypes.CDLL(so)
         lib.gt_tped_open.restype = ctypes.c_void_p
-        lib.gt_tped_open.argtypes = [ctypes.c_char_p, ctypes.c_char]
+        lib.gt_tped_open.argtypes = [ctypes.c_char_p, ctypes.c_char,
+                                     ctypes.c_int]
         lib.gt_tped_nchrom.restype = ctypes.c_int
         lib.gt_tped_nchrom.argtypes = [ctypes.c_void_p]
         lib.gt_tped_nind.restype = ctypes.c_int64
@@ -103,7 +104,8 @@ def parse_tped_native(path: str, missing: str,
     lib = _load()
     if lib is None:
         return None
-    h = lib.gt_tped_open(path.encode(), missing.encode()[0:1] or b"0")
+    h = lib.gt_tped_open(path.encode(), missing.encode()[0:1] or b"0",
+                         1 if want_fc else 0)
     if not h:
         raise IOError(f"native TPED parse failed for {path}")
     try:

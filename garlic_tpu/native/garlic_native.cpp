@@ -21,11 +21,15 @@
 
 #include <cctype>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -41,16 +45,47 @@ struct ChromBlock {
   std::vector<double> gpos;
   std::vector<double> freq;
   std::vector<char> allele;
-  std::string names;  // '\n'-joined locus names
-  std::vector<int8_t> geno;        // [L][I] locus-major (transposed on copy)
-  std::vector<uint8_t> first_copy; // [L][I]
+  std::string names;       // '\n'-joined locus names
+  int64_t row_offset = 0;  // first locus row in the handle's arenas
 };
 
 struct TpedHandle {
   std::vector<ChromBlock> chroms;
+  // Locus-major [total_rows][nind] genotype arena shared by all
+  // chromosomes: ONE reservation sized from the gzip ISIZE footer instead
+  // of per-chromosome growing vectors (repeated 100MB reallocations cost
+  // ~10s of page-fault churn under this VM).
+  std::vector<int8_t> geno;
+  std::vector<uint8_t> first_copy;  // empty when want_fc == 0
+  bool has_fc = true;
   int64_t nind = 0;
   std::string error;
 };
+
+// Uncompressed-size estimate: gzip stores ISIZE (mod 2^32) in the last 4
+// footer bytes; plain files use their size directly.
+int64_t uncompressed_size_hint(const char *path) {
+  FILE *fp = fopen(path, "rb");
+  if (!fp) return 0;
+  unsigned char head[2] = {0, 0};
+  size_t got_h = fread(head, 1, 2, fp);
+  if (got_h == 2 && head[0] == 0x1f && head[1] == 0x8b) {
+    if (fseek(fp, -4, SEEK_END) == 0) {
+      unsigned char b[4];
+      if (fread(b, 1, 4, fp) == 4) {
+        fclose(fp);
+        return (int64_t)b[0] | ((int64_t)b[1] << 8) | ((int64_t)b[2] << 16)
+               | ((int64_t)b[3] << 24);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+  fseek(fp, 0, SEEK_END);
+  long sz = ftell(fp);
+  fclose(fp);
+  return sz > 0 ? (int64_t)sz : 0;
+}
 
 // Read one line from a gzFile into buf (grows as needed). Returns false on EOF.
 bool read_line(gzFile f, std::string &buf) {
@@ -152,18 +187,59 @@ void parse_line(const char *p, const char *end, char missing, int64_t nind,
 // (zlib), tokenization of each decompressed chunk's lines fans out over
 // OpenMP threads (the reference parses single-threaded via `>>`,
 // src/garlic-data.cpp:10-177; byte-identical results, ~NCPU x faster).
-void *gt_tped_open(const char *path, char missing) {
+void *gt_tped_open(const char *path, char missing, int want_fc) {
   const bool timing = getenv("GT_PARSE_TIMING") != nullptr;
   double t_read = 0, t_split = 0, t_parse = 0, t_append = 0;
   auto now = [] { return std::chrono::steady_clock::now(); };
   auto secs = [](auto a, auto b) {
     return std::chrono::duration<double>(b - a).count();
   };
+  int64_t size_hint = uncompressed_size_hint(path);
   gzFile f = gzopen(path, "rb");
   if (!f) return nullptr;
   gzbuffer(f, 1 << 20);
   auto *h = new TpedHandle;
+  h->has_fc = want_fc != 0;
   const size_t CHUNK = 64u << 20;
+
+  // Producer thread: sequential gz inflation into a depth-2 chunk queue,
+  // overlapping with tokenization/appends on the consumer side.
+  struct Q {
+    std::mutex m;
+    std::condition_variable cv;
+    std::deque<std::pair<std::string, bool>> chunks;  // (data, is_last)
+    bool failed = false;
+    bool abort = false;
+  } q;
+  std::thread reader([&] {
+    for (;;) {
+      std::string c(CHUNK, '\0');
+      int got = gzread(f, &c[0], (unsigned)CHUNK);
+      if (got < 0) {
+        std::lock_guard<std::mutex> lk(q.m);
+        q.failed = true;
+        q.chunks.emplace_back(std::string(), true);
+        q.cv.notify_all();
+        return;
+      }
+      c.resize((size_t)got);
+      bool last = (size_t)got < CHUNK;
+      {
+        std::unique_lock<std::mutex> lk(q.m);
+        q.cv.wait(lk, [&] { return q.chunks.size() < 2 || q.abort; });
+        if (q.abort) return;
+        q.chunks.emplace_back(std::move(c), last);
+        q.cv.notify_all();
+      }
+      if (last) return;
+    }
+  });
+  auto abort_reader = [&] {
+    std::lock_guard<std::mutex> lk(q.m);
+    q.abort = true;
+    q.cv.notify_all();
+  };
+
   std::string buf;
   buf.reserve(CHUNK + (1u << 20));
   std::string carry;
@@ -178,14 +254,20 @@ void *gt_tped_open(const char *path, char missing) {
   bool done = false;
   while (!done) {
     auto t0 = now();
+    std::string chunk;
+    {
+      std::unique_lock<std::mutex> lk(q.m);
+      q.cv.wait(lk, [&] { return !q.chunks.empty(); });
+      chunk = std::move(q.chunks.front().first);
+      done = q.chunks.front().second;
+      q.chunks.pop_front();
+      q.cv.notify_all();
+      if (q.failed) { h->error = "gzread failed"; break; }
+    }
     buf.assign(carry);
     carry.clear();
-    buf.resize(buf.size() + CHUNK);
-    int got = gzread(f, &buf[buf.size() - CHUNK], (unsigned)CHUNK);
-    if (got < 0) { h->error = "gzread failed"; break; }
-    buf.resize(buf.size() - CHUNK + (size_t)got);
+    buf += chunk;
     t_read += secs(t0, now());
-    done = (size_t)got < CHUNK;
     // hold back the trailing partial line
     if (!done) {
       size_t last_nl = buf.rfind('\n');
@@ -216,8 +298,15 @@ void *gt_tped_open(const char *path, char missing) {
       std::string first(starts[0], lens[0]);
       int nf = count_fields(first);
       nind = (nf - 4) / 2;
-      if (nind <= 0) { h->error = "bad tped line"; break; }
+      if (nind <= 0) { h->error = "bad tped line"; abort_reader(); break; }
       h->nind = nind;
+      if (size_hint > 0) {
+        // one arena reservation for the whole file (+3% slack)
+        int64_t est_rows = size_hint / (int64_t)(lens[0] + 1) + 16;
+        est_rows += est_rows / 32;
+        h->geno.reserve((size_t)(est_rows * nind));
+        if (h->has_fc) h->first_copy.reserve((size_t)(est_rows * nind));
+      }
     }
     t_split += secs(t1, now());
     auto t2 = now();
@@ -240,14 +329,14 @@ void *gt_tped_open(const char *path, char missing) {
     size_t span_start = (size_t)-1;
     auto flush_span = [&](size_t begin, size_t end_excl) {
       if (begin == (size_t)-1 || begin >= end_excl) return;
-      size_t cnt = end_excl - begin;
-      blk->geno.insert(blk->geno.end(),
-                       geno_chunk.begin() + begin * nind,
-                       geno_chunk.begin() + end_excl * nind);
-      blk->first_copy.insert(blk->first_copy.end(),
+      h->geno.insert(h->geno.end(),
+                     geno_chunk.begin() + begin * nind,
+                     geno_chunk.begin() + end_excl * nind);
+      if (h->has_fc) {
+        h->first_copy.insert(h->first_copy.end(),
                              fc_chunk.begin() + begin * nind,
                              fc_chunk.begin() + end_excl * nind);
-      (void)cnt;
+      }
     };
     for (size_t i = 0; i < n; i++) {
       LineRec &r = recs[i];
@@ -264,6 +353,7 @@ void *gt_tped_open(const char *path, char missing) {
         h->chroms.emplace_back();
         blk = &h->chroms.back();
         blk->name.assign(r.chrom_b, r.chrom_len);
+        blk->row_offset = (int64_t)(h->geno.size() / (size_t)nind);
         prev_chr = blk->name;
       }
       if (span_start == (size_t)-1) span_start = i;
@@ -276,13 +366,17 @@ void *gt_tped_open(const char *path, char missing) {
     }
     if (h->error.empty()) flush_span(span_start, n);
     t_append += secs(t3, now());
-    if (!h->error.empty()) break;
+    if (!h->error.empty()) {
+      abort_reader();
+      break;
+    }
   }
   if (timing) {
     fprintf(stderr,
-            "[gt_parse] read=%.2fs split=%.2fs parse=%.2fs append=%.2fs\n",
+            "[gt_parse] wait=%.2fs split=%.2fs parse=%.2fs append=%.2fs\n",
             t_read, t_split, t_parse, t_append);
   }
+  reader.join();
   gzclose(f);
   if (!h->error.empty() || h->chroms.empty()) {
     delete h;
@@ -334,7 +428,7 @@ void transpose_blocked(const T *src, T *dst, int64_t L, int64_t I) {
 
 // Copy chromosome c into caller buffers. geno/first_copy become
 // individual-major [I][L].  first_copy may be null (skip — unphased runs
-// never read it).
+// never read it; also absent when opened with want_fc=0).
 void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
                   char *alleles, int8_t *geno, uint8_t *first_copy,
                   double *freq, char *names_buf) {
@@ -347,9 +441,10 @@ void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
   memcpy(alleles, b.allele.data(), L * sizeof(char));
   memcpy(freq, b.freq.data(), L * sizeof(double));
   memcpy(names_buf, b.names.data(), b.names.size());
-  transpose_blocked(b.geno.data(), geno, L, I);
-  if (first_copy != nullptr) {
-    transpose_blocked(b.first_copy.data(), first_copy, L, I);
+  transpose_blocked(h->geno.data() + b.row_offset * I, geno, L, I);
+  if (first_copy != nullptr && h->has_fc) {
+    transpose_blocked(h->first_copy.data() + b.row_offset * I, first_copy,
+                      L, I);
   }
 }
 
