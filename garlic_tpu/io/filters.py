@@ -37,7 +37,26 @@ class _FilteredNames:
         return (self._parent[int(i)] for i in self._idx)
 
 
+def _compact(arr, keep: np.ndarray):
+    """Column compaction: in-place C++ memmove of kept spans when
+    possible (a fresh compacted copy costs seconds of page faults at WGS
+    scale under virtualization), numpy fallback otherwise.  The result
+    may be a [:, :nkeep] view over the original buffer."""
+    if arr is None:
+        return None
+    try:
+        from ..native import filter_columns_native
+        out = filter_columns_native(arr, keep)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    return np.ascontiguousarray(np.compress(keep, arr, axis=1))
+
+
 def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
+    if keep.all():
+        return c  # nothing filtered: avoid copying the [I, L] matrices
     idx = np.flatnonzero(keep)
     return ChromData(
         chrom=c.chrom,
@@ -45,11 +64,10 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         gpos=c.gpos[idx],
         locus_names=_FilteredNames(c.locus_names, idx),
         alleles=c.alleles[idx],
-        genotypes=np.ascontiguousarray(c.genotypes[:, idx]),
+        genotypes=_compact(c.genotypes, keep),
         freq=c.freq[idx],
-        first_copy=(None if c.first_copy is None
-                    else np.ascontiguousarray(c.first_copy[:, idx])),
-        gl=None if c.gl is None else np.ascontiguousarray(c.gl[:, idx]),
+        first_copy=_compact(c.first_copy, keep),
+        gl=_compact(c.gl, keep),
     )
 
 

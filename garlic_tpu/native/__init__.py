@@ -7,6 +7,7 @@ errors fall back to the pure-Python implementations transparently.
 
 from .build import (  # noqa: F401
     assemble_runs_native,
+    filter_columns_native,
     lod_windows_exact_native,
     native_available,
     parse_tped_native,

@@ -79,6 +79,14 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.gt_filter_columns.restype = ctypes.c_int64
+        lib.gt_filter_columns.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.gt_pack_2bit.restype = None
+        lib.gt_pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
+                                     ctypes.POINTER(ctypes.c_uint8),
+                                     ctypes.c_int64]
         lib.gt_assemble_runs.restype = ctypes.c_int64
         lib.gt_assemble_runs.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -147,6 +155,20 @@ def parse_tped_native(path: str, missing: str,
         return out
     finally:
         lib.gt_tped_close(h)
+
+
+def filter_columns_native(arr: np.ndarray, keep: np.ndarray):
+    """In-place column compaction; returns a [:, :nkeep] view or None if
+    the native lib is unavailable.  arr must be C-contiguous [I, L]."""
+    lib = _load()
+    if lib is None or not arr.flags.c_contiguous:
+        return None
+    keep_u8 = np.ascontiguousarray(keep, dtype=np.uint8)
+    I, L = arr.shape
+    nkeep = lib.gt_filter_columns(
+        arr.ctypes.data_as(ctypes.c_void_p), I, L, arr.itemsize,
+        keep_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return arr[:, :nkeep]
 
 
 def write_freq_chrom_native(path: str, append: bool, chrom: str,

@@ -603,4 +603,63 @@ int64_t gt_assemble_runs(const uint8_t *covered_packed, int64_t row_bytes,
   return n;
 }
 
+// In-place column compaction of an [I][row_stride] matrix (elem_size
+// bytes per element): keeps columns where keep[l] != 0, moving kept spans
+// left with memmove (kept columns are usually >99% contiguous runs, so
+// this is a handful of big moves per row and allocates NOTHING — a fresh
+// compacted copy costs seconds of page faults under virtualization).
+// Returns the number of kept columns.
+int64_t gt_filter_columns(void *data, int64_t I, int64_t L,
+                          int64_t elem_size, const uint8_t *keep) {
+  // build kept spans once
+  std::vector<std::pair<int64_t, int64_t>> spans;  // (start, len)
+  int64_t l = 0;
+  int64_t nkeep = 0;
+  while (l < L) {
+    if (keep[l]) {
+      int64_t s = l;
+      while (l < L && keep[l]) l++;
+      spans.emplace_back(s, l - s);
+      nkeep += l - s;
+    } else {
+      l++;
+    }
+  }
+  char *base = (char *)data;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < I; i++) {
+    char *row = base + i * L * elem_size;
+    int64_t dst = 0;
+    for (const auto &sp : spans) {
+      if (sp.first != dst) {
+        memmove(row + dst * elem_size, row + sp.first * elem_size,
+                (size_t)(sp.second * elem_size));
+      }
+      dst += sp.second;
+    }
+  }
+  return nkeep;
+}
+
+// Pack int8 genotype codes (0/1/2/-9) into 2-bit lanes, 4 per byte
+// (little-endian), -9 -> 3.  One pass, no intermediates — the numpy
+// formulation allocates ~5 hundred-MB temporaries whose fresh-page
+// faults cost seconds under virtualization.  n must be a multiple of 4.
+void gt_pack_2bit(const int8_t *src, uint8_t *dst, int64_t n) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; i += 4) {
+    uint8_t b = 0;
+    for (int k = 0; k < 4; k++) {
+      int8_t v = src[i + k];
+      uint8_t c = v < 0 ? 3 : (uint8_t)v;
+      b |= (uint8_t)(c << (2 * k));
+    }
+    dst[i >> 2] = b;
+  }
+}
+
 }  // extern "C"

@@ -32,6 +32,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_buf_cache = {}
+
+
+def _scratch(shape, dtype, fill=None) -> np.ndarray:
+    """Reused host staging buffer: fresh 100MB+ allocations fault a page
+    at a time under virtualization (~10s each); refilling a cached buffer
+    is two big memsets/memcpys (~0.1s)."""
+    key = (shape, np.dtype(dtype).str)
+    buf = _buf_cache.get(key)
+    if buf is None:
+        buf = np.empty(shape, dtype)
+        _buf_cache[key] = buf
+    if fill is not None:
+        buf.fill(fill)
+    return buf
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("winsize", "block_i", "block_l", "interpret"))
@@ -226,11 +243,11 @@ def lod_windows_pallas_gl(geno: np.ndarray, freq: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _cdiv(nwin, block_l) * block_l
     L2 = NW2 + HW
-    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp = _scratch((I2, L2), np.int8, fill=-9)
     gp[:I, :L] = np.asarray(geno)
-    fp = np.zeros(L2, dtype=np.float32)
+    fp = _scratch((L2,), np.float32, fill=0)
     fp[:L] = np.asarray(freq, dtype=np.float32)
-    ep = np.zeros((I2, L2), dtype=np.float32)
+    ep = _scratch((I2, L2), np.float32, fill=0)
     ep[:I, :L] = np.asarray(gl, dtype=np.float32)
     win = _gl_entry(jnp.asarray(gp), jnp.asarray(fp), jnp.asarray(ep), W,
                     block_i, block_l, interpret)
@@ -284,11 +301,27 @@ def pack_genotypes(gp: np.ndarray) -> np.ndarray:
     4x fewer host->device bytes — the host link, not HBM bandwidth, is the
     transfer bottleneck.
 
-    Packing works on a contiguous uint32 view (each u32 = 4 genotype
-    bytes, little-endian) — the naive [:, k::4] strided formulation costs
-    ~12s on a 200 x 500k panel vs ~0.3s for this one."""
+    Packs in one C++ pass when the native lib is available: the numpy
+    formulations allocate several hundred-MB temporaries whose fresh-page
+    faults cost seconds under virtualization."""
+    I, L = gp.shape
+    try:
+        import ctypes
+
+        from ..native.build import _load
+        lib = _load()
+        if lib is not None:
+            src = np.ascontiguousarray(gp, dtype=np.int8)
+            out = np.empty((I, L // 4), dtype=np.uint8)
+            lib.gt_pack_2bit(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                I * L)
+            return out
+    except Exception:
+        pass
     codes = np.where(gp == -9, 3, gp).astype(np.uint8)
-    v = np.ascontiguousarray(codes).reshape(gp.shape[0], -1).view(np.uint32)
+    v = np.ascontiguousarray(codes).reshape(I, -1).view(np.uint32)
     packed = ((v & 0x3) | ((v >> 6) & 0xC) | ((v >> 12) & 0x30)
               | ((v >> 18) & 0xC0))
     return packed.astype(np.uint8)
@@ -312,9 +345,9 @@ def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _cdiv(nwin, block_l) * block_l
     L2 = NW2 + HW
-    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp = _scratch((I2, L2), np.int8, fill=-9)
     gp[:I, :L] = np.asarray(geno)
-    fp = np.zeros(L2, dtype=np.float32)
+    fp = _scratch((L2,), np.float32, fill=0)
     fp[:L] = np.asarray(freq, dtype=np.float32)
     win = _packed_entry(jnp.asarray(pack_genotypes(gp)), jnp.asarray(fp),
                         error, W, block_i, block_l, interpret)
@@ -343,9 +376,9 @@ def lod_windows_pallas(geno: np.ndarray, table: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _cdiv(nwin, block_l) * block_l
     L2 = NW2 + HW
-    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp = _scratch((I2, L2), np.int8, fill=-9)
     gp[:I, :L] = np.asarray(geno)
-    tp = np.zeros((8, L2), dtype=np.float32)
+    tp = _scratch((8, L2), np.float32, fill=0)
     tp[:4, :L] = np.asarray(table, dtype=np.float32)[:4, :L]
     win = _lod_windows_pallas_padded(
         jnp.asarray(gp), jnp.asarray(tp), W, block_i, block_l, interpret)

@@ -329,6 +329,7 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
 
     log.log("Total loci used for analysis:", new_loci)
     num_loci = new_loci
+    prof.mark("filter", num_loci, "loci")
 
     variant_density = -1.0
     if (auto_winsize and weighted) or auto_overlap_frac:
