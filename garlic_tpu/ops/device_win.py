@@ -26,10 +26,17 @@ from ..core.types import MISSING
 
 @dataclass
 class DeviceWin:
-    """One chromosome's [I, L] f32 window-score matrix living on device."""
-    win: object          # jax.Array [I, L] float32, MISSING-padded
+    """One chromosome's f32 window-score matrix living on device.
+
+    win is either [I', L'] (I' >= nind, L' >= nloci; MISSING beyond
+    nwin = nloci - W + 1) or, when nwin is set, a bucketed [I2, NW2]
+    matrix holding window-start columns only (NW2 >= nwin, MISSING past
+    nwin).  Accessors always present the reference's [nind, nloci]
+    MISSING-tailed view."""
+    win: object
     nind: int
     nloci: int
+    nwin: int = -1   # -1: win already spans nloci columns
 
     @property
     def shape(self):
@@ -41,9 +48,14 @@ class DeviceWin:
 
     def to_numpy(self) -> np.ndarray:
         if not hasattr(self, "_host"):
-            # slice away any mesh-padding rows/columns
-            self._host = np.asarray(
-                self.win, dtype=np.float64)[:self.nind, :self.nloci]
+            if self.nwin < 0:
+                self._host = np.asarray(
+                    self.win, dtype=np.float64)[:self.nind, :self.nloci]
+            else:
+                host = np.full((self.nind, self.nloci), float(MISSING))
+                src = np.asarray(self.win, dtype=np.float64)
+                host[:, :self.nwin] = src[:self.nind, :self.nwin]
+                self._host = host
         return self._host
 
 
@@ -86,10 +98,13 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
             # window sum through the MXU in bf16 despite
             # preferred_element_type=f32; the kernel keeps true f32 adds).
             # 2-bit genotype packing + on-device table: 4x fewer host
-            # link bytes.
-            from .pallas_lod import lod_windows_pallas_packed
-            win = lod_windows_pallas_packed(chrom.genotypes, chrom.freq,
-                                            error, missing, winsize)
+            # link bytes.  Bucketed padded output: one compiled kernel
+            # serves every chromosome shape.
+            from .pallas_lod import lod_windows_pallas_packed_raw
+            win, nwin_real = lod_windows_pallas_packed_raw(
+                chrom.genotypes, chrom.freq, error, missing, winsize)
+            return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci,
+                             nwin=nwin_real)
         else:
             table = lod_table(chrom.freq, error).astype(np.float32)
             win = lod_windows_fast_jax(jnp.asarray(chrom.genotypes),
@@ -131,19 +146,24 @@ def _covered_kernel_factory():
 
     @partial(jax.jit, static_argnames=("winsize",))
     def _covered(win, cutoff, threshold, winsize: int):
+        # win columns are window-start slots (possibly only nwin + bucket
+        # padding wide); SNP s is covered by window starts in
+        # [s - W + 1, s], so pad W-1 zeros on BOTH sides and the VALID
+        # conv yields coverage for SNPs 0..N+W-2 (>= nloci).
         above = (win >= cutoff).astype(jnp.float32)
-        I, L = above.shape
-        padded = jnp.concatenate(
-            [jnp.zeros((I, winsize - 1), jnp.float32), above], axis=1)
+        I, N = above.shape
+        z = jnp.zeros((I, winsize - 1), jnp.float32)
+        padded = jnp.concatenate([z, above, z], axis=1)
+        outw = N + winsize - 1
         counts = lax.conv_general_dilated(
-            padded.reshape(I, 1, L + winsize - 1),
+            padded.reshape(I, 1, N + 2 * (winsize - 1)),
             jnp.ones((1, 1, winsize), jnp.float32),
             window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32).reshape(I, L)
+            preferred_element_type=jnp.float32).reshape(I, outw)
         covered = counts >= threshold
         # pack along loci: 8 SNP flags per byte for the host link
-        pad = (-L) % 8
+        pad = (-outw) % 8
         cp = jnp.concatenate(
             [covered, jnp.zeros((I, pad), bool)], axis=1) if pad else covered
         return jnp.packbits(cp, axis=1, bitorder="little")

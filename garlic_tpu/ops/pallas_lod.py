@@ -32,6 +32,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _bucket(n: int, q: int) -> int:
+    """Round n up to a multiple of q, then (past 64k) to the next power of
+    two: one compiled kernel serves every chromosome in a genome instead
+    of one compile per chromosome length (a 22-chromosome run would
+    otherwise pay ~22 Mosaic/XLA compilations)."""
+    import math
+    m = _cdiv(n, q) * q
+    if m <= (64 << 10):
+        return m
+    return 1 << math.ceil(math.log2(m))
+
+
 _buf_cache = {}
 
 
@@ -327,13 +339,59 @@ def pack_genotypes(gp: np.ndarray) -> np.ndarray:
     return packed.astype(np.uint8)
 
 
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _packed_masked_entry(packed, freq, error, missing, winsize: int,
+                         block_i: int, block_l: int,
+                         interpret: bool = False):
+    """Packed core + in-graph window-missing mask (missing [1, NW2] int8,
+    1 past nwin).  Returns the PADDED [I2, NW2] matrix — bucketed shapes
+    mean one compilation serves every chromosome."""
+    import jax.numpy as jnp
+    win = _packed_entry(packed, freq, error, winsize, block_i, block_l,
+                        interpret)
+    return jnp.where(missing != 0, jnp.float32(MISSING), win)
+
+
+def lod_windows_pallas_packed_raw(geno: np.ndarray, freq: np.ndarray,
+                                  error: float, missing: np.ndarray,
+                                  winsize: int, block_i: int = 32,
+                                  block_l: int = 1024,
+                                  interpret: bool = False):
+    """Device-resident variant: returns (win [I2, NW2] f32 device array,
+    nwin).  Window starts >= nwin are MISSING; callers slice rows/cols as
+    needed.  NW2 is bucketed so every chromosome shares one compiled
+    kernel."""
+    import jax.numpy as jnp
+
+    I, L = geno.shape
+    W = winsize
+    nwin = L - W + 1
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _bucket(max(nwin, 1), block_l)
+    L2 = NW2 + HW
+    gp = _scratch((I2, L2), np.int8, fill=-9)
+    gp[:I, :L] = np.asarray(geno)
+    fp = _scratch((L2,), np.float32, fill=0)
+    fp[:L] = np.asarray(freq, dtype=np.float32)
+    mp = _scratch((1, NW2), np.int8, fill=1)
+    mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    win = _packed_masked_entry(
+        jnp.asarray(pack_genotypes(gp)), jnp.asarray(fp), error,
+        jnp.asarray(mp), W, block_i, block_l, interpret)
+    return win, nwin
+
+
 def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
                               error: float, missing: np.ndarray,
                               winsize: int, block_i: int = 32,
                               block_l: int = 1024,
                               interpret: bool = False):
-    """Same contract as lod_windows_pallas but ships 2-bit genotypes and
-    [L] f32 frequencies instead of int8 genotypes + an [8, L] table."""
+    """Same contract as lod_windows_pallas ([I, L] output) but ships 2-bit
+    genotypes and [L] f32 frequencies instead of int8 genotypes + an
+    [8, L] table."""
     import jax.numpy as jnp
 
     I, L = geno.shape
@@ -341,19 +399,10 @@ def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
     nwin = L - W + 1
     if nwin <= 0:
         return jnp.full((I, L), jnp.float32(MISSING))
-    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
-    I2 = _cdiv(I, block_i) * block_i
-    NW2 = _cdiv(nwin, block_l) * block_l
-    L2 = NW2 + HW
-    gp = _scratch((I2, L2), np.int8, fill=-9)
-    gp[:I, :L] = np.asarray(geno)
-    fp = _scratch((L2,), np.float32, fill=0)
-    fp[:L] = np.asarray(freq, dtype=np.float32)
-    win = _packed_entry(jnp.asarray(pack_genotypes(gp)), jnp.asarray(fp),
-                        error, W, block_i, block_l, interpret)
+    win, _ = lod_windows_pallas_packed_raw(geno, freq, error, missing,
+                                           winsize, block_i, block_l,
+                                           interpret)
     out = win[:I, :nwin]
-    m = jnp.asarray(np.asarray(missing)[:nwin])
-    out = jnp.where(m[None, :], jnp.float32(MISSING), out)
     pad = jnp.full((I, W - 1), jnp.float32(MISSING))
     return jnp.concatenate([out, pad], axis=1)
 

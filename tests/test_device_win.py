@@ -1,0 +1,90 @@
+"""DeviceWin layout tests: the bucketed padded [I2, NW2] representation
+must be indistinguishable from the plain [I, L] layout through every
+accessor (to_numpy, thinned samples, coverage masks, assembly)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from garlic_tpu.core.types import MISSING
+from garlic_tpu.ops import assembly
+from garlic_tpu.ops.device_win import (DeviceWin, covered_mask,
+                                       thinned_block)
+
+
+def _pair(I=9, L=333, W=12, I2=32, NW2=512, seed=0):
+    """Build equivalent plain and padded DeviceWins from random scores."""
+    rng = np.random.default_rng(seed)
+    nwin = L - W + 1
+    scores = rng.normal(size=(I, nwin)).astype(np.float32)
+    miss = rng.random(nwin) < 0.1
+    scores[:, miss] = MISSING
+
+    plain = np.full((I, L), np.float32(MISSING), dtype=np.float32)
+    plain[:, :nwin] = scores
+    padded = np.full((I2, NW2), np.float32(MISSING), dtype=np.float32)
+    padded[:I, :nwin] = scores
+    # bucket padding rows hold garbage that accessors must never leak
+    padded[I:, :] = 123.0
+    a = DeviceWin(win=jnp.asarray(plain), nind=I, nloci=L)
+    b = DeviceWin(win=jnp.asarray(padded), nind=I, nloci=L, nwin=nwin)
+    return a, b
+
+
+def test_to_numpy_equivalent():
+    a, b = _pair()
+    np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_thinned_equivalent_sample_sets():
+    a, b = _pair(seed=3)
+    for step in (1, 7, 12):
+        ta = thinned_block(a, step)
+        tb = thinned_block(b, step)
+        # identical non-MISSING sample multisets (slot layouts may differ
+        # past nwin, but those slots are all MISSING)
+        va = np.sort(ta[ta != MISSING])
+        vb = np.sort(tb[tb != MISSING])
+        np.testing.assert_array_equal(va, vb)
+
+
+def test_covered_mask_equivalent():
+    a, b = _pair(seed=5, W=12)
+    ca = covered_mask(a, 0.5, 12, 3.0)
+    cb = covered_mask(b, 0.5, 12, 3.0)
+    np.testing.assert_array_equal(ca[: a.nind], cb[: b.nind])
+    assert ca.shape[1] == a.nloci and cb.shape[1] == b.nloci
+
+
+class _Centro:
+    def start(self, c):
+        return 10**9
+
+    def end(self, c):
+        return 10**9 + 1
+
+
+class _Chrom:
+    def __init__(self, L, seed):
+        rng = np.random.default_rng(seed)
+        self.chrom = "chr1"
+        self.positions = np.cumsum(
+            rng.integers(200, 3000, L)).astype(np.int64)
+        self.gpos = np.zeros(L)
+
+
+def test_assembly_equivalent():
+    I, L, W = 9, 333, 12
+    a, b = _pair(I=I, L=L, W=W, seed=7)
+    chrom = _Chrom(L, 7)
+    ids = [f"I{i}" for i in range(I)]
+    ra, la = assembly.assemble_roh([a], [chrom], ids, _Centro(), 0.4, W,
+                                   200000, 0.25, False)
+    rb, lb = assembly.assemble_roh([b], [chrom], ids, _Centro(), 0.4, W,
+                                   200000, 0.25, False)
+    np.testing.assert_array_equal(la, lb)
+    for x, y in zip(ra, rb):
+        assert [(c.start, c.stop, c.size) for c in x.calls] == \
+               [(c.start, c.stop, c.size) for c in y.calls]
