@@ -33,14 +33,13 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _bucket(n: int, q: int) -> int:
-    """Round n up to a multiple of q, then (past 64k) to the next power of
-    two: one compiled kernel serves every chromosome in a genome instead
-    of one compile per chromosome length (a 22-chromosome run would
-    otherwise pay ~22 Mosaic/XLA compilations)."""
+    """Round n up to the next power of two (>= max(q, 8192)): a genome's
+    22 different chromosome lengths collapse to 1-3 compiled shapes for
+    the Pallas kernel AND every downstream jitted device op, instead of
+    one multi-second compilation per length.  Costs <2x padding on
+    device-side compute that runs at G-windows/s anyway."""
     import math
-    m = _cdiv(n, q) * q
-    if m <= (64 << 10):
-        return m
+    m = max(_cdiv(n, q) * q, max(q, 8192))
     return 1 << math.ceil(math.log2(m))
 
 

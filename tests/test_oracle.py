@@ -195,6 +195,27 @@ def test_winsize_multi_explore(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_cm_units_bed_identical(oracle_bin, tmp_path):
+    """--cm: ROH lengths in genetic-map units (sizes become cM floats in
+    the BED, bounds in cM)."""
+    from .util import write_map_scaffold
+    panel, tped, tfam = _prepare(tmp_path, nind=25,
+                                 nloci_per_chr=(4000, 3000), seed=41)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--cm",
+            "--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--lod-cutoff", "1.2", "--size-bounds", "0.3", "0.9",
+            "--kde-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
 def test_raw_lod_windows_match(oracle_bin, tmp_path):
     """--raw-lod dumps are the direct Phase-I comparison artifact."""
     args = BASE_ARGS + ["--raw-lod", "--lod-cutoff", "1.5",
