@@ -216,6 +216,63 @@ def test_cm_units_bed_identical(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_phased_weighted_r2_bed_identical(oracle_bin, tmp_path):
+    """--weighted --phased: r2 LD from first-copy haplotype bits
+    (src/garlic-data.cpp:585-617)."""
+    from .util import write_map_scaffold
+    panel, tped, tfam = _prepare(tmp_path, nind=22,
+                                 nloci_per_chr=(2500, 2000), seed=47)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted", "--phased",
+            "--build", "hg18", "--winsize", "30", "--error", "0.002",
+            "--lod-cutoff", "40", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
+def test_auto_overlap_frac(oracle_bin, tmp_path):
+    """--auto-overlap-frac: density-derived overlap fraction
+    (selectOverlapFrac, src/garlic-data.cpp:3-8)."""
+    args = ["--build", "hg18", "--winsize", "50", "--error", "0.001",
+            "--auto-overlap-frac", "--lod-cutoff", "1.3",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=30, nloci_per_chr=(5000,), seed=51))
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+    diffs = diff_logs(read_text(os.path.join(wd, "oracle.log")),
+                      read_text(os.path.join(wd, "ours.log")))
+    assert not diffs, diffs[:10]
+
+
+@pytest.mark.slow
+def test_freq_file_input(oracle_bin, tmp_path):
+    """--freq-file: user frequencies skip recomputation; allele-flip on
+    disagreement exercised by feeding the oracle's own freq output back."""
+    panel, tped, tfam = _prepare(tmp_path, nind=30,
+                                 nloci_per_chr=(4000,), seed=53)
+    wd = str(tmp_path)
+    base = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--lod-cutoff", "1.2", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, base + ["--out", "seed"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    args = base + ["--freq-file", "seed.freq.gz"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
 def test_raw_lod_windows_match(oracle_bin, tmp_path):
     """--raw-lod dumps are the direct Phase-I comparison artifact."""
     args = BASE_ARGS + ["--raw-lod", "--lod-cutoff", "1.5",
