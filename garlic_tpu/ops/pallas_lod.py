@@ -254,11 +254,12 @@ def lod_windows_pallas_gl(geno: np.ndarray, freq: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _cdiv(nwin, block_l) * block_l
     L2 = NW2 + HW
-    gp = _scratch((I2, L2), np.int8, fill=-9)
+    # all three feed jnp.asarray (async H2D) -> fresh buffers per call
+    gp = np.full((I2, L2), -9, dtype=np.int8)
     gp[:I, :L] = np.asarray(geno)
-    fp = _scratch((L2,), np.float32, fill=0)
+    fp = np.zeros(L2, dtype=np.float32)
     fp[:L] = np.asarray(freq, dtype=np.float32)
-    ep = _scratch((I2, L2), np.float32, fill=0)
+    ep = np.zeros((I2, L2), dtype=np.float32)
     ep[:I, :L] = np.asarray(gl, dtype=np.float32)
     win = _gl_entry(jnp.asarray(gp), jnp.asarray(fp), jnp.asarray(ep), W,
                     block_i, block_l, interpret)
@@ -371,11 +372,14 @@ def lod_windows_pallas_packed_raw(geno: np.ndarray, freq: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _bucket(max(nwin, 1), block_l)
     L2 = NW2 + HW
+    # gp is consumed synchronously by pack_genotypes -> safe to reuse;
+    # fp/mp feed jnp.asarray (async H2D) -> fresh per call, else the next
+    # chromosome's refill races the in-flight transfer
     gp = _scratch((I2, L2), np.int8, fill=-9)
     gp[:I, :L] = np.asarray(geno)
-    fp = _scratch((L2,), np.float32, fill=0)
+    fp = np.zeros(L2, dtype=np.float32)
     fp[:L] = np.asarray(freq, dtype=np.float32)
-    mp = _scratch((1, NW2), np.int8, fill=1)
+    mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
     win = _packed_masked_entry(
         jnp.asarray(pack_genotypes(gp)), jnp.asarray(fp), error,
@@ -424,9 +428,10 @@ def lod_windows_pallas(geno: np.ndarray, table: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _cdiv(nwin, block_l) * block_l
     L2 = NW2 + HW
-    gp = _scratch((I2, L2), np.int8, fill=-9)
+    # both feed jnp.asarray (async H2D) -> fresh buffers per call
+    gp = np.full((I2, L2), -9, dtype=np.int8)
     gp[:I, :L] = np.asarray(geno)
-    tp = _scratch((8, L2), np.float32, fill=0)
+    tp = np.zeros((8, L2), dtype=np.float32)
     tp[:4, :L] = np.asarray(table, dtype=np.float32)[:4, :L]
     win = _lod_windows_pallas_padded(
         jnp.asarray(gp), jnp.asarray(tp), W, block_i, block_l, interpret)
