@@ -633,10 +633,17 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
             print(f"Calculating LOD scores with winsize {wq}.", file=sys.stderr)
             for c in ds.chroms:
                 print(f"{c.chrom}    ", file=sys.stderr, end="")
-                ldm = ld_ops.calc_ld(c, wq, phased, sub_idx, engine=st.engine)
                 cc = _subset_chrom(c, ind_idx) if ind_idx is not None else c
-                win_by_chr.append(wlod_ops.wlod_windows(
-                    cc, centro, ldm, wq, error, max_gap, use_gl, mu, M))
+                if st.engine == "fast":
+                    from .ops import device_wlod
+                    ldm = device_wlod.ld_band_device(c, wq, phased, sub_idx)
+                    win_by_chr.append(device_wlod.wlod_windows_device(
+                        cc, centro, ldm, wq, error, max_gap, use_gl, mu, M))
+                else:
+                    ldm = ld_ops.calc_ld(c, wq, phased, sub_idx,
+                                         engine=st.engine)
+                    win_by_chr.append(wlod_ops.wlod_windows(
+                        cc, centro, ldm, wq, error, max_gap, use_gl, mu, M))
             print(file=sys.stderr)
         else:
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
