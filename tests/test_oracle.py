@@ -273,6 +273,29 @@ def test_freq_file_input(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_short_chromosome_edge(oracle_bin, tmp_path):
+    """A chromosome shorter than winsize yields no windows (all MISSING)
+    and no calls; the pipeline must not crash on either engine."""
+    args = ["--build", "hg18", "--winsize", "60", "--error", "0.001",
+            "--lod-cutoff", "1.5", "--size-bounds", "400000", "900000",
+            "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=20, nloci_per_chr=(3000, 40),
+                                 seed=61))
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
+def test_single_individual(oracle_bin, tmp_path):
+    args = ["--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--lod-cutoff", "1.2", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=1, nloci_per_chr=(3000,), seed=63))
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
 def test_raw_lod_windows_match(oracle_bin, tmp_path):
     """--raw-lod dumps are the direct Phase-I comparison artifact."""
     args = BASE_ARGS + ["--raw-lod", "--lod-cutoff", "1.5",
