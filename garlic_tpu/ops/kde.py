@@ -19,6 +19,9 @@ from dataclasses import dataclass
 import numpy as np
 
 
+_block_bufs = {}
+
+
 @dataclass
 class KDEResult:
     x: np.ndarray  # [512] float64 targets
@@ -81,19 +84,33 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
         for s in range(0, n, step):
             out += np.asarray(_block(src[s:s + step], tgt), dtype=np.float64)
         return out * q
-    out = np.zeros(targets.shape[0], dtype=np.float64)
+    m = targets.shape[0]
+    out = np.zeros(m, dtype=np.float64)
     t = targets[None, :]
     inv_h2 = 1.0 / (h * h)
-    step = 1 << 16
+    step = 1 << 13
+    # one reused block buffer, all ops in place: per-block temporaries at
+    # WGS sample counts are hundreds of MB of fresh pages each, which this
+    # VM faults at ~10 MB/s; cached across calls (winsize searches call
+    # repeatedly)
+    key = (min(step, n), m)
+    buf = _block_bufs.get(key)
+    if buf is None:
+        buf = np.empty(key, dtype=np.float64)
+        _block_bufs[key] = buf
     for s in range(0, n, step):
-        d = sources[s:s + step, None] - t
-        e = -(d * d) * inv_h2
+        k = min(step, n - s)
+        b = buf[:k]
+        np.subtract(sources[s:s + k, None], t, out=b)
+        np.multiply(b, b, out=b)
+        b *= -inv_h2
         # clamp at -700: exp(-700) ~ 1e-304 is still a normal double, so no
         # subnormal results are produced (x86 FP-assist traps on subnormals
         # make the unclamped version ~50x slower); the 1e-304 floor is
         # invisible at the .kde file's %g precision
-        np.maximum(e, -700.0, out=e)
-        out += np.exp(e, out=e).sum(axis=0)
+        np.maximum(b, -700.0, out=b)
+        np.exp(b, out=b)
+        out += b.sum(axis=0)
     return out * q
 
 
