@@ -7,8 +7,10 @@ errors fall back to the pure-Python implementations transparently.
 
 from .build import (  # noqa: F401
     assemble_runs_native,
+    covered_pack_native,
     filter_columns_native,
     lod_windows_exact_native,
+    lod_windows_exact_tbl_native,
     native_available,
     parse_tped_native,
     write_freq_chrom_native,

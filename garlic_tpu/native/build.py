@@ -79,10 +79,20 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.gt_lod_windows_exact_tbl.restype = None
+        lib.gt_lod_windows_exact_tbl.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
         lib.gt_filter_columns.restype = ctypes.c_int64
         lib.gt_filter_columns.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.gt_covered_pack.restype = None
+        lib.gt_covered_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.gt_pack_2bit.restype = None
         lib.gt_pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
                                      ctypes.POINTER(ctypes.c_uint8),
@@ -155,6 +165,24 @@ def parse_tped_native(path: str, missing: str,
         return out
     finally:
         lib.gt_tped_close(h)
+
+
+def covered_pack_native(win: np.ndarray, winsize: int, cutoff: float,
+                        threshold: float):
+    """One-pass coverage+threshold+packbits over a f64 [I, L] window
+    matrix; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(win, dtype=np.float64)
+    I, L = w.shape
+    row_bytes = (L + 7) // 8
+    out = np.empty((I, row_bytes), dtype=np.uint8)
+    lib.gt_covered_pack(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), I, L, winsize,
+        float(cutoff), float(threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), row_bytes)
+    return out
 
 
 def filter_columns_native(arr: np.ndarray, keep: np.ndarray):
@@ -232,6 +260,34 @@ def assemble_runs_native(covered_packed: np.ndarray, br: np.ndarray,
             cap = -n
             continue
         return (out_ind[:n], out_start[:n], out_stop[:n], out_size[:n])
+
+
+def lod_windows_exact_tbl_native(geno: np.ndarray, table: np.ndarray,
+                                 missing: np.ndarray,
+                                 winsize: int) -> Optional[np.ndarray]:
+    """Exact f64 rolling LOD straight from genotypes + a [4, L] per-locus
+    table (row 3 = missing = 0); skips materializing the [I, L] terms
+    matrix.  None if the native lib is unavailable."""
+    from ..core.types import MISSING
+    lib = _load()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(geno, dtype=np.int8)
+    t = np.ascontiguousarray(table, dtype=np.float64)
+    I, L = g.shape
+    assert t.shape == (4, L)
+    nwin = max(L - winsize + 1, 0)
+    miss = np.ascontiguousarray(missing, dtype=np.uint8)
+    if miss.shape[0] < nwin:
+        raise ValueError("missing mask too short")
+    win = np.empty((I, L), dtype=np.float64)
+    lib.gt_lod_windows_exact_tbl(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        I, L, winsize, float(MISSING),
+        win.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return win
 
 
 def lod_windows_exact_native(terms: np.ndarray, missing: np.ndarray,

@@ -603,6 +603,51 @@ int64_t gt_assemble_runs(const uint8_t *covered_packed, int64_t row_bytes,
   return n;
 }
 
+// Table-driven exact rolling LOD: identical to gt_lod_windows_exact but
+// reads per-locus f64 lod values from a [4][L] table indexed by genotype
+// class (0/1/2, -9 -> row 3 == 0.0) instead of a materialized [I][L]
+// terms matrix — per-(genotype, locus) values are exactly the scalar
+// lod() results, so the f64 summation stays bit-identical to the
+// reference (src/garlic-roh.cpp:46-126,355-386).
+void gt_lod_windows_exact_tbl(const int8_t *geno, const double *table,
+                              const uint8_t *missing, int64_t I, int64_t L,
+                              int64_t W, double miss_val, double *win) {
+  int64_t nwin = L - W + 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t ind = 0; ind < I; ind++) {
+    const int8_t *g = geno + ind * L;
+    double *w = win + ind * L;
+    for (int64_t l = 0; l < L; l++) w[l] = miss_val;
+    if (nwin <= 0) continue;
+    auto term = [&](int64_t l) -> double {
+      int8_t v = g[l];
+      int row = v < 0 ? 3 : (int)v;
+      return table[(size_t)row * L + l];
+    };
+    int64_t l = 0;
+    bool have_acc = false;
+    double acc = 0.0;
+    while (l < nwin) {
+      if (missing[l]) {
+        have_acc = false;
+        l++;
+        continue;
+      }
+      if (!have_acc) {
+        acc = 0.0;
+        for (int64_t k = 0; k < W; k++) acc += term(l + k);
+        have_acc = true;
+      } else {
+        acc = (acc - term(l - 1)) + term(l + W - 1);
+      }
+      w[l] = acc;
+      l++;
+    }
+  }
+}
+
 // In-place column compaction of an [I][row_stride] matrix (elem_size
 // bytes per element): keeps columns where keep[l] != 0, moving kept spans
 // left with memmove (kept columns are usually >99% contiguous runs, so
@@ -641,6 +686,31 @@ int64_t gt_filter_columns(void *data, int64_t I, int64_t L,
     }
   }
   return nkeep;
+}
+
+// Coverage counting + threshold + bit packing in one pass per row:
+// covered[s] = (#window-starts in [s-W+1, s] with win >= cutoff) >=
+// threshold, little-endian bit packing (row_bytes per row).  Replaces a
+// numpy cumsum/compare/packbits chain whose [I][L] temporaries fault
+// hundreds of MB (assembleROHWindows' inWin accumulation,
+// src/garlic-roh.cpp:446-454).
+void gt_covered_pack(const double *win, int64_t I, int64_t L, int64_t W,
+                     double cutoff, double threshold, uint8_t *packed,
+                     int64_t row_bytes) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < I; i++) {
+    const double *w = win + i * L;
+    uint8_t *row = packed + i * row_bytes;
+    memset(row, 0, (size_t)row_bytes);
+    int64_t cnt = 0;
+    for (int64_t s = 0; s < L; s++) {
+      if (w[s] >= cutoff) cnt++;
+      if (s >= W && w[s - W] >= cutoff) cnt--;
+      if ((double)cnt >= threshold) row[s >> 3] |= (uint8_t)(1u << (s & 7));
+    }
+  }
 }
 
 // Pack int8 genotype codes (0/1/2/-9) into 2-bit lanes, 4 per byte

@@ -166,9 +166,12 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
     if is_device_win(win):
         packed = covered_packed(win, cutoff, winsize, threshold)
     else:
-        above = win >= cutoff
-        covered = coverage_counts_batch(above, winsize) >= threshold
-        packed = np.packbits(covered, axis=1, bitorder="little")
+        from ..native import covered_pack_native
+        packed = covered_pack_native(win, winsize, cutoff, threshold)
+        if packed is None:
+            above = win >= cutoff
+            covered = coverage_counts_batch(above, winsize) >= threshold
+            packed = np.packbits(covered, axis=1, bitorder="little")
     br = pair_breaks(chrom.positions, max_gap, cstart, cend)
     return assemble_runs_native(packed, br, chrom.positions, chrom.gpos,
                                 threshold, cm)

@@ -283,6 +283,18 @@ def calc_lod_windows(chrom, centro, winsize: int, error: float,
                                        jnp.asarray(table),
                                        jnp.asarray(missing), winsize)
         return np.asarray(win, dtype=np.float64)
+    if not use_gl:
+        # table-driven native kernel: same per-(genotype, locus) f64
+        # values, no [I, L] terms materialization
+        try:
+            from ..native import lod_windows_exact_tbl_native
+            table = lod_table(chrom.freq, error)
+            win = lod_windows_exact_tbl_native(chrom.genotypes, table,
+                                               missing, winsize)
+            if win is not None:
+                return win
+        except ImportError:
+            pass
     err = chrom.gl if use_gl else error
     terms = lod_terms(chrom.genotypes, chrom.freq, err)
     return lod_windows_exact(terms, missing, winsize)
