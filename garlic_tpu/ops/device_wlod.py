@@ -124,35 +124,48 @@ def _assemble_band(P, winsize: int):
 
 def ld_band_device(chrom, winsize: int, phased: bool,
                    sub_idx: Optional[np.ndarray] = None):
-    """Full [L, W] LD matrix on device (calcLDData per-chr step)."""
+    """Full [L2 >= L, W] LD matrix on device (calcLDData per-chr step).
+
+    Loci are padded to a power-of-two bucket with missing genotypes
+    (freq/hom-freq 0 -> pairwise LD 0 there) so one compiled program
+    serves every chromosome length; rows >= nwin are never read by the
+    wLOD window sum."""
     import jax.numpy as jnp
     from .ld import geno_hom_freq
+    from .pallas_lod import _bucket
     g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
+    I, L = g.shape
+    L2 = _bucket(L, 128)
+    gp = np.full((I, L2), -9, dtype=np.int8)
+    gp[:, :L] = g
     if phased:
         fc = chrom.first_copy if sub_idx is None \
             else chrom.first_copy[sub_idx]
-        P = _r2_band(jnp.asarray(g), jnp.asarray(fc),
-                     jnp.asarray(chrom.freq, dtype=jnp.float32), winsize)
+        fcp = np.zeros((I, L2), dtype=bool)
+        fcp[:, :L] = fc
+        fp = np.zeros(L2, dtype=np.float32)
+        fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
+        P = _r2_band(jnp.asarray(gp), jnp.asarray(fcp), jnp.asarray(fp),
+                     winsize)
     else:
         hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
-        P = _hr2_band(jnp.asarray(g),
-                      jnp.asarray(np.nan_to_num(hf), dtype=jnp.float32),
-                      winsize)
+        hp = np.zeros(L2, dtype=np.float32)
+        hp[:L] = np.nan_to_num(hf)
+        P = _hr2_band(jnp.asarray(gp), jnp.asarray(hp), winsize)
     return _assemble_band(P, winsize)
 
 
 @partial(__import__("jax").jit, static_argnames=("winsize",))
 def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
-    """win [I, L] f32: Σ_j score[:, l+j] * inv_ld[l, j], masked."""
+    """win [I, NW2] f32 (padded window-start layout): for each start l,
+    Σ_j score[:, l+j] * inv_ld[l, j], masked by missing [1, NW2] int8."""
     import jax.numpy as jnp
-    I, L = score.shape
-    nwin = L - winsize + 1
-    acc = jnp.zeros((I, nwin), jnp.float32)
+    I, L2 = score.shape
+    nw2 = L2 - winsize + 1
+    acc = jnp.zeros((I, nw2), jnp.float32)
     for j in range(winsize):
-        acc = acc + score[:, j:j + nwin] * inv_ld[:nwin, j][None, :]
-    acc = jnp.where(missing[None, :], jnp.float32(MISSING), acc)
-    pad = jnp.full((I, winsize - 1), jnp.float32(MISSING))
-    return jnp.concatenate([acc, pad], axis=1)
+        acc = acc + score[:, j:j + nw2] * inv_ld[:nw2, j][None, :]
+    return jnp.where(missing != 0, jnp.float32(MISSING), acc)
 
 
 def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
@@ -171,8 +184,15 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
     cend = centro.end(chrom.chrom)
     missing = window_missing_mask(chrom.positions, winsize, max_gap,
                                   cstart, cend)
+    # pad to the LD band's bucketed length (scores 0 there; masked anyway)
+    L2 = ld_dev.shape[0]
     score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
+    sp = np.zeros((I, L2), dtype=np.float32)
+    sp[:, :L] = score
+    nw2 = L2 - winsize + 1
+    mp = np.ones((1, nw2), dtype=np.int8)
+    mp[0, :nwin] = missing.astype(np.int8)
     inv_ld = 1.0 / ld_dev
-    win = _wlod_windows_dev(jnp.asarray(score), inv_ld,
-                            jnp.asarray(missing), winsize)
-    return DeviceWin(win=win, nind=I, nloci=L)
+    win = _wlod_windows_dev(jnp.asarray(sp), inv_ld, jnp.asarray(mp),
+                            winsize)
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)

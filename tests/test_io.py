@@ -208,6 +208,21 @@ def test_tgls_gq_conversion(tmp_path):
          [10 ** (20 / -10), 10 ** (40 / -10)]])
 
 
+def test_resample_deterministic_with_seed(tmp_path):
+    """--resample draws Binomial(n, freq)/n; with --tpu-seed the run is
+    reproducible (the reference's time(NULL) seeding is not)."""
+    p = str(tmp_path / "r.tped")
+    _write(p, TPED_BASIC)
+    rng1 = np.random.default_rng(42)
+    rng2 = np.random.default_rng(42)
+    ds1, _ = tped.load_tped(p, "0", 50, False, True, RunLog(), rng1)
+    ds2, _ = tped.load_tped(p, "0", 50, False, True, RunLog(), rng2)
+    for a, b in zip(ds1.chroms, ds2.chroms):
+        np.testing.assert_array_equal(a.freq, b.freq)
+        # resampled freqs are multiples of 1/50
+        assert np.all(np.abs(a.freq * 50 - np.round(a.freq * 50)) < 1e-9)
+
+
 def test_genetic_map_interpolation(tmp_path):
     """Linear interpolation between scaffold anchors
     (src/garlic-data.cpp:702-757)."""
