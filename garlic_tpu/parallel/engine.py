@@ -251,11 +251,24 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
     freq_p = np.zeros(L2, dtype=np.float32)
     freq_p[:L] = np.asarray(chrom.freq, dtype=np.float32)
 
+    fn = make_sharded_lod_fn(mesh, winsize, error)
+    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
+    ls = NamedSharding(mesh, P(AXIS_SP))
+    win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
+             jax.device_put(miss_p, ls))
+    return DeviceWin(win=win, nind=I, nloci=L)
+
+
+def make_sharded_lod_fn(mesh, winsize: int, error: float):
+    """Jitted SPMD window-scan step over `mesh` (cached per config):
+    (geno P(dp,sp), freq P(sp), win_missing P(sp)) -> win P(dp,sp)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
     key = (id(mesh), winsize, float(error))
     fn = _sharded_cache.get(key)
     if fn is None:
-        n_sp = mesh.shape[AXIS_SP]
-
         def block_fn(geno_blk, freq_blk, miss_blk):
             a = _lod_terms_block(geno_blk, freq_blk, error)
             halo = _halo_right(a, winsize - 1, AXIS_SP)
@@ -269,12 +282,7 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
             out_specs=P(AXIS_DP, AXIS_SP))
         fn = jax.jit(shard_fn)
         _sharded_cache[key] = fn
-
-    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
-    ls = NamedSharding(mesh, P(AXIS_SP))
-    win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
-             jax.device_put(miss_p, ls))
-    return DeviceWin(win=win, nind=I, nloci=L)
+    return fn
 
 
 # ---------------------------------------------------------------------------
