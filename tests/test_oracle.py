@@ -296,6 +296,21 @@ def test_single_individual(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_error_file_parity(oracle_bin, tmp_path):
+    """.error content matches: empty on clean runs, warning lines match
+    (e.g. the low max-gap warning, src/garlic-cli.cpp checkMaxGap)."""
+    args = ["--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--max-gap", "500", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=15, nloci_per_chr=(2000,), seed=71))
+    a = read_text(os.path.join(wd, "oracle.error"))
+    b = read_text(os.path.join(wd, "ours.error"))
+    assert a == b
+    assert "WARNING" in b  # the low max-gap warning fired on both
+
+
+@pytest.mark.slow
 def test_raw_lod_windows_match(oracle_bin, tmp_path):
     """--raw-lod dumps are the direct Phase-I comparison artifact."""
     args = BASE_ARGS + ["--raw-lod", "--lod-cutoff", "1.5",
