@@ -303,8 +303,25 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     prof.mark("load", num_loci * ds.nind, "genotypes")
 
     # ---------------- Allele frequencies ----------------
+    freq_writer = None
     if auto_freq:
-        freqfile.write_freq(outfile + ".freq", ds.chroms, log)
+        # overlap the gz freq write with filtering + Phase I: the writer
+        # only reads per-locus arrays (positions/alleles/freq/names), which
+        # filtering re-slices rather than mutates; joined after Phase I.
+        import threading
+        freq_exc = []
+
+        def _write_freq(chroms_snapshot):
+            try:
+                freqfile.write_freq(outfile + ".freq", chroms_snapshot, log)
+            except BaseException as e:  # surfaced at join
+                freq_exc.append(e)
+
+        # non-daemon: early returns (errors, explore mode) still let the
+        # write finish at interpreter exit instead of truncating the file
+        freq_writer = threading.Thread(target=_write_freq,
+                                       args=(list(ds.chroms),), daemon=False)
+        freq_writer.start()
     else:
         print(f"Loading user provided allele frequencies from {freqfile_arg}")
         try:
@@ -401,6 +418,10 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     else:
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
                                        max_gap, use_gl)
+    if freq_writer is not None:
+        freq_writer.join()
+        if freq_exc:
+            raise freq_exc[0]
     prof.mark("phase1-lod",
               sum(max(c.nloci - winsize + 1, 0) for c in ds.chroms)
               * ds.nind, "windows")
