@@ -12,6 +12,7 @@ from .build import (  # noqa: F401
     lod_windows_exact_native,
     lod_windows_exact_tbl_native,
     native_available,
+    pack_2bit_padded_native,
     parse_tped_native,
     write_freq_chrom_native,
 )

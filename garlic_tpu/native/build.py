@@ -97,6 +97,11 @@ def _load():
         lib.gt_pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
                                      ctypes.POINTER(ctypes.c_uint8),
                                      ctypes.c_int64]
+        lib.gt_pack_2bit_padded.restype = None
+        lib.gt_pack_2bit_padded.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64]
         lib.gt_assemble_runs.restype = ctypes.c_int64
         lib.gt_assemble_runs.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -165,6 +170,24 @@ def parse_tped_native(path: str, missing: str,
         return out
     finally:
         lib.gt_tped_close(h)
+
+
+def pack_2bit_padded_native(geno: np.ndarray, I2: int, L2: int):
+    """Fused pad+pack: [I, L] int8 (rows may be strided views) ->
+    [I2, L2/4] u8 2-bit codes with missing padding; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    I, L = geno.shape
+    if geno.strides[1] != 1:
+        geno = np.ascontiguousarray(geno)
+    row_stride = geno.strides[0]
+    out = np.empty((I2, L2 // 4), dtype=np.uint8)
+    lib.gt_pack_2bit_padded(
+        geno.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), I, L,
+        row_stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I2, L2 // 4)
+    return out
 
 
 def covered_pack_native(win: np.ndarray, winsize: int, cutoff: float,

@@ -713,6 +713,46 @@ void gt_covered_pack(const double *win, int64_t I, int64_t L, int64_t W,
   }
 }
 
+// Fused pad+pack: read an [I][L] int8 genotype matrix (row stride in
+// elements, so filtered [:, :nkeep] views work) and emit the padded
+// [I2][Lq] 2-bit matrix directly (rows >= I and columns >= L become the
+// missing code 3).  Replaces a 115MB staging buffer fill + copy + pack.
+void gt_pack_2bit_padded(const int8_t *src, int64_t I, int64_t L,
+                         int64_t row_stride, uint8_t *dst, int64_t I2,
+                         int64_t Lq) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < I2; i++) {
+    uint8_t *row = dst + i * Lq;
+    if (i >= I) {
+      memset(row, 0xFF, (size_t)Lq);  // all-missing padding rows
+      continue;
+    }
+    const int8_t *s = src + i * row_stride;
+    int64_t full = L / 4;
+    for (int64_t q = 0; q < full; q++) {
+      uint8_t b = 0;
+      for (int k = 0; k < 4; k++) {
+        int8_t v = s[q * 4 + k];
+        b |= (uint8_t)((v < 0 ? 3u : (uint8_t)v) << (2 * k));
+      }
+      row[q] = b;
+    }
+    if (full < Lq) {
+      // partial quad at the L boundary, then missing padding
+      uint8_t b = 0;
+      for (int k = 0; k < 4; k++) {
+        int64_t l = full * 4 + k;
+        uint8_t c = l < L ? (s[l] < 0 ? 3u : (uint8_t)s[l]) : 3u;
+        b |= (uint8_t)(c << (2 * k));
+      }
+      row[full] = b;
+      if (full + 1 < Lq) memset(row + full + 1, 0xFF, (size_t)(Lq - full - 1));
+    }
+  }
+}
+
 // Pack int8 genotype codes (0/1/2/-9) into 2-bit lanes, 4 per byte
 // (little-endian), -9 -> 3.  One pass, no intermediates — the numpy
 // formulation allocates ~5 hundred-MB temporaries whose fresh-page

@@ -372,17 +372,25 @@ def lod_windows_pallas_packed_raw(geno: np.ndarray, freq: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _bucket(max(nwin, 1), block_l)
     L2 = NW2 + HW
-    # gp is consumed synchronously by pack_genotypes -> safe to reuse;
-    # fp/mp feed jnp.asarray (async H2D) -> fresh per call, else the next
-    # chromosome's refill races the in-flight transfer
-    gp = _scratch((I2, L2), np.int8, fill=-9)
-    gp[:I, :L] = np.asarray(geno)
+    # fused pad+pack in C++ reads geno directly (strided views OK) and
+    # emits the padded 2-bit matrix; packed/fp/mp feed jnp.asarray (async
+    # H2D) and are fresh per call so the next chromosome cannot race the
+    # in-flight transfer
+    try:
+        from ..native import pack_2bit_padded_native
+        packed = pack_2bit_padded_native(np.asarray(geno), I2, L2)
+    except ImportError:
+        packed = None
+    if packed is None:
+        gp = _scratch((I2, L2), np.int8, fill=-9)
+        gp[:I, :L] = np.asarray(geno)
+        packed = pack_genotypes(gp)
     fp = np.zeros(L2, dtype=np.float32)
     fp[:L] = np.asarray(freq, dtype=np.float32)
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
     win = _packed_masked_entry(
-        jnp.asarray(pack_genotypes(gp)), jnp.asarray(fp), error,
+        jnp.asarray(packed), jnp.asarray(fp), error,
         jnp.asarray(mp), W, block_i, block_l, interpret)
     return win, nwin
 
