@@ -208,6 +208,44 @@ def test_tgls_gq_conversion(tmp_path):
          [10 ** (20 / -10), 10 ** (40 / -10)]])
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_tped_parser_fuzz_native_vs_python(tmp_path, seed):
+    """Randomized TPED content (mixed separators, missing patterns, varied
+    allele chars, chromosome runs): native and Python parsers must agree
+    exactly."""
+    rng = np.random.default_rng(seed + 1000)
+    nind = int(rng.integers(1, 12))
+    lines = []
+    chrom_names = [str(c) for c in rng.choice(
+        ["1", "2", "X", "chr3", "22"], size=3, replace=False)]
+    for chrom in chrom_names:
+        for l in range(int(rng.integers(3, 40))):
+            seps = [" ", "\t", "  ", " \t"]
+            toks = [chrom, f"rs_{chrom}_{l}",
+                    f"{rng.random() * 10:.4f}", str(int(rng.integers(1, 10**8)))]
+            for i in range(nind):
+                for a in rng.choice(["A", "C", "G", "T", "0"], size=2,
+                                    p=[.3, .3, .15, .15, .1]):
+                    toks.append(str(a))
+            line = ""
+            for t in toks:
+                line += t + str(rng.choice(seps))
+            lines.append(line.rstrip())
+    p = str(tmp_path / "fuzz.tped")
+    _write(p, "\n".join(lines) + ("\n" if rng.random() < 0.5 else ""))
+    ds_n, n_n = _load(p, native=True)
+    ds_p, n_p = _load(p, native=False)
+    assert n_n == n_p
+    assert [c.chrom for c in ds_n.chroms] == [c.chrom for c in ds_p.chroms]
+    for a, b in zip(ds_n.chroms, ds_p.chroms):
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.freq, b.freq)
+        assert list(a.locus_names) == list(b.locus_names)
+        np.testing.assert_array_equal(np.asarray(a.alleles),
+                                      np.asarray(b.alleles))
+
+
 def test_resample_deterministic_with_seed(tmp_path):
     """--resample draws Binomial(n, freq)/n; with --tpu-seed the run is
     reproducible (the reference's time(NULL) seeding is not)."""

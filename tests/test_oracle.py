@@ -296,6 +296,50 @@ def test_single_individual(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("gl_type", ["GQ", "PL", "GL"])
+def test_tgls_pipeline_bed_identical(oracle_bin, tmp_path, gl_type):
+    """Genotype likelihoods replace the scalar error per (ind, locus)
+    (src/garlic-roh.cpp:68,91-95); all three GL formats."""
+    from .util import write_tgls
+    panel, tped, tfam = _prepare(tmp_path, nind=20,
+                                 nloci_per_chr=(3000,), seed=81)
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), gl_type)
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--tgls", "p.tgls.gz", "--gl-type", gl_type,
+            "--build", "hg18", "--winsize", "40",
+            "--lod-cutoff", "1.2", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
+def test_weighted_tgls_combined(oracle_bin, tmp_path):
+    """--weighted + --tgls: wLOD scores with per-genotype GL error."""
+    from .util import write_map_scaffold, write_tgls
+    panel, tped, tfam = _prepare(tmp_path, nind=18,
+                                 nloci_per_chr=(2500,), seed=83)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), "GQ")
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted",
+            "--tgls", "p.tgls.gz", "--gl-type", "GQ",
+            "--build", "hg18", "--winsize", "30",
+            "--lod-cutoff", "40", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
 def test_error_file_parity(oracle_bin, tmp_path):
     """.error content matches: empty on clean runs, warning lines match
     (e.g. the low max-gap warning, src/garlic-cli.cpp checkMaxGap)."""

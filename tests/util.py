@@ -107,6 +107,27 @@ def write_tped(panel: Panel, tped_path: str, tfam_path: str,
             f.write(f"{panel.pop} {ind} 0 0 0 -9\n")
 
 
+def write_tgls(panel: Panel, path: str, gl_type: str = "GQ",
+               seed: int = 5) -> None:
+    """Write a TGLS likelihood file aligned with the panel's TPED rows
+    (4 leading columns + one value per individual,
+    src/garlic-data.cpp:1516-1586)."""
+    rng = np.random.default_rng(seed)
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wt") as f:
+        for ci, chrom in enumerate(panel.chrom_names):
+            pos = panel.positions[ci]
+            for l in range(len(pos)):
+                if gl_type == "GQ":
+                    vals = rng.integers(20, 60, size=len(panel.ind_ids))
+                elif gl_type == "PL":
+                    vals = rng.integers(0, 40, size=len(panel.ind_ids))
+                else:  # GL: log10 P(right)
+                    vals = -rng.random(len(panel.ind_ids)) * 0.01
+                f.write(f"{chrom} rs{ci}_{l} 0 {int(pos[l])} "
+                        + " ".join(str(v) for v in vals) + "\n")
+
+
 def write_map_scaffold(panel: Panel, path: str, rate_cm_per_mb=1.2) -> List[np.ndarray]:
     """Write a 4-col genetic map scaffold covering each chromosome with a
     coarse grid; returns per-chr true gpos at data sites (approx)."""
