@@ -83,9 +83,11 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
     import jax
     if use_gl:
         if jax.default_backend() == "tpu":
-            from .pallas_lod import lod_windows_pallas_gl
-            win = lod_windows_pallas_gl(chrom.genotypes, chrom.freq,
-                                        chrom.gl, missing, winsize)
+            from .pallas_lod import lod_windows_pallas_gl_raw
+            win, nwin_real = lod_windows_pallas_gl_raw(
+                chrom.genotypes, chrom.freq, chrom.gl, missing, winsize)
+            return DeviceWin(win=win, nind=chrom.nind, nloci=chrom.nloci,
+                             nwin=nwin_real)
         else:
             win = lod_windows_fast_gl(jnp.asarray(chrom.genotypes),
                                       jnp.asarray(chrom.freq),

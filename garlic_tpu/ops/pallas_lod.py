@@ -237,12 +237,52 @@ def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
                                       interpret)
 
 
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _gl_masked_entry(geno, freq, gl, missing, winsize: int, block_i: int,
+                     block_l: int, interpret: bool = False):
+    import jax.numpy as jnp
+    win = _gl_entry(geno, freq, gl, winsize, block_i, block_l, interpret)
+    return jnp.where(missing != 0, jnp.float32(MISSING), win)
+
+
+def lod_windows_pallas_gl_raw(geno: np.ndarray, freq: np.ndarray,
+                              gl: np.ndarray, missing: np.ndarray,
+                              winsize: int, block_i: int = 32,
+                              block_l: int = 1024,
+                              interpret: bool = False):
+    """TGLS variant of lod_windows_pallas_packed_raw: (win [I2, NW2],
+    nwin), bucketed shapes."""
+    import jax.numpy as jnp
+
+    I, L = geno.shape
+    W = winsize
+    nwin = L - W + 1
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _bucket(max(nwin, 1), block_l)
+    L2 = NW2 + HW
+    # all inputs feed jnp.asarray (async H2D) -> fresh buffers per call
+    gp = np.full((I2, L2), -9, dtype=np.int8)
+    gp[:I, :L] = np.asarray(geno)
+    fp = np.zeros(L2, dtype=np.float32)
+    fp[:L] = np.asarray(freq, dtype=np.float32)
+    ep = np.zeros((I2, L2), dtype=np.float32)
+    ep[:I, :L] = np.asarray(gl, dtype=np.float32)
+    mp = np.ones((1, NW2), dtype=np.int8)
+    mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    win = _gl_masked_entry(jnp.asarray(gp), jnp.asarray(fp),
+                           jnp.asarray(ep), jnp.asarray(mp), W,
+                           block_i, block_l, interpret)
+    return win, nwin
+
+
 def lod_windows_pallas_gl(geno: np.ndarray, freq: np.ndarray,
                           gl: np.ndarray, missing: np.ndarray,
                           winsize: int, block_i: int = 32,
                           block_l: int = 1024, interpret: bool = False):
-    """TGLS variant of lod_windows_pallas_packed (true f32 window sums;
-    the conv lowering's MXU route accumulates in bf16)."""
+    """TGLS variant of lod_windows_pallas_packed ([I, L] contract)."""
     import jax.numpy as jnp
 
     I, L = geno.shape
@@ -250,22 +290,9 @@ def lod_windows_pallas_gl(geno: np.ndarray, freq: np.ndarray,
     nwin = L - W + 1
     if nwin <= 0:
         return jnp.full((I, L), jnp.float32(MISSING))
-    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
-    I2 = _cdiv(I, block_i) * block_i
-    NW2 = _cdiv(nwin, block_l) * block_l
-    L2 = NW2 + HW
-    # all three feed jnp.asarray (async H2D) -> fresh buffers per call
-    gp = np.full((I2, L2), -9, dtype=np.int8)
-    gp[:I, :L] = np.asarray(geno)
-    fp = np.zeros(L2, dtype=np.float32)
-    fp[:L] = np.asarray(freq, dtype=np.float32)
-    ep = np.zeros((I2, L2), dtype=np.float32)
-    ep[:I, :L] = np.asarray(gl, dtype=np.float32)
-    win = _gl_entry(jnp.asarray(gp), jnp.asarray(fp), jnp.asarray(ep), W,
-                    block_i, block_l, interpret)
+    win, _ = lod_windows_pallas_gl_raw(geno, freq, gl, missing, winsize,
+                                       block_i, block_l, interpret)
     out = win[:I, :nwin]
-    m = jnp.asarray(np.asarray(missing)[:nwin])
-    out = jnp.where(m[None, :], jnp.float32(MISSING), out)
     pad = jnp.full((I, W - 1), jnp.float32(MISSING))
     return jnp.concatenate([out, pad], axis=1)
 
