@@ -87,21 +87,6 @@ int64_t uncompressed_size_hint(const char *path) {
   return sz > 0 ? (int64_t)sz : 0;
 }
 
-// Read one line from a gzFile into buf (grows as needed). Returns false on EOF.
-bool read_line(gzFile f, std::string &buf) {
-  buf.clear();
-  char chunk[1 << 16];
-  for (;;) {
-    if (gzgets(f, chunk, sizeof(chunk)) == nullptr) return !buf.empty();
-    buf += chunk;
-    if (!buf.empty() && buf.back() == '\n') {
-      buf.pop_back();
-      if (!buf.empty() && buf.back() == '\r') buf.pop_back();
-      return true;
-    }
-  }
-}
-
 int count_fields(const std::string &s) {
   int n = 0;
   bool in_tok = false;
