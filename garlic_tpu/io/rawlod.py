@@ -20,6 +20,8 @@ from ..core.types import MISSING
 def write_win_data(win_by_chr: List[np.ndarray], chrom_names: List[str],
                    pop_name: str, outfile: str) -> None:
     for ci, win in enumerate(win_by_chr):
+        if hasattr(win, "make"):  # LazyWin: materialize per chrom, drop
+            win = win.make()
         path = f"{outfile}.{pop_name}.{chrom_names[ci]}.raw.lod.windows.gz"
         with gzip.open(path, "wt") as fout:
             for ind in range(win.shape[0]):

@@ -162,8 +162,11 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
     """(ind, start, stop, size) arrays for one chromosome via the C++
     extractor, or None to fall back to Python."""
     from ..native import assemble_runs_native
-    from .device_win import covered_packed, is_device_win
-    if is_device_win(win):
+    from .device_win import covered_packed, is_device_win, is_lazy_win
+    if is_lazy_win(win):
+        # streaming mode: materialize, extract coverage bits, drop
+        packed = covered_packed(win.make(), cutoff, winsize, threshold)
+    elif is_device_win(win):
         packed = covered_packed(win, cutoff, winsize, threshold)
     else:
         from ..native import covered_pack_native
@@ -188,7 +191,7 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
     device, only bit-packed masks cross the host link).  Run extraction
     runs in the C++ scan (a verbatim transliteration of the reference state
     machine) with a pure-Python fallback."""
-    from .device_win import covered_mask, is_device_win
+    from .device_win import covered_mask, is_device_win, is_lazy_win
     threshold = overlap_threshold(overlap_frac, winsize)
     nind = len(ind_ids)
     per_chrom = []
@@ -199,6 +202,8 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
                                   max_gap, cstart, cend, threshold, cm)
         if runs is None:
             w = win_by_chr[ci]
+            if is_lazy_win(w):
+                w = w.make()
             covered = covered_mask(w, cutoff, winsize, threshold) \
                 if is_device_win(w) else None
             calls_by_ind = []

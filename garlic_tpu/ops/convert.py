@@ -19,10 +19,13 @@ from ..core.types import MISSING
 
 def win_to_samples(win_by_chr: List[np.ndarray], step: int,
                    ind_idx: Optional[np.ndarray] = None) -> np.ndarray:
-    from .device_win import is_device_win, thinned_block
+    from .device_win import is_device_win, is_lazy_win, thinned_block
     parts = []
     for win in win_by_chr:
-        if is_device_win(win):
+        if is_lazy_win(win):
+            # streaming mode: materialize one chromosome, sample, drop
+            thinned = thinned_block(win.make(), step, ind_idx=ind_idx)
+        elif is_device_win(win):
             # device slice: only 1/step of the matrix crosses the host link
             thinned = thinned_block(win, step, ind_idx=ind_idx)
         else:

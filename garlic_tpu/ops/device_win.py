@@ -63,6 +63,36 @@ def is_device_win(obj) -> bool:
     return isinstance(obj, DeviceWin)
 
 
+class LazyWin:
+    """Rematerializable window matrix: holds a thunk instead of device
+    memory.  A 22-chromosome x 1000-individual WGS panel's window
+    matrices (~4 GB f32 each) cannot all live in HBM at once; consumers
+    call make(), extract what they need (thinned samples / coverage
+    bits), and drop the result — Phase-I compute runs at G-windows/s so
+    recomputation costs less than the memory (SURVEY.md hard part e)."""
+
+    __slots__ = ("_fn", "nind", "nloci")
+
+    def __init__(self, fn, nind: int, nloci: int):
+        self._fn = fn
+        self.nind = nind
+        self.nloci = nloci
+
+    def make(self) -> DeviceWin:
+        return self._fn()
+
+    @property
+    def shape(self):
+        return (self.nind, self.nloci)
+
+    def __getitem__(self, idx):
+        return self.make().to_numpy()[idx]
+
+
+def is_lazy_win(obj) -> bool:
+    return isinstance(obj, LazyWin)
+
+
 def lod_windows_device(chrom, centro, winsize: int, error: float,
                        max_gap: int, use_gl: bool) -> DeviceWin:
     """Phase-I fast path with NO host transfer (cf. ops.lod.calc_lod_windows

@@ -493,6 +493,23 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
     """calcLODWindows (src/garlic-roh.cpp:279-309)."""
     from .core.pbar import Bar
     print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
+    # HBM budget: when every chromosome's window matrix cannot stay
+    # device-resident at once (22-chrom WGS panels), hand back
+    # rematerializable thunks — consumers extract thinned samples /
+    # coverage bits per chromosome and recompute instead of holding
+    # (SURVEY.md hard part e).
+    streaming = False
+    if st.engine == "fast" and st.mesh is None:
+        import os as _os
+        budget = float(_os.environ.get("GARLIC_TPU_HBM_BUDGET",
+                                       8 * 1024**3))
+        est = sum(4.0 * (-(-c.nind // 32) * 32)
+                  * max(c.nloci - winsize + 1, 1) for c in ds.chroms)
+        streaming = est > budget
+        if streaming:
+            print(f"[garlic-tpu] window matrices ~{est / 1e9:.1f} GB exceed "
+                  "the HBM budget; streaming per chromosome",
+                  file=sys.stderr)
     out = []
     for c in ds.chroms:
         print(f"{c.chrom}    ", file=sys.stderr, end="")
@@ -506,6 +523,11 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
             from .parallel.engine import lod_windows_sharded
             out.append(lod_windows_sharded(cc, centro, winsize, error,
                                            max_gap, st.mesh))
+        elif st.engine == "fast" and streaming:
+            out.append(device_win.LazyWin(
+                (lambda cc=cc: device_win.lod_windows_device(
+                    cc, centro, winsize, error, max_gap, use_gl)),
+                nind=cc.nind, nloci=cc.nloci))
         elif st.engine == "fast":
             # device-resident: no [I, L] matrix crosses the host link
             out.append(device_win.lod_windows_device(

@@ -153,6 +153,38 @@ def test_pipeline_mesh_with_auto_cutoff(tmp_path):
     assert a == b
 
 
+def test_pipeline_streaming_mode_identical(tmp_path, monkeypatch):
+    """GARLIC_TPU_HBM_BUDGET forces per-chromosome rematerialization; the
+    BED must match the resident fast engine exactly."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+
+    panel = make_panel(nind=20, nloci_per_chr=(3000, 2500), seed=19)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--raw-lod",
+            "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "resident"]) == 0
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "1")  # force streaming
+    assert run_ours(wd, base + ["--out", "streamed"]) == 0
+    a = open(os.path.join(wd, "resident.roh.bed")).read()
+    b = open(os.path.join(wd, "streamed.roh.bed")).read()
+    assert a == b
+    import gzip
+    for chrom in ("chr1", "chr2"):
+        fa = os.path.join(wd, f"resident.POP1.{chrom}.raw.lod.windows.gz")
+        fb = os.path.join(wd, f"streamed.POP1.{chrom}.raw.lod.windows.gz")
+        with gzip.open(fa, "rt") as f:
+            ra = f.read()
+        with gzip.open(fb, "rt") as f:
+            rb = f.read()
+        assert ra == rb, chrom
+
+
 def test_factor_devices():
     assert factor_devices(8) == (2, 4)
     assert factor_devices(1) == (1, 1)
