@@ -76,6 +76,7 @@ ARG_ENGINE = "--tpu-engine"
 ARG_SEED = "--tpu-seed"
 ARG_PROFILE = "--tpu-profile"
 ARG_MESH = "--tpu-mesh"
+ARG_PANEL_CACHE = "--tpu-panel-cache"
 
 DEFAULT_OUTFILE = "outfile"
 DEFAULT_TPED = "none"
@@ -187,6 +188,9 @@ def _flag_specs() -> List[FlagSpec]:
                  "Device mesh 'DPxSP' for the fast engine (e.g. 4x2: individuals "
                  "sharded over 4 ways, loci over 2 with halo exchange). "
                  "Requires DP*SP visible devices; default single-device."),
+        FlagSpec(ARG_PANEL_CACHE, "bool", False,
+                 "Write/reuse a binary panel sidecar (<tped>.gtpc.npz) to skip "
+                 "TPED re-parsing on repeated runs of the same panel."),
     ]
 
 

@@ -1,0 +1,110 @@
+"""Binary panel cache: skip TPED re-parsing on repeated runs.
+
+The reference's only resumable intermediate is the freq file
+(src/garlic-main.cpp:245-259); genotype parsing is repeated every run.
+For production pipelines that call ROH repeatedly on the same panel
+(winsize sweeps, parameter tuning), `--tpu-panel-cache` writes a
+`<tped>.gtpc.npz` sidecar after the first parse (2-bit packed genotypes +
+per-chromosome metadata) and loads it on later runs when its mtime is
+newer than the TPED — cutting panel load from seconds to ~100 ms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_MAGIC = "garlic-tpu-panel-cache"
+_VERSION = 2
+
+
+def cache_path(tpedfile: str) -> str:
+    return tpedfile + ".gtpc.npz"
+
+
+def save_cache(tpedfile: str, chroms: List[dict], nind: int) -> None:
+    """Write the sidecar (best effort: failures are silent — the TPED is
+    always the source of truth)."""
+    from ..ops.pallas_lod import pack_genotypes
+
+    path = cache_path(tpedfile)
+    arrays = {"meta": np.array([_MAGIC, str(_VERSION), str(nind),
+                                str(len(chroms))])}
+    for i, c in enumerate(chroms):
+        L = c["positions"].shape[0]
+        Lp = -(-L // 4) * 4
+        geno = c["genotypes"]
+        if Lp != L:
+            gp = np.full((nind, Lp), -9, dtype=np.int8)
+            gp[:, :L] = geno
+            geno = gp
+        arrays[f"c{i}_name"] = np.array(c["chrom"])
+        arrays[f"c{i}_pos"] = np.asarray(c["positions"], dtype=np.int64)
+        arrays[f"c{i}_gpos"] = np.asarray(c["gpos"], dtype=np.float64)
+        arrays[f"c{i}_alleles"] = np.asarray(c["alleles"]).astype("S1")
+        arrays[f"c{i}_freq"] = np.asarray(c["freq"], dtype=np.float64)
+        names = c["names"]
+        raw = names.raw if hasattr(names, "raw") else \
+            "\n".join(names).encode()
+        arrays[f"c{i}_names"] = np.frombuffer(raw, dtype=np.uint8)
+        arrays[f"c{i}_geno2b"] = pack_genotypes(
+            np.ascontiguousarray(geno))
+        fc = c.get("first_copy")
+        if fc is not None:
+            arrays[f"c{i}_fc"] = np.packbits(np.asarray(fc, dtype=bool),
+                                             axis=1)
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def load_cache(tpedfile: str, want_fc: bool) -> Optional[List[dict]]:
+    """Load the sidecar if present and newer than the TPED; None to fall
+    back to parsing."""
+    from ..core.types import LocusNames
+
+    path = cache_path(tpedfile)
+    try:
+        if os.path.getmtime(path) < os.path.getmtime(tpedfile):
+            return None
+        z = np.load(path, allow_pickle=False)
+    except (OSError, ValueError):
+        return None
+    try:
+        meta = z["meta"]
+        if str(meta[0]) != _MAGIC or int(meta[1]) != _VERSION:
+            return None
+        nind = int(meta[2])
+        nchrom = int(meta[3])
+        out = []
+        for i in range(nchrom):
+            packed = z[f"c{i}_geno2b"]
+            codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
+                             axis=-1).reshape(nind, -1)
+            L = z[f"c{i}_pos"].shape[0]
+            geno = np.where(codes == 3, -9, codes).astype(np.int8)[:, :L]
+            fc = None
+            if want_fc:
+                key = f"c{i}_fc"
+                if key not in z:
+                    return None  # cache lacks phased bits; re-parse
+                fc = np.unpackbits(z[key], axis=1)[:, :L].view(np.bool_)
+            out.append({
+                "chrom": str(z[f"c{i}_name"]),
+                "positions": z[f"c{i}_pos"],
+                "gpos": z[f"c{i}_gpos"],
+                "alleles": z[f"c{i}_alleles"].astype("<U1"),
+                "genotypes": np.ascontiguousarray(geno),
+                "first_copy": fc,
+                "freq": z[f"c{i}_freq"],
+                "names": LocusNames(z[f"c{i}_names"].tobytes()),
+            })
+        return out
+    except (KeyError, ValueError):
+        return None

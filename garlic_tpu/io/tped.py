@@ -92,7 +92,7 @@ def _parse_line(line: str, tped_missing: str):
 def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
               phased: bool = False, auto_freq: bool = True,
               log=None, rng: Optional[np.random.Generator] = None,
-              ) -> Tuple[Dataset, int]:
+              panel_cache: bool = False) -> Tuple[Dataset, int]:
     """Load a TPED file into a Dataset. Returns (dataset, total_loci).
 
     Mirrors loadTPEDData (src/garlic-data.cpp:10-177). Frequency resampling
@@ -104,14 +104,30 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
         if log is not None:
             log.err("ERROR: Failed to open", tpedfile)
         raise FileNotFoundError(tpedfile)
-    try:
-        from ..native import parse_tped_native
-        native = parse_tped_native(tpedfile, tped_missing, want_fc=phased)
-    except Exception:
-        native = None
+    native = None
+    from_cache = False
+    if panel_cache:
+        from . import panelcache
+        native = panelcache.load_cache(tpedfile, want_fc=phased)
+        from_cache = native is not None
+        if from_cache:
+            print(f"Loaded panel cache {panelcache.cache_path(tpedfile)}",
+                  file=__import__("sys").stderr)
+    if native is None:
+        try:
+            from ..native import parse_tped_native
+            native = parse_tped_native(tpedfile, tped_missing,
+                                       want_fc=phased)
+        except Exception:
+            native = None
 
     if native is not None:
         ds, num_loci = _assemble_from_native(native, phased, auto_freq, log)
+        if panel_cache and not from_cache:
+            from . import panelcache
+            panelcache.save_cache(tpedfile, native, ds.nind
+                                  if ds.ind_ids else
+                                  (ds.chroms[0].nind if ds.chroms else 0))
     else:
         ds, num_loci = _load_tped_python(tpedfile, tped_missing, phased,
                                          auto_freq, log)

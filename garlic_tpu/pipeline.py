@@ -275,8 +275,9 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     centro = Centromere(build, centromere_file, cli.DEFAULT_CENTROMERE_FILE, log)
     use_gl = False
     try:
-        ds, num_loci = tped.load_tped(tpedfile, tped_missing, nresample,
-                                      phased, auto_freq, log, rng)
+        ds, num_loci = tped.load_tped(
+            tpedfile, tped_missing, nresample, phased, auto_freq, log, rng,
+            panel_cache=args[cli.ARG_PANEL_CACHE])
         log.log("Total loci:", num_loci)
         ds.ind_ids, ds.pop = tfam.read_tfam(tfamfile, log)
         num_ind = ds.nind

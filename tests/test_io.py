@@ -246,6 +246,55 @@ def test_tped_parser_fuzz_native_vs_python(tmp_path, seed):
                                       np.asarray(b.alleles))
 
 
+def test_panel_cache_roundtrip(tmp_path):
+    """--tpu-panel-cache: second load comes from the sidecar and must be
+    identical to a fresh parse."""
+    p = str(tmp_path / "pc.tped")
+    _write(p, TPED_BASIC)
+    rng = np.random.default_rng(0)
+    ds1, n1 = tped.load_tped(p, "0", 0, False, True, RunLog(), rng,
+                             panel_cache=True)
+    import os as _os
+    assert _os.path.exists(p + ".gtpc.npz")
+    ds2, n2 = tped.load_tped(p, "0", 0, False, True, RunLog(), rng,
+                             panel_cache=True)
+    assert n1 == n2
+    for a, b in zip(ds1.chroms, ds2.chroms):
+        assert a.chrom == b.chrom
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.freq, b.freq)
+        assert list(a.locus_names) == list(b.locus_names)
+        np.testing.assert_array_equal(np.asarray(a.alleles),
+                                      np.asarray(b.alleles))
+    # stale cache (tped newer) is ignored
+    _os.utime(p)
+    ds3, _ = tped.load_tped(p, "0", 0, False, True, RunLog(), rng,
+                            panel_cache=True)
+    np.testing.assert_array_equal(ds3.chroms[0].genotypes,
+                                  ds1.chroms[0].genotypes)
+
+
+def test_panel_cache_pipeline_identical(tmp_path):
+    """Full CLI runs with and without the cache produce identical BED."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+    panel = make_panel(nind=15, nloci_per_chr=(2000,), seed=23)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "plain"]) == 0
+    assert run_ours(wd, base + ["--tpu-panel-cache", "--out", "warm1"]) == 0
+    assert run_ours(wd, base + ["--tpu-panel-cache", "--out", "warm2"]) == 0
+    a = open(_os.path.join(wd, "plain.roh.bed")).read()
+    assert a == open(_os.path.join(wd, "warm1.roh.bed")).read()
+    assert a == open(_os.path.join(wd, "warm2.roh.bed")).read()
+
+
 def test_resample_deterministic_with_seed(tmp_path):
     """--resample draws Binomial(n, freq)/n; with --tpu-seed the run is
     reproducible (the reference's time(NULL) seeding is not)."""
