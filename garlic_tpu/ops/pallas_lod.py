@@ -60,6 +60,33 @@ def _scratch(shape, dtype, fill=None) -> np.ndarray:
     return buf
 
 
+def _window_sum_block(a, BI: int, BL: int, W: int):
+    """In-kernel width-W window sums over a [BI, BL + HW] f32 block.
+
+    Small W: fully unrolled shifted adds (best f32 accuracy).  Large W:
+    the unrolled form makes Mosaic materialize one live temp per add and
+    blows the 16MB scoped-VMEM limit (observed at W=300), so a block-
+    local cumsum difference is used — cancellation error stays bounded by
+    the ~BL+HW-element block, not the chromosome."""
+    import jax.numpy as jnp
+    if W <= 64:
+        acc = jnp.zeros((BI, BL), jnp.float32)
+        for k in range(W):                             # static, unrolled
+            acc = acc + a[:, k:k + BL]
+        return acc
+    # log-step (Hillis-Steele) prefix sum: Mosaic has no cumsum lowering
+    N = a.shape[1]
+    cs = a
+    shift = 1
+    while shift < N:
+        cs = cs + jnp.concatenate(
+            [jnp.zeros((BI, shift), jnp.float32), cs[:, :N - shift]], axis=1)
+        shift *= 2
+    left = jnp.concatenate(
+        [jnp.zeros((BI, 1), jnp.float32), cs[:, :BL - 1]], axis=1)
+    return cs[:, W - 1:W - 1 + BL] - left
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("winsize", "block_i", "block_l", "interpret"))
@@ -118,10 +145,7 @@ def _lod_windows_pallas_padded(geno, table, winsize: int,
                           jnp.where(g == 1, t1,
                                     jnp.where(g == 2, t2,
                                               jnp.float32(0.0))))
-            acc = jnp.zeros((BI, BL), jnp.float32)
-            for k in range(W):                         # static, unrolled
-                acc = acc + a[:, k:k + BL]
-            out_ref[:] = acc
+            out_ref[:] = _window_sum_block(a, BI, BL, W)
 
         pl.run_scoped(
             body,
@@ -182,11 +206,7 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
             cp1.start()
             cp0.wait()
             cp1.wait()
-            av = a_vmem[:]
-            acc = jnp.zeros((BI, BL), jnp.float32)
-            for k in range(W):
-                acc = acc + av[:, k:k + BL]
-            out_ref[:] = acc
+            out_ref[:] = _window_sum_block(a_vmem[:], BI, BL, W)
 
         pl.run_scoped(
             body,

@@ -76,6 +76,27 @@ def test_pallas_packed_matches_conv(I, L, W):
     np.testing.assert_allclose(got[live], ref[live], rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("W", [120, 300])
+def test_pallas_large_winsize(W):
+    """W > 64 uses the in-kernel prefix-sum path (the unrolled form blows
+    Mosaic's 16MB scoped-VMEM limit at W=300)."""
+    from garlic_tpu.ops.pallas_lod import lod_windows_pallas_packed
+    rng = np.random.default_rng(4)
+    I, L = 7, 3000
+    geno = rng.integers(0, 3, (I, L)).astype(np.int8)
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    table = lod_ops.lod_table(freq, 0.001).astype(np.float32)
+    pos = np.cumsum(rng.integers(100, 4000, L)).astype(np.int64)
+    miss = lod_ops.window_missing_mask(pos, W, 400000, 10**12, 10**12 + 1)
+    ref = np.asarray(lod_ops.lod_windows_fast_jax(
+        jnp.asarray(geno), jnp.asarray(table), jnp.asarray(miss), W))
+    got = np.asarray(lod_windows_pallas_packed(geno, freq, 0.001, miss, W,
+                                               interpret=True))
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_gl_matches_conv():
     from garlic_tpu.ops.pallas_lod import lod_windows_pallas_gl
     rng = np.random.default_rng(3)
