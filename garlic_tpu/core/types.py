@@ -18,6 +18,14 @@ MISSING = -9999  # sentinel for window scores / positions (src/garlic-data.h:24)
 GENO_MISSING = -9  # genotype missing code (src/garlic-data.cpp:114-128)
 
 
+class GarlicDataError(Exception):
+    """Base for expected data-loading failures whose ERROR text has already
+    been written to the .error log by the raiser (the reference's thrown
+    ints caught as `catch(...) return 1`, src/garlic-main.cpp:210-242).
+    The driver exits quietly on these; anything else is an internal bug and
+    gets logged before the nonzero exit."""
+
+
 class LocusNames:
     """Lazy '\\n'-joined locus-name buffer.
 

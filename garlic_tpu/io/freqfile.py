@@ -13,10 +13,10 @@ from typing import List
 import numpy as np
 
 from ..core.fmt import g
-from ..core.types import ChromData
+from ..core.types import ChromData, GarlicDataError
 
 
-class FreqFileError(Exception):
+class FreqFileError(GarlicDataError):
     pass
 
 

@@ -17,6 +17,8 @@ import numpy as np
 
 from .tped import check_chr_name
 
+from ..core.types import GarlicDataError
+
 
 def _open_maybe_gz(path: str):
     if path.endswith(".gz"):
@@ -24,7 +26,8 @@ def _open_maybe_gz(path: str):
     return open(path, "r")
 
 
-class GenMapError(Exception):
+
+class GenMapError(GarlicDataError):
     pass
 
 

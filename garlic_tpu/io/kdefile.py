@@ -14,7 +14,15 @@ def make_kde_filename(basename: str, winsize: int) -> str:
 
 
 def write_kde(kde: KDEResult, outfile: str, log=None) -> None:
-    with open(outfile, "w") as fout:
+    try:
+        fout = open(outfile, "w")
+    except OSError:
+        # reference: LOG.err("ERROR: Failed to open", outfile); throw
+        # (src/garlic-kde.cpp:274-282)
+        if log is not None:
+            log.err("ERROR: Failed to open", outfile)
+        raise
+    with fout:
         for i in range(kde.size):
             fout.write(f"{g(kde.x[i])} {g(kde.y[i])}\n")
     if log is not None:

@@ -24,14 +24,16 @@ def cache_path(tpedfile: str) -> str:
     return tpedfile + ".gtpc.npz"
 
 
-def save_cache(tpedfile: str, chroms: List[dict], nind: int) -> None:
+def save_cache(tpedfile: str, chroms: List[dict], nind: int,
+               tped_missing: str = "0") -> None:
     """Write the sidecar (best effort: failures are silent — the TPED is
-    always the source of truth)."""
+    always the source of truth).  Parse-affecting parameters (the missing
+    code) go into the meta block; a mismatch on load is a cache miss."""
     from ..ops.pallas_lod import pack_genotypes
 
     path = cache_path(tpedfile)
     arrays = {"meta": np.array([_MAGIC, str(_VERSION), str(nind),
-                                str(len(chroms))])}
+                                str(len(chroms)), str(tped_missing)])}
     for i, c in enumerate(chroms):
         L = c["positions"].shape[0]
         Lp = -(-L // 4) * 4
@@ -64,9 +66,10 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int) -> None:
         pass
 
 
-def load_cache(tpedfile: str, want_fc: bool) -> Optional[List[dict]]:
-    """Load the sidecar if present and newer than the TPED; None to fall
-    back to parsing."""
+def load_cache(tpedfile: str, want_fc: bool,
+               tped_missing: str = "0") -> Optional[List[dict]]:
+    """Load the sidecar if present, newer than the TPED, and parsed with the
+    same parse-affecting parameters; None to fall back to parsing."""
     from ..core.types import LocusNames
 
     path = cache_path(tpedfile)
@@ -80,6 +83,8 @@ def load_cache(tpedfile: str, want_fc: bool) -> Optional[List[dict]]:
         meta = z["meta"]
         if str(meta[0]) != _MAGIC or int(meta[1]) != _VERSION:
             return None
+        if len(meta) < 5 or str(meta[4]) != str(tped_missing):
+            return None  # cached parse used a different missing code
         nind = int(meta[2])
         nchrom = int(meta[3])
         out = []

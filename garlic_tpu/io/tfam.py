@@ -10,6 +10,8 @@ from __future__ import annotations
 import gzip
 from typing import List, Tuple
 
+from ..core.types import GarlicDataError
+
 
 def _open_maybe_gz(path: str):
     if path.endswith(".gz"):
@@ -17,7 +19,8 @@ def _open_maybe_gz(path: str):
     return open(path, "r")
 
 
-class TfamError(Exception):
+
+class TfamError(GarlicDataError):
     pass
 
 

@@ -19,7 +19,7 @@ from typing import List
 
 import numpy as np
 
-from ..core.types import ChromData
+from ..core.types import ChromData, GarlicDataError
 
 
 def _open_maybe_gz(path: str):
@@ -28,7 +28,7 @@ def _open_maybe_gz(path: str):
     return open(path, "r")
 
 
-class TglsError(Exception):
+class TglsError(GarlicDataError):
     pass
 
 

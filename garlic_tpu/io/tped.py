@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..core.types import ChromData, Dataset
+from ..core.types import ChromData, Dataset, GarlicDataError
 
 
 def _open_maybe_gz(path: str):
@@ -108,7 +108,8 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
     from_cache = False
     if panel_cache:
         from . import panelcache
-        native = panelcache.load_cache(tpedfile, want_fc=phased)
+        native = panelcache.load_cache(tpedfile, want_fc=phased,
+                                       tped_missing=tped_missing)
         from_cache = native is not None
         if from_cache:
             print(f"Loaded panel cache {panelcache.cache_path(tpedfile)}",
@@ -127,7 +128,8 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
             from . import panelcache
             panelcache.save_cache(tpedfile, native, ds.nind
                                   if ds.ind_ids else
-                                  (ds.chroms[0].nind if ds.chroms else 0))
+                                  (ds.chroms[0].nind if ds.chroms else 0),
+                                  tped_missing=tped_missing)
     else:
         ds, num_loci = _load_tped_python(tpedfile, tped_missing, phased,
                                          auto_freq, log)
@@ -201,7 +203,10 @@ def _load_tped_python(tpedfile: str, tped_missing: str, phased: bool,
             if auto_freq:
                 freqs.append(0.0 if total == 0 else nalleles / total)
     if prev_chr is None:
-        raise ValueError(f"{tpedfile} contains no data")
+        if log is not None:
+            log.err("ERROR:", tpedfile, nl=False)
+            log.err(" contains no data.")
+        raise GarlicDataError(f"{tpedfile} contains no data")
     ds.chroms.append(_finish_chrom(log, prev_chr, names, gposs, pposs,
                                    alleles, genos, fcs, freqs, phased,
                                    auto_freq))

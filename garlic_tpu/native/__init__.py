@@ -9,10 +9,12 @@ from .build import (  # noqa: F401
     assemble_runs_native,
     covered_pack_native,
     filter_columns_native,
+    get_native_max_threads,
     lod_windows_exact_native,
     lod_windows_exact_tbl_native,
     native_available,
     pack_2bit_padded_native,
     parse_tped_native,
+    set_native_threads,
     write_freq_chrom_native,
 )

@@ -102,6 +102,10 @@ def _load():
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int64]
+        lib.gt_set_threads.restype = None
+        lib.gt_set_threads.argtypes = [ctypes.c_int]
+        lib.gt_get_max_threads.restype = ctypes.c_int
+        lib.gt_get_max_threads.argtypes = []
         lib.gt_assemble_runs.restype = ctypes.c_int64
         lib.gt_assemble_runs.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -116,6 +120,21 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def set_native_threads(n: int) -> None:
+    """Cap the native library's OpenMP fan-out at n workers (--threads N,
+    matching the reference's fixed thread count, src/garlic-roh.cpp:184-194).
+    No-op when n <= 0 or the library is unavailable."""
+    lib = _load()
+    if lib is not None and n > 0:
+        lib.gt_set_threads(int(n))
+
+
+def get_native_max_threads() -> int:
+    """Current OpenMP worker cap (1 if the library is unavailable)."""
+    lib = _load()
+    return int(lib.gt_get_max_threads()) if lib is not None else 1
 
 
 def parse_tped_native(path: str, missing: str,

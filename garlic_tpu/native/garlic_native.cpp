@@ -104,6 +104,25 @@ int count_fields(const std::string &s) {
 
 extern "C" {
 
+// Honor the CLI's --threads N exactly like the reference's fixed pthread
+// fan-out (src/garlic-roh.cpp:184-194): caps every OpenMP parallel region
+// in this library. n <= 0 leaves the OpenMP default untouched.
+void gt_set_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
+int gt_get_max_threads(void) {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
 namespace {
 
 // Per-line parse results for the parallel tokenizer.
@@ -485,14 +504,18 @@ int gt_write_freq_chrom(const char *path, int append, const char *chrom,
   if (!append) buf += "CHR\tSNP\tPOS\tALLELE\tFREQ\n";
   const char *np = names;
   const char *nend = names + names_len;
-  char tmp[160];
+  // chrom and locus names are arbitrary-length: append them via std::string
+  // (no fixed buffer); snprintf only the bounded numeric tail.
+  char tmp[96];
   for (int64_t l = 0; l < L; l++) {
     const char *ne = np;
     while (ne < nend && *ne != '\n') ne++;
-    int n = snprintf(tmp, sizeof(tmp), "%s\t%.*s\t%lld\t%c\t%g\n", chrom,
-                     (int)(ne - np), np, (long long)pos[l], alleles[l],
-                     freq[l]);
-    buf.append(tmp, n);
+    buf += chrom;
+    buf += '\t';
+    buf.append(np, (size_t)(ne - np));
+    int n = snprintf(tmp, sizeof(tmp), "\t%lld\t%c\t%g\n",
+                     (long long)pos[l], alleles[l], freq[l]);
+    buf.append(tmp, (size_t)n);
     np = ne < nend ? ne + 1 : nend;
     if (buf.size() > (1 << 20) - 256) {
       if (gzwrite(f, buf.data(), (unsigned)buf.size()) <= 0) {

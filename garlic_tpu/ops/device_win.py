@@ -174,27 +174,26 @@ def thinned_block(dwin: DeviceWin, step: int,
 def _covered_kernel_factory():
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     @partial(jax.jit, static_argnames=("winsize",))
     def _covered(win, cutoff, threshold, winsize: int):
+        from .lod import window_sums_exact
+
         # win columns are window-start slots (possibly only nwin + bucket
         # padding wide); SNP s is covered by window starts in
         # [s - W + 1, s], so pad W-1 zeros on BOTH sides and the VALID
-        # conv yields coverage for SNPs 0..N+W-2 (>= nloci).
+        # window sum yields coverage for SNPs 0..N+W-2 (>= nloci).
+        # Shifted-add doubling keeps the counts integer-exact in f32 (the
+        # TPU conv lowering accumulates in bf16 on the MXU, which loses
+        # integer exactness for winsize > 256).
         above = (win >= cutoff).astype(jnp.float32)
         I, N = above.shape
         z = jnp.zeros((I, winsize - 1), jnp.float32)
         padded = jnp.concatenate([z, above, z], axis=1)
-        outw = N + winsize - 1
-        counts = lax.conv_general_dilated(
-            padded.reshape(I, 1, N + 2 * (winsize - 1)),
-            jnp.ones((1, 1, winsize), jnp.float32),
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32).reshape(I, outw)
+        counts = window_sums_exact(padded, winsize)    # [I, N + W - 1]
         covered = counts >= threshold
         # pack along loci: 8 SNP flags per byte for the host link
+        outw = N + winsize - 1
         pad = (-outw) % 8
         cp = jnp.concatenate(
             [covered, jnp.zeros((I, pad), bool)], axis=1) if pad else covered

@@ -10,7 +10,7 @@ means/variances from the data mean/variance:
 
 A distributed variant exposes the per-iteration sufficient statistics
 (sum_w, sum_wx, sum_wx2, loglik) so they can be psum-ed across a device mesh
-(see garlic_tpu/parallel/dist.py).
+(see gmm_em_sharded in garlic_tpu/parallel/engine.py).
 """
 
 from __future__ import annotations

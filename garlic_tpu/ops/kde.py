@@ -20,6 +20,27 @@ import numpy as np
 
 
 _block_bufs = {}
+_device_block = None
+
+
+def _device_gauss_block():
+    """Jitted partial Gauss transform block, compiled ONCE per process.
+
+    The bandwidth enters as a traced argument (inv_h2), not a closure
+    constant: winsize searches call gauss_transform with a fresh h every
+    iteration, and a captured h would retrace/recompile each time."""
+    global _device_block
+    if _device_block is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _block(src, tgt, inv_h2):
+            d = src[:, None] - tgt[None, :]
+            return jnp.sum(jnp.exp(-(d * d) * inv_h2), axis=0)
+
+        _device_block = _block
+    return _device_block
 
 
 @dataclass
@@ -69,20 +90,24 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
     n = sources.shape[0]
     q = 1.0 / float(n)
     if device:
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _block(src, tgt):
-            d = src[:, None] - tgt[None, :]
-            return jnp.sum(jnp.exp(-(d * d) / jnp.float32(h * h)), axis=0)
-
         out = np.zeros(targets.shape[0], dtype=np.float64)
         src = np.asarray(sources, dtype=np.float32)
         tgt = np.asarray(targets, dtype=np.float32)
+        block = _device_gauss_block()
+        inv_h2 = np.float32(1.0 / (h * h))
         step = 1 << 20
         for s in range(0, n, step):
-            out += np.asarray(_block(src[s:s + step], tgt), dtype=np.float64)
+            blk = src[s:s + step]
+            k = blk.shape[0]
+            if k < step:
+                # bucket short blocks to the next power of two so a winsize
+                # search (fresh sample count each iteration) reuses a handful
+                # of compiles: sentinel sources square to inf in f32 ->
+                # exp(-inf) = 0, contributing nothing
+                b = 1 << max(k - 1, 1).bit_length()
+                blk = np.concatenate(
+                    [blk, np.full(b - k, 1e30, dtype=np.float32)])
+            out += np.asarray(block(blk, tgt, inv_h2), dtype=np.float64)
         return out * q
     m = targets.shape[0]
     out = np.zeros(m, dtype=np.float64)

@@ -13,10 +13,10 @@ Two engines:
            then win[l] = (win[l-1] - a[l-1]) + a[l+W-1]).  Dispatches to the
            C++ native kernel when built; numpy fallback otherwise.
 * fast   — float32 JAX path shaped for TPU: per-locus LOD terms from a
-           4-row table (pure VPU selects, no gathers), window sums as a
-           VALID convolution with a ones kernel (MXU-friendly, W-term f32
-           accumulation), masks precomputed from positions and shared
-           across individuals.
+           4-row table (pure VPU selects, no gathers), window sums by
+           exact shifted-add doubling (true f32 VPU adds; the conv
+           lowering accumulates bf16 on the MXU), masks precomputed from
+           positions and shared across individuals.
 
 The mask formulation is provably equivalent to the reference's skip-ahead
 control flow: window l is MISSING iff its first locus lies inside the
@@ -178,20 +178,38 @@ def _lod_windows_exact_numpy(terms: np.ndarray, missing: np.ndarray,
 # Fast engine (float32 JAX, TPU-shaped)
 # ---------------------------------------------------------------------------
 
-def _window_sums_conv(a, winsize: int):
-    """VALID sliding-window sums along the last axis via conv with a ones
-    kernel; [I, L] -> [I, L-W+1].  Maps onto the TPU convolution path with
-    W-term f32 accumulation (no long-cumsum cancellation)."""
+def window_sums_exact(a, winsize: int):
+    """VALID sliding-window sums along the last axis ([.., L] -> [.., L-W+1])
+    by shifted-add doubling: width-2k sums from two width-k sums, then the
+    binary decomposition of W.  O(log W) passes of TRUE elementwise adds in
+    the input dtype on the VPU — unlike the conv lowering, which on TPU
+    accumulates through the MXU in bf16 despite preferred_element_type=f32
+    (the documented hazard; CLAUDE.md).  Exact for f32 integer data < 2^24,
+    and pairwise-tree accuracy (better than sequential) for reals."""
     import jax.numpy as jnp
-    from jax import lax
-    I, L = a.shape
-    lhs = a.reshape(I, 1, L)
-    rhs = jnp.ones((1, 1, winsize), dtype=a.dtype)
-    out = lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    return out.reshape(I, L - winsize + 1)
+    L = a.shape[-1]
+    nwin = L - winsize + 1
+    sums = {1: a}
+    k = 1
+    while k * 2 <= winsize:
+        s = sums[k]
+        sums[2 * k] = s[..., : s.shape[-1] - k] + s[..., k:]
+        k *= 2
+    out = None
+    off = 0
+    for k in sorted(sums, reverse=True):
+        if winsize & k:
+            part = sums[k][..., off:off + nwin]
+            out = part if out is None else out + part
+            off += k
+    return out
+
+
+def _window_sums_conv(a, winsize: int):
+    """VALID sliding-window sums along the last axis; [I, L] -> [I, L-W+1].
+    Alias of window_sums_exact (the conv formulation was retired for the
+    TPU bf16-MXU accumulation hazard)."""
+    return window_sums_exact(a, winsize)
 
 
 @partial(__import__("jax").jit, static_argnames=("winsize",))
@@ -212,7 +230,7 @@ def lod_windows_fast_jax(geno, table, missing, winsize: int):
                   jnp.where(g == 1, t1[None, :],
                             jnp.where(g == 2, t2[None, :], 0.0)))
     a = a.astype(jnp.float32)
-    s = _window_sums_conv(a, winsize)
+    s = window_sums_exact(a, winsize)
     s = jnp.where(missing[None, :], jnp.float32(MISSING), s)
     pad = jnp.full((I, winsize - 1), jnp.float32(MISSING))
     return jnp.concatenate([s, pad], axis=1)
@@ -244,7 +262,7 @@ def lod_windows_fast_gl(geno, freq, gl, missing, winsize: int):
         mono = (p == 0.0) | (p == 1.0)
         a = jnp.where(mono, 0.0, a)
         I, L = geno.shape
-        s = _window_sums_conv(a, winsize)
+        s = window_sums_exact(a, winsize)
         s = jnp.where(missing[None, :], jnp.float32(MISSING), s)
         pad = jnp.full((I, winsize - 1), jnp.float32(MISSING))
         return jnp.concatenate([s, pad], axis=1)
@@ -258,11 +276,13 @@ def lod_windows_fast_gl(geno, freq, gl, missing, winsize: int):
 
 def calc_lod_windows(chrom, centro, winsize: int, error: float,
                      max_gap: int, use_gl: bool,
-                     engine: str = "exact") -> np.ndarray:
+                     engine: str = "exact", bar=None) -> np.ndarray:
     """Full Phase-I window matrix [I, L] for one chromosome.
 
     Mirrors calcLOD/calcLODWindows (src/garlic-roh.cpp:18-132,279-309).
-    engine: "exact" (f64 reference order) | "fast" (f32 TPU path)."""
+    engine: "exact" (f64 reference order) | "fast" (f32 TPU path).
+    bar: optional core.pbar.Bar advanced as individuals complete (the
+    reference ticks once per individual, src/garlic-roh.cpp:48)."""
     cstart = centro.start(chrom.chrom)
     cend = centro.end(chrom.chrom)
     nwin = max(chrom.nloci - winsize + 1, 0)
@@ -289,12 +309,33 @@ def calc_lod_windows(chrom, centro, winsize: int, error: float,
         try:
             from ..native import lod_windows_exact_tbl_native
             table = lod_table(chrom.freq, error)
-            win = lod_windows_exact_tbl_native(chrom.genotypes, table,
-                                               missing, winsize)
-            if win is not None:
-                return win
+            I = chrom.genotypes.shape[0]
+            if bar is None or I <= 1:
+                win = lod_windows_exact_tbl_native(chrom.genotypes, table,
+                                                   missing, winsize)
+                if win is not None:
+                    return win
+            else:
+                # tick as individuals complete: chunk the kernel over
+                # individual blocks (rows are independent; OpenMP still
+                # fans out within each block)
+                step = max(1, -(-I // 8))
+                outs = []
+                for s in range(0, I, step):
+                    w = lod_windows_exact_tbl_native(
+                        chrom.genotypes[s:s + step], table, missing, winsize)
+                    if w is None:
+                        outs = None
+                        break
+                    outs.append(w)
+                    bar.advance(min(step, I - s))
+                if outs is not None:
+                    return np.concatenate(outs, axis=0)
         except ImportError:
             pass
     err = chrom.gl if use_gl else error
     terms = lod_terms(chrom.genotypes, chrom.freq, err)
-    return lod_windows_exact(terms, missing, winsize)
+    win = lod_windows_exact(terms, missing, winsize)
+    if bar is not None:
+        bar.advance(chrom.genotypes.shape[0])
+    return win

@@ -41,8 +41,14 @@ def wlod_scores(chrom, error, use_gl: bool, mu: float, M: int) -> np.ndarray:
 
 
 def wlod_windows(chrom, centro, ld: np.ndarray, winsize: int, error,
-                 max_gap: int, use_gl: bool, mu: float, M: int) -> np.ndarray:
-    """win [I, L] float64 with MISSING padding/masking."""
+                 max_gap: int, use_gl: bool, mu: float, M: int,
+                 bar=None) -> np.ndarray:
+    """win [I, L] float64 with MISSING padding/masking.
+
+    bar: optional progress bar, total=nind (the reference advances
+    1/numThreads per individual per worker, src/garlic-roh.cpp:155,242);
+    here the vectorized j-loop advances nind/winsize per iteration so the
+    displayed percentage tracks actual compute progress."""
     I, L = chrom.genotypes.shape
     win = np.full((I, L), float(MISSING), dtype=np.float64)
     nwin = L - winsize + 1
@@ -55,9 +61,12 @@ def wlod_windows(chrom, centro, ld: np.ndarray, winsize: int, error,
     score = wlod_scores(chrom, error, use_gl, mu, M)
     inv_ld = 1.0 / ld[:nwin, :winsize]            # [nwin, W]
     acc = np.zeros((I, nwin), dtype=np.float64)
+    tick = I / float(winsize)
     for j in range(winsize):
         # same accumulation order as the reference's i-loop
         # (src/garlic-roh.cpp:259-272): score[i] * (1.0 / LD[l][i-l])
         acc = acc + score[:, j:j + nwin] * inv_ld[:, j][None, :]
+        if bar is not None:
+            bar.advance(tick)
     win[:, :nwin] = np.where(missing[None, :], float(MISSING), acc)
     return win

@@ -9,7 +9,8 @@ Here the full Phase I-II-IV compute step is one jitted SPMD program over a
 * allele frequencies:     psum of per-shard numerators/denominators over dp;
 * LOD window scan:        per-locus terms elementwise, then a (winsize-1)
                           locus halo pulled from the right sp neighbor via
-                          ppermute, then VALID window sums (conv);
+                          ppermute, then VALID window sums (exact
+                          shifted-add doubling);
 * KDE:                    per-shard partial Gauss transform at a fixed
                           512-target grid, psum over (dp, sp);
 * GMM sufficient stats:   psum of (Σr, Σr·x, Σr·x²) per component.
@@ -74,17 +75,26 @@ def _lod_terms_block(geno_blk, freq_blk, error: float):
     return jnp.where(mono[None, :], 0.0, a).astype(jnp.float32)
 
 
-def _window_sums_conv(a, winsize: int):
-    """VALID sliding-window sums along the last axis ([I, N] -> [I, N-W+1])."""
-    import jax.numpy as jnp
-    from jax import lax
-    I, N = a.shape
-    out = lax.conv_general_dilated(
-        a.reshape(I, 1, N), jnp.ones((1, 1, winsize), dtype=a.dtype),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    return out.reshape(I, N - winsize + 1)
+def _window_sums(a, winsize: int):
+    """VALID sliding-window sums along the last axis ([I, N] -> [I, N-W+1])
+    via exact shifted-add doubling (true f32 VPU adds — the conv lowering
+    accumulates through the MXU in bf16 on TPU, losing ~3 digits near the
+    cutoff)."""
+    from ..ops.lod import window_sums_exact
+    return window_sums_exact(a, winsize)
+
+
+def check_halo_fits(L_padded: int, width: int, n_sp: int) -> None:
+    """The ppermute halo pulls `width` columns from ONE right neighbor, so
+    each sp shard must hold at least that many loci — otherwise x_blk[:, :w]
+    silently clamps and the windows straddling two shards go wrong (or the
+    trace dies with an opaque shape error).  Raise a clear error instead."""
+    per_shard = L_padded // n_sp
+    if width > per_shard:
+        raise ValueError(
+            f"ERROR: winsize-1 = {width} exceeds the per-shard locus width "
+            f"{per_shard} ({L_padded} loci over sp={n_sp}); reduce the sp "
+            "axis of --tpu-mesh or the window size.")
 
 
 def _halo_right(x_blk, width: int, axis_name: str):
@@ -154,7 +164,7 @@ def make_analysis_step(mesh, winsize: int, error: float,
         a = _lod_terms_block(geno_blk, freq_blk, error)
         halo = _halo_right(a, winsize - 1, AXIS_SP)
         a_ext = jnp.concatenate([a, halo], axis=1)       # [I_s, L_s + W - 1]
-        s = _window_sums_conv(a_ext, winsize)            # [I_s, L_s]
+        s = _window_sums(a_ext, winsize)            # [I_s, L_s]
         win_blk = jnp.where(miss_blk[None, :], jnp.float32(MISSING), s)
 
         # ---- Phase II: thinned pooled density at the fixed grid ----
@@ -213,6 +223,7 @@ def make_analysis_step(mesh, winsize: int, error: float,
 
     def place(geno, win_missing, ind_weight):
         """Shard host arrays onto the mesh (helper for callers)."""
+        check_halo_fits(geno.shape[1], winsize - 1, mesh.shape[AXIS_SP])
         gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
         ms = NamedSharding(mesh, P(AXIS_SP))
         ws = NamedSharding(mesh, P(AXIS_DP))
@@ -248,6 +259,7 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
                                cstart, cend)
     geno_p, miss_p, _ = pad_for_mesh(chrom.genotypes, miss, mesh)
     L2 = geno_p.shape[1]
+    check_halo_fits(L2, winsize - 1, mesh.shape[AXIS_SP])
     freq_p = np.zeros(L2, dtype=np.float32)
     freq_p[:L] = np.asarray(chrom.freq, dtype=np.float32)
 
@@ -273,7 +285,7 @@ def make_sharded_lod_fn(mesh, winsize: int, error: float):
             a = _lod_terms_block(geno_blk, freq_blk, error)
             halo = _halo_right(a, winsize - 1, AXIS_SP)
             a_ext = jnp.concatenate([a, halo], axis=1)
-            s = _window_sums_conv(a_ext, winsize)
+            s = _window_sums(a_ext, winsize)
             return jnp.where(miss_blk[None, :], jnp.float32(MISSING), s)
 
         shard_fn = jax.shard_map(

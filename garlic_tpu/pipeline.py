@@ -18,7 +18,7 @@ import numpy as np
 from . import cli
 from .centromeres import Centromere
 from .cli import CLIError, ParsedArgs
-from .core.types import Dataset
+from .core.types import Dataset, GarlicDataError
 from .io import bed, filters, freqfile, genmap, kdefile, rawlod, tfam, tgls, tped
 from .logger import RunLog
 from .ops import assembly, convert, cutoff as cutoff_ops, density, device_win
@@ -85,7 +85,52 @@ def run_main(argv: List[str], prog: str = "garlic-tpu") -> int:
         log.close()
 
 
+class _FreqWriter:
+    """Background .freq.gz writer overlapping Phase I (the reference writes
+    synchronously before Phase I, src/garlic-main.cpp:245-253; the writer
+    only reads per-locus arrays, which filtering re-slices rather than
+    mutates).  finish() is idempotent and runs on EVERY exit path (the
+    wrapper's finally) so a write failure surfaces as a logged error and a
+    nonzero exit instead of a raw traceback or a silently truncated file."""
+
+    def __init__(self):
+        self._thread = None
+        self._exc = []
+
+    def start(self, outfile: str, chroms, log) -> None:
+        import threading
+
+        def _write():
+            try:
+                freqfile.write_freq(outfile + ".freq", chroms, log)
+            except BaseException as e:  # surfaced at finish()
+                self._exc.append(e)
+
+        self._thread = threading.Thread(target=_write, daemon=False)
+        self._thread.start()
+
+    def finish(self):
+        """Join and hand back the writer's exception (once), or None."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        return self._exc.pop() if self._exc else None
+
+
 def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
+    fw = _FreqWriter()
+    try:
+        rc = _run_impl(args, argv, prog, log, fw)
+    finally:
+        werr = fw.finish()
+    if werr is not None:
+        log.err("ERROR: Failed writing allele frequency data:", str(werr))
+        return 1 if rc == 0 else rc
+    return rc
+
+
+def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
+              fw: _FreqWriter) -> int:
     outfile = args[cli.ARG_OUTFILE]
     log.init(outfile)
     log.log(" ".join([prog] + list(argv)))
@@ -194,6 +239,8 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
     num_threads = args[cli.ARG_THREADS]
     argerr = argerr or cli.check_threads(log, num_threads)
     log.log("Threads:", num_threads)
+    from .native import set_native_threads
+    set_native_threads(num_threads)  # caps OpenMP in the host kernels
 
     error = args[cli.ARG_ERROR]
     argerr = argerr or cli.check_error(log, error, tglsfile)
@@ -299,35 +346,27 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
                 log.err("ERROR: Scaffold genetic map does not have the same "
                         "number of chromosomes as data.")
                 return -1
-    except Exception:
+    except (GarlicDataError, FileNotFoundError):
+        # expected load failure: ERROR text already in .error (the
+        # reference's catch(...) { return 1; }, src/garlic-main.cpp:210-242)
+        return 1
+    except Exception as e:
+        log.err("ERROR: Internal failure while loading data:", repr(e))
         return 1
     prof.mark("load", num_loci * ds.nind, "genotypes")
 
     # ---------------- Allele frequencies ----------------
-    freq_writer = None
     if auto_freq:
-        # overlap the gz freq write with filtering + Phase I: the writer
-        # only reads per-locus arrays (positions/alleles/freq/names), which
-        # filtering re-slices rather than mutates; joined after Phase I.
-        import threading
-        freq_exc = []
-
-        def _write_freq(chroms_snapshot):
-            try:
-                freqfile.write_freq(outfile + ".freq", chroms_snapshot, log)
-            except BaseException as e:  # surfaced at join
-                freq_exc.append(e)
-
-        # non-daemon: early returns (errors, explore mode) still let the
-        # write finish at interpreter exit instead of truncating the file
-        freq_writer = threading.Thread(target=_write_freq,
-                                       args=(list(ds.chroms),), daemon=False)
-        freq_writer.start()
+        fw.start(outfile, list(ds.chroms), log)
     else:
         print(f"Loading user provided allele frequencies from {freqfile_arg}")
         try:
             freqfile.read_freq(freqfile_arg, ds.chroms, log)
-        except Exception:
+        except (GarlicDataError, FileNotFoundError):
+            return -1
+        except Exception as e:
+            log.err("ERROR: Internal failure while reading allele "
+                    "frequencies:", repr(e))
             return -1
 
     prof.mark("freq", num_loci, "loci")
@@ -380,7 +419,11 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
                 kde_result, winsize = _select_winsize(
                     st, ds, centro, winsize, auto_winsize_step, error, use_gl,
                     max_gap, kde_subsample, outfile, thin)
-            except Exception:
+            except GarlicDataError:
+                return 1
+            except Exception as e:
+                log.err("ERROR: Internal failure during window size "
+                        "selection:", repr(e))
                 return 1
             if kde_result is None:
                 return 1
@@ -409,20 +452,21 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
                 ldm = device_wlod.ld_band_device(c, winsize, phased, sub_idx)
                 win_by_chr.append(device_wlod.wlod_windows_device(
                     c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
+                bar.advance(c.nind)
             else:
                 ldm = ld_ops.calc_ld(c, winsize, phased, sub_idx,
                                      engine=st.engine)
                 win_by_chr.append(wlod_ops.wlod_windows(
-                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
-            bar.current = bar.total
+                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M,
+                    bar=bar))
             bar.finalize()
     else:
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
                                        max_gap, use_gl)
-    if freq_writer is not None:
-        freq_writer.join()
-        if freq_exc:
-            raise freq_exc[0]
+    werr = fw.finish()
+    if werr is not None:
+        log.err("ERROR: Failed writing allele frequency data:", str(werr))
+        return 1
     prof.mark("phase1-lod",
               sum(max(c.nloci - winsize + 1, 0) for c in ds.chroms)
               * ds.nind, "windows")
@@ -431,7 +475,8 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         try:
             rawlod.write_win_data(win_by_chr,
                                   [c.chrom for c in ds.chroms], ds.pop, outfile)
-        except Exception:
+        except Exception as e:
+            log.err("ERROR: Failed to write raw LOD windows:", repr(e))
             return -1
 
     # ---------------- Phase II: cutoff ----------------
@@ -514,7 +559,10 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
     out = []
     for c in ds.chroms:
         print(f"{c.chrom}    ", file=sys.stderr, end="")
-        bar = Bar(total=c.nind)
+        # reference quirk: the unweighted bar's total is NLOCI but it
+        # advances once per INDIVIDUAL (src/garlic-roh.cpp:40,48), so it
+        # displays " 0%" during compute and "100%" at finalize
+        bar = Bar(total=c.nloci)
         cc = c
         if ind_idx is not None:
             cc = _subset_chrom(c, ind_idx)
@@ -524,20 +572,22 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
             from .parallel.engine import lod_windows_sharded
             out.append(lod_windows_sharded(cc, centro, winsize, error,
                                            max_gap, st.mesh))
+            bar.advance(cc.nind)
         elif st.engine == "fast" and streaming:
             out.append(device_win.LazyWin(
                 (lambda cc=cc: device_win.lod_windows_device(
                     cc, centro, winsize, error, max_gap, use_gl)),
                 nind=cc.nind, nloci=cc.nloci))
+            bar.advance(cc.nind)
         elif st.engine == "fast":
             # device-resident: no [I, L] matrix crosses the host link
             out.append(device_win.lod_windows_device(
                 cc, centro, winsize, error, max_gap, use_gl))
+            bar.advance(cc.nind)
         else:
             out.append(lod_ops.calc_lod_windows(
                 cc, centro, winsize, error, max_gap, use_gl,
-                engine=st.engine))
-        bar.current = bar.total
+                engine=st.engine, bar=bar))
         bar.finalize()
     return out
 

@@ -275,6 +275,25 @@ def test_panel_cache_roundtrip(tmp_path):
                                   ds1.chroms[0].genotypes)
 
 
+def test_panel_cache_missing_code_mismatch(tmp_path):
+    """A cached panel parsed with one --tped-missing code must NOT be
+    reused for a run with a different code (the code changes allele
+    coding and frequencies)."""
+    p = str(tmp_path / "pc2.tped")
+    _write(p, TPED_BASIC)
+    rng = np.random.default_rng(0)
+    tped.load_tped(p, "0", 0, False, True, RunLog(), rng, panel_cache=True)
+    import os as _os
+    assert _os.path.exists(p + ".gtpc.npz")
+    ds_n, _ = tped.load_tped(p, "N", 0, False, True, RunLog(), rng,
+                             panel_cache=False)
+    ds_c, _ = tped.load_tped(p, "N", 0, False, True, RunLog(), rng,
+                             panel_cache=True)
+    for a, b in zip(ds_n.chroms, ds_c.chroms):
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_array_equal(a.freq, b.freq)
+
+
 def test_panel_cache_pipeline_identical(tmp_path):
     """Full CLI runs with and without the cache produce identical BED."""
     import os as _os

@@ -118,13 +118,17 @@ def test_weighted_wlod_bed_identical(oracle_bin, tmp_path):
     assert not diffs, diffs[:10]
 
 
-def _diff_logs_tolerant(a: str, b: str, rtol: float = 2e-2):
+def _diff_logs_tolerant(a: str, b: str, rtol: float = 2e-2,
+                        max_waived: int = 8):
     """Log diff that compares `winsize\\tsmoothness` table rows numerically:
     the oracle's KDE runs through FIGTree at eps=1e-2, so wiggle values
     (density-derived) legitimately differ from our exact transform within
-    that tolerance; everything else must match byte-for-byte."""
+    that tolerance; everything else must match byte-for-byte.  The waiver is
+    quantified: more than `max_waived` within-tolerance rows means the two
+    searches diverged structurally and the diff is NOT waived."""
     diffs = diff_logs(a, b)
     out = []
+    waived = 0
     for d in diffs:
         parts = d.split("!=")
         try:
@@ -133,11 +137,32 @@ def _diff_logs_tolerant(a: str, b: str, rtol: float = 2e-2):
             la, lb = float(lhs[0]), float(lhs[1])
             ra, rb = float(rhs[0]), float(rhs[1])
             if la == ra and abs(lb - rb) <= rtol * max(abs(lb), abs(rb)):
+                waived += 1
                 continue
         except (ValueError, IndexError):
             pass
         out.append(d)
+    if waived > max_waived:
+        out.append(f"waived {waived} smoothness rows > cap {max_waived}")
     return out
+
+
+def _capture_flake(wd: str, name: str):
+    """Copy a failing run's artifacts OUT of the pytest tmpdir before
+    cleanup so the known flake (CLAUDE.md) is diagnosable post-mortem.
+    Returns the capture directory."""
+    import glob
+    import shutil
+    import time
+
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".flake_artifacts",
+        f"{name}-{int(time.time())}")
+    os.makedirs(dst, exist_ok=True)
+    for pat in ("*.log", "*.error", "*.kde", "*.bed"):
+        for f in glob.glob(os.path.join(wd, pat)):
+            shutil.copy2(f, dst)
+    return dst
 
 
 @pytest.mark.slow
@@ -152,7 +177,9 @@ def test_auto_winsize_search(oracle_bin, tmp_path):
     _assert_same(wd, "oracle", "ours", [".roh.bed"])
     diffs = _diff_logs_tolerant(read_text(os.path.join(wd, "oracle.log")),
                                 read_text(os.path.join(wd, "ours.log")))
-    assert not diffs, diffs[:10]
+    if diffs:  # known flake (CLAUDE.md): preserve evidence before cleanup
+        dst = _capture_flake(wd, "auto_winsize_search")
+        assert not diffs, (f"artifacts captured to {dst}", diffs[:10])
 
 
 @pytest.mark.slow
