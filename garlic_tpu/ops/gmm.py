@@ -89,10 +89,16 @@ def fit_gmm(x: np.ndarray, k: int, w0: np.ndarray, mu0: np.ndarray,
                      bic=float(bic), converged=converged, iterations=it)
 
 
-def select_size_classes(lengths: np.ndarray, nclust: int, log=None):
+def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
+                        mesh=None):
     """selectSizeClasses (src/garlic-roh.cpp:935-1003): fit the GMM, sort
     components by mean, log their parameters, then root-find the K-1 pairwise
-    Gaussian intersections as size-class boundaries. Returns list of bounds."""
+    Gaussian intersections as size-class boundaries. Returns list of bounds.
+
+    mesh: a ("dp", "sp") jax mesh — the EM loop runs on device with the
+    sufficient statistics psum'd across every chip per iteration
+    (parallel.engine.fit_gmm_sharded), the production Phase-IV path for
+    --tpu-mesh runs."""
     from .brent import find_boundary
     lengths = np.asarray(lengths, dtype=np.float64)
     var = float(np.var(lengths, ddof=1))
@@ -101,8 +107,13 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None):
     w0 = np.full(k, 1.0 / k)
     mu0 = np.array([mean * (n + 1) / (k + 1) for n in range(k)])
     var0 = np.array([var * (n + 1) / k for n in range(k)])
-    res = fit_gmm(lengths, k, w0, mu0, var0, max_iter=1000, precision=1e-5,
-                  verbose=True)
+    if mesh is not None:
+        from ..parallel.engine import fit_gmm_sharded
+        res = fit_gmm_sharded(lengths, k, w0, mu0, var0, mesh,
+                              max_iter=1000, precision=1e-5, verbose=True)
+    else:
+        res = fit_gmm(lengths, k, w0, mu0, var0, max_iter=1000,
+                      precision=1e-5, verbose=True)
     order = np.argsort(res.means, kind="stable")
     size_class = "A"
     for i in range(k):

@@ -139,8 +139,15 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
     return out * q
 
 
-def compute_kde(data: np.ndarray, log=None, device: bool = False) -> KDEResult:
-    """Full computeKDE (src/garlic-kde.cpp:14-103)."""
+def compute_kde(data: np.ndarray, log=None, device: bool = False,
+                mesh=None) -> KDEResult:
+    """Full computeKDE (src/garlic-kde.cpp:14-103).
+
+    mesh: a ("dp", "sp") jax mesh — the transform (the O(N x 512) part)
+    runs as per-shard partials psum'd over every device
+    (parallel.engine.gauss_transform_sharded); bandwidth/grid scalars are
+    computed host-side from the (already thinned) pooled samples, exactly
+    like the single-device path, so the same samples give the same grid."""
     data = np.asarray(data, dtype=np.float64)
     n = data.shape[0]
     if log is not None:
@@ -156,7 +163,11 @@ def compute_kde(data: np.ndarray, log=None, device: bool = False) -> KDEResult:
     i = np.arange(1, M + 1, dtype=np.float64)
     targets = (i / M) * (mx - mn) + mn
     spacing = targets[1] - targets[0]
-    y = gauss_transform(data, targets, h, device=device)
+    if mesh is not None:
+        from ..parallel.engine import gauss_transform_sharded
+        y = gauss_transform_sharded(data, targets, h, mesh) / float(n)
+    else:
+        y = gauss_transform(data, targets, h, device=device)
     s = float(np.sum(y))
     y = y / (s * spacing)
     return KDEResult(x=targets, y=y)

@@ -2,18 +2,20 @@
 
 This is the scale-out path the reference never had (its parallelism stops at
 pthreads over locus ranges within one process, src/garlic-roh.cpp:184-194).
-Here the full Phase I-II-IV compute step is one jitted SPMD program over a
-("dp", "sp") mesh (see parallel/mesh.py):
+Each phase of the pipeline has a production SPMD program over the
+("dp", "sp") mesh (see parallel/mesh.py), all driven from pipeline.py on
+--tpu-mesh runs and from the multi-host loader:
 
-* genotypes [I, L] sharded (dp, sp); per-SNP tables replicated along dp;
-* allele frequencies:     psum of per-shard numerators/denominators over dp;
-* LOD window scan:        per-locus terms elementwise, then a (winsize-1)
-                          locus halo pulled from the right sp neighbor via
-                          ppermute, then VALID window sums (exact
-                          shifted-add doubling);
-* KDE:                    per-shard partial Gauss transform at a fixed
-                          512-target grid, psum over (dp, sp);
-* GMM sufficient stats:   psum of (Σr, Σr·x, Σr·x²) per component.
+* LOD window scan (Phase I),  lod_windows_sharded: genotypes [I, L] sharded
+  (dp, sp), per-locus terms elementwise, a (winsize-1) locus halo pulled
+  from the right sp neighbor via ppermute, then VALID window sums by exact
+  shifted-add doubling;
+* allele frequencies, allele_freq_sharded: psum of per-shard
+  numerators/denominators over dp (multi-host loading);
+* KDE (Phase II), gauss_transform_sharded: per-shard partial Gauss
+  transform at the fixed 512-target grid, psum over (dp, sp);
+* GMM (Phase IV), fit_gmm_sharded: full EM loop on device, psum of the
+  sufficient statistics (Σr, Σr·x, Σr·x²) per iteration.
 
 Everything is static-shaped and trace-once; the only cross-device traffic is
 the W-1 halo (ICI neighbor exchange) and the O(512)/O(K) reductions.
@@ -115,123 +117,238 @@ def _halo_right(x_blk, width: int, axis_name: str):
 
 
 # ---------------------------------------------------------------------------
-# SPMD step factory
+# Production SPMD collectives (called from pipeline.py on --tpu-mesh runs
+# and from multi-host loading; the dryrun drives the same functions)
 # ---------------------------------------------------------------------------
 
-def make_analysis_step(mesh, winsize: int, error: float,
-                       kde_thin_step: Optional[int] = None,
-                       n_gmm: int = 3):
-    """Build the jitted full SPMD analysis step over `mesh`.
+_freq_mesh_cache = {}
 
-    Returns step(geno, win_missing, ind_weight, grid, bandwidth,
-                 gmm_w, gmm_mu, gmm_var) ->
-      (freq, win, kde_density, gmm_w', gmm_mu', gmm_var', loglik)
 
-    * geno        int8 [I, L]   sharded  P(dp, sp)
-    * win_missing bool [L]      sharded  P(sp)    (True => window MISSING;
-                                 already True for l >= L - W + 1 and for
-                                 gap/centromere-broken windows)
-    * ind_weight  f32  [I]      sharded  P(dp): 1 for real individuals, 0 for
-                                 mesh-padding rows (keeps padding out of the
-                                 KDE sample pool and GMM statistics)
-    * grid        f32 [512]     replicated KDE evaluation grid
-    * bandwidth   f32 scalar    replicated (nrd0, computed host-side once)
-    * gmm_params  (w[K], mu[K], var[K]) f32 replicated
+def allele_freq_sharded(geno, mesh):
+    """Allele frequencies of a (dp, sp)-sharded genotype block: per-shard
+    '1'-allele numerators/denominators psum'd over dp (the collective
+    replacement for loadTPEDData's on-the-fly accumulation,
+    src/garlic-data.cpp:109-160).  Used when each host only holds its own
+    individual shard (multi-host loading) and by the dryrun.
 
-    This is the "training step" of the framework: Phase I scoring fused with
-    the Phase II density accumulation and one Phase IV EM update, all
-    communication via psum/ppermute on the mesh.
-    """
+    geno: [I, L] int8 (host array or device array); returns [L] f64."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = id(mesh)
+    fn = _freq_mesh_cache.get(key)
+    if fn is None:
+        import jax.numpy as jnp
+        from jax import lax
+
+        def block(geno_blk):
+            # numerator/denominator reduce over individuals (dp) only; the
+            # sp axis shards loci, so no reduction there
+            num, den = _freq_block(geno_blk)
+            num = lax.psum(num, AXIS_DP)
+            den = lax.psum(den, AXIS_DP)
+            return jnp.where(den > 0, num / den, 0.0)
+
+        sh = jax.shard_map(block, mesh=mesh,
+                           in_specs=(P(AXIS_DP, AXIS_SP),),
+                           out_specs=P(AXIS_SP))
+        fn = jax.jit(sh)
+        _freq_mesh_cache[key] = fn
+    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
+    return np.asarray(fn(jax.device_put(geno, gs)), dtype=np.float64)
+
+
+_gauss_mesh_cache = {}
+
+
+def gauss_transform_sharded(sources, targets, h, mesh) -> np.ndarray:
+    """Distributed exact Gauss transform: sum_j exp(-(x_j - t)^2 / h^2) at
+    each of the 512 targets, as per-shard partial transforms psum'd over
+    the whole mesh.  This is the production Phase-II collective (the
+    FIGTree replacement, src/garlic-kde.cpp:14-103): sources shard over
+    every device, only the [512] partial densities ride the interconnect.
+
+    Returns the raw transform (no 1/n weighting) as [M] float64."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    thin = kde_thin_step if kde_thin_step is not None else winsize
-    n_sp = mesh.shape[AXIS_SP]
+    n = int(np.asarray(sources).shape[0])
+    m = int(np.asarray(targets).shape[0])
+    if n == 0:
+        return np.zeros(m, dtype=np.float64)
+    ndev = int(mesh.devices.size)
+    per = -(-n // ndev)
+    per = 1 << max(per - 1, 1).bit_length()  # pow2 bucket: bounded compiles
+    n2 = per * ndev
+    # sentinel sources square to inf in f32 -> exp(-inf) = 0: no effect
+    src = np.full(n2, 1e30, dtype=np.float32)
+    src[:n] = np.asarray(sources, dtype=np.float32)
 
-    def block_fn(geno_blk, miss_blk, iw_blk, grid, h, gw, gmu, gvar):
-        I_s, L_s = geno_blk.shape
-        sp_id = lax.axis_index(AXIS_SP)
+    key = (id(mesh), per, m)
+    fn = _gauss_mesh_cache.get(key)
+    if fn is None:
+        chunk = min(per, 1 << 13)
 
-        # ---- allele frequencies: psum over individuals (dp) ----
-        num, den = _freq_block(geno_blk)
-        num = lax.psum(num, AXIS_DP)
-        den = lax.psum(den, AXIS_DP)
-        freq_blk = jnp.where(den > 0, num / den, 0.0).astype(jnp.float32)
+        def block(src_blk, tgt, inv_h2):
+            xs = src_blk.reshape(-1, chunk)
 
-        # ---- Phase I: LOD window scan with halo ----
-        a = _lod_terms_block(geno_blk, freq_blk, error)
-        halo = _halo_right(a, winsize - 1, AXIS_SP)
-        a_ext = jnp.concatenate([a, halo], axis=1)       # [I_s, L_s + W - 1]
-        s = _window_sums(a_ext, winsize)            # [I_s, L_s]
-        win_blk = jnp.where(miss_blk[None, :], jnp.float32(MISSING), s)
+            def body(acc, row):
+                d = row[:, None] - tgt[None, :]
+                return acc + jnp.sum(jnp.exp(-(d * d) * inv_h2), axis=0), None
 
-        # ---- Phase II: thinned pooled density at the fixed grid ----
-        gidx = sp_id * L_s + lax.broadcasted_iota(jnp.int32, (1, L_s), 1)[0]
-        use = (~miss_blk) & (gidx % thin == 0)
-        w = jnp.where(use[None, :], 1.0, 0.0) * iw_blk[:, None]
-        x = jnp.where(use[None, :], s, 0.0)
-        # Gauss transform: sum_i w_i exp(-(x_i - t)^2 / (2 h^2)) at each t
-        d = x.reshape(-1, 1) - grid.reshape(1, -1)
-        k = jnp.exp(d * d * (-0.5 / (h * h))) * w.reshape(-1, 1)
-        dens = jnp.sum(k, axis=0)
-        dens = lax.psum(lax.psum(dens, AXIS_DP), AXIS_SP)
-        nsamp = lax.psum(lax.psum(jnp.sum(w), AXIS_DP), AXIS_SP)
-        dens = dens / (nsamp * h * jnp.sqrt(2.0 * jnp.pi))
+            # the scan carry is device-varying (each shard accumulates its
+            # own partial), so mark the init accordingly
+            acc0 = lax.pcast(jnp.zeros(tgt.shape[0], jnp.float32),
+                             (AXIS_DP, AXIS_SP), to="varying")
+            acc, _ = lax.scan(body, acc0, xs)
+            return lax.psum(lax.psum(acc, AXIS_DP), AXIS_SP)
 
-        # ---- Phase IV: one GMM-EM update over the pooled scores ----
-        # (stand-in x = window scores here; the pipeline feeds ROH lengths.)
-        xs = x.reshape(-1, 1)
-        ws = w.reshape(-1, 1)
-        var = jnp.maximum(gvar, 1e-12)
-        logp = (-0.5 * (xs - gmu[None, :]) ** 2 / var[None, :]
-                - 0.5 * jnp.log(2.0 * jnp.pi * var[None, :])
-                + jnp.log(jnp.maximum(gw[None, :], 1e-30)))
-        m = jnp.max(logp, axis=1, keepdims=True)
-        r = jnp.exp(logp - m)
-        rs = jnp.sum(r, axis=1, keepdims=True)
-        resp = (r / rs) * ws
-        loglik_loc = jnp.sum((m[:, 0] + jnp.log(rs[:, 0])) * ws[:, 0])
-        # sufficient statistics -> psum over the whole mesh
-        s0 = jnp.sum(resp, axis=0)
-        s1 = jnp.sum(resp * xs, axis=0)
-        s2 = jnp.sum(resp * xs * xs, axis=0)
-        s0 = lax.psum(lax.psum(s0, AXIS_DP), AXIS_SP)
-        s1 = lax.psum(lax.psum(s1, AXIS_DP), AXIS_SP)
-        s2 = lax.psum(lax.psum(s2, AXIS_DP), AXIS_SP)
-        loglik = lax.psum(lax.psum(loglik_loc, AXIS_DP), AXIS_SP)
-        ntot = jnp.maximum(nsamp, 1.0)
-        new_w = s0 / ntot
-        new_mu = s1 / jnp.maximum(s0, 1e-30)
-        new_var = s2 / jnp.maximum(s0, 1e-30) - new_mu * new_mu
+        sh = jax.shard_map(block, mesh=mesh,
+                           in_specs=(P((AXIS_DP, AXIS_SP)), P(), P()),
+                           out_specs=P())
+        fn = jax.jit(sh)
+        _gauss_mesh_cache[key] = fn
+    ss = NamedSharding(mesh, P((AXIS_DP, AXIS_SP)))
+    out = fn(jax.device_put(src, ss),
+             jnp.asarray(np.asarray(targets, dtype=np.float32)),
+             jnp.float32(1.0 / (h * h)))
+    return np.asarray(out, dtype=np.float64)
 
-        return freq_blk, win_blk, dens, new_w, new_mu, new_var, loglik
 
-    shard_fn = jax.shard_map(
-        block_fn, mesh=mesh,
-        in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_SP), P(AXIS_DP),
-                  P(), P(), P(), P(), P()),
-        out_specs=(P(AXIS_SP), P(AXIS_DP, AXIS_SP), P(), P(), P(), P(), P()),
-    )
+_gmm_mesh_cache = {}
 
-    @jax.jit
-    def step(geno, win_missing, ind_weight, grid, bandwidth,
-             gmm_w, gmm_mu, gmm_var):
-        return shard_fn(geno, win_missing, ind_weight, grid, bandwidth,
-                        gmm_w, gmm_mu, gmm_var)
 
-    def place(geno, win_missing, ind_weight):
-        """Shard host arrays onto the mesh (helper for callers)."""
-        check_halo_fits(geno.shape[1], winsize - 1, mesh.shape[AXIS_SP])
-        gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
-        ms = NamedSharding(mesh, P(AXIS_SP))
-        ws = NamedSharding(mesh, P(AXIS_DP))
-        return (jax.device_put(geno, gs), jax.device_put(win_missing, ms),
-                jax.device_put(ind_weight, ws))
+def fit_gmm_sharded(x, k: int, w0, mu0, var0, mesh, max_iter: int = 1000,
+                    precision: float = 1e-5, verbose: bool = False):
+    """Phase-IV GMM-EM with psum'd sufficient statistics over the mesh.
 
-    step.place = place
-    return step
+    The production path for --tpu-mesh auto-bounds runs: ROH lengths shard
+    over every device, each EM iteration is one fused E+M pass whose
+    sufficient statistics (sum_r, sum_r*x, sum_r*x^2) and loglikelihood
+    psum over the mesh inside a lax.while_loop (matching GMM::estimate's
+    iteration/convergence structure, src/gmm.cpp:276-443).
+
+    Runs in float64 (the |delta loglik| <= 1e-5 convergence test is
+    unrepresentable in f32 at WGS sample counts); falls back to the host
+    EM if the backend cannot execute f64 (bare TPU without x64).
+    Returns ops.gmm.GMMResult, matching fit_gmm's semantics bit-for-bit up
+    to psum reduction order."""
+    from ..ops.gmm import GMMResult, fit_gmm
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    ndev = int(mesh.devices.size)
+    per = -(-n // ndev)
+    n2 = per * ndev
+    xp = np.zeros(n2, dtype=np.float64)
+    xp[:n] = x
+    wp = np.zeros(n2, dtype=np.float64)
+    wp[:n] = 1.0
+
+    key = (id(mesh), k)
+    fn = _gmm_mesh_cache.get(key)
+    if fn is None:
+        def block(x_blk, wt_blk, w, mu, var, itmax, prec):
+            nn = lax.psum(lax.psum(jnp.sum(wt_blk), AXIS_DP), AXIS_SP)
+
+            def stats(params):
+                w, mu, var = params
+                # GMM::update's math (src/gmm.cpp:276-331): log resp with
+                # logsumexp, the extra (==1) normalization, moment sums
+                lw = jnp.log(w)[None, :]
+                lv = jnp.log(var)[None, :]
+                d = x_blk[:, None] - mu[None, :]
+                logp = lw + (-0.5 * jnp.log(2.0 * jnp.pi) - 0.5 * lv
+                             - (d * d) / (2.0 * var[None, :]))
+                lmax = jnp.max(logp, axis=1, keepdims=True)
+                tmp = lmax[:, 0] + jnp.log(
+                    jnp.sum(jnp.exp(logp - lmax), axis=1))
+                ll_loc = jnp.sum(tmp * wt_blk)
+                resp = jnp.exp(logp - tmp[:, None])
+                den = jnp.sum(resp, axis=1, keepdims=True)
+                r = resp / den * wt_blk[:, None]
+                s0 = jnp.sum(r, axis=0)
+                s1 = jnp.sum(r * x_blk[:, None], axis=0)
+                s2 = jnp.sum(r * (x_blk * x_blk)[:, None], axis=0)
+                s0 = lax.psum(lax.psum(s0, AXIS_DP), AXIS_SP)
+                s1 = lax.psum(lax.psum(s1, AXIS_DP), AXIS_SP)
+                s2 = lax.psum(lax.psum(s2, AXIS_DP), AXIS_SP)
+                ll = lax.psum(lax.psum(ll_loc, AXIS_DP), AXIS_SP)
+                return s0, s1, s2, ll
+
+            big = jnp.finfo(jnp.float64).max
+
+            def cond(st):
+                w, mu, var, last_ll, ll, it, done = st
+                return (~done) & (it < itmax)
+
+            def body(st):
+                w, mu, var, last_ll, ll_prev, it, done = st
+                s0, s1, s2, ll = stats((w, mu, var))
+                w2 = s0 / nn
+                mu2 = s1 / s0
+                var2 = s2 / s0 - mu2 * mu2
+                bad = ~(jnp.all(jnp.isfinite(mu2)) &
+                        jnp.all(jnp.isfinite(var2)))
+                conv = jnp.abs(ll - last_ll) <= prec
+                # on a bad update keep going out of the loop; host raises
+                done = conv | bad
+                return (w2, mu2, var2,
+                        jnp.where(conv | bad, last_ll, ll), ll,
+                        it + 1, done)
+
+            st0 = (w, mu, var, -big, -big, jnp.int32(0),
+                   jnp.array(False))
+            w, mu, var, last_ll, ll, it, done = lax.while_loop(
+                cond, body, st0)
+            return w, mu, var, ll, it, done
+
+        sh = jax.shard_map(
+            block, mesh=mesh,
+            in_specs=(P((AXIS_DP, AXIS_SP)), P((AXIS_DP, AXIS_SP)),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()))
+        fn = jax.jit(sh)
+        _gmm_mesh_cache[key] = fn
+
+    if verbose:
+        import sys
+        print(f"Begin GMM estimation with k = {k} Gaussians...",
+              file=sys.stderr)
+    ss = NamedSharding(mesh, P((AXIS_DP, AXIS_SP)))
+    try:
+        with jax.experimental.enable_x64():
+            w, mu, var, ll, it, done = fn(
+                jax.device_put(xp, ss), jax.device_put(wp, ss),
+                jnp.asarray(w0, dtype=jnp.float64),
+                jnp.asarray(mu0, dtype=jnp.float64),
+                jnp.asarray(var0, dtype=jnp.float64),
+                jnp.int32(max_iter), jnp.float64(precision))
+            w = np.asarray(w, dtype=np.float64)
+            mu = np.asarray(mu, dtype=np.float64)
+            var = np.asarray(var, dtype=np.float64)
+            ll = float(ll)
+            it = int(it)
+            done = bool(done)
+    except Exception:
+        # backend cannot run the f64 SPMD program (e.g. bare TPU without
+        # x64 emulation): the host EM is bit-equivalent, just unsharded
+        return fit_gmm(x, k, np.asarray(w0), np.asarray(mu0),
+                       np.asarray(var0), max_iter=max_iter,
+                       precision=precision, verbose=False)
+    if not (np.all(np.isfinite(mu)) and np.all(np.isfinite(var))):
+        raise FloatingPointError(
+            "GMM component collapsed (non-finite parameters)")
+    bic = -2.0 * ll + (3.0 * k - 1) * np.log(n)
+    return GMMResult(weights=w, means=mu, variances=var, loglikelihood=ll,
+                     bic=float(bic), converged=done, iterations=it)
 
 
 _sharded_cache = {}

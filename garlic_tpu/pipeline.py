@@ -504,7 +504,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     if auto_bounds:
         print(f"Fitting {nclust}-component GMM for size classification")
         try:
-            bound_sizes, _ = gmm.select_size_classes(lengths, nclust, log)
+            bound_sizes, _ = gmm.select_size_classes(lengths, nclust, log,
+                                                     mesh=st.mesh)
         except Exception as e:
             # The reference aborts inside GSL here (collapsed component /
             # root bracket failure); we fail cleanly instead.
@@ -626,7 +627,8 @@ def _select_lod_cutoff(st: PipelineState, win_by_chr, ds: Dataset,
         log.logn("\n")
         samples = convert.win_to_samples(win_by_chr, step, ind_idx=idx)
     print("Estimating distribution of raw LOD score windows:", file=sys.stderr)
-    kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+    kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
+                             mesh=st.mesh)
     try:
         kdefile.write_kde(kr, kdeoutfile, log)
     except Exception:
@@ -675,7 +677,8 @@ def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
         samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
+                             mesh=st.mesh)
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -700,7 +703,8 @@ def _select_winsize_from_list(st: PipelineState, ds: Dataset, centro,
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
         samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
+                             mesh=st.mesh)
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -743,5 +747,6 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
                                            max_gap, use_gl, ind_idx=ind_idx)
         samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"))
+        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
+                             mesh=st.mesh)
         kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)

@@ -1,6 +1,9 @@
 """SPMD engine tests on the virtual 8-device CPU mesh (conftest forces
---xla_force_host_platform_device_count=8): the sharded analysis step must
-agree with the single-device/numpy reference path."""
+--xla_force_host_platform_device_count=8): the production sharded
+collectives (lod_windows_sharded, allele_freq_sharded,
+gauss_transform_sharded, fit_gmm_sharded) must agree with the
+single-device/numpy reference paths — the same functions pipeline.py
+drives on --tpu-mesh runs."""
 
 from __future__ import annotations
 
@@ -10,9 +13,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from garlic_tpu.ops import gmm as gmm_ops
+from garlic_tpu.ops import kde as kde_ops
 from garlic_tpu.ops import lod as lod_ops
-from garlic_tpu.parallel import (factor_devices, full_window_missing,
-                                 make_analysis_step, make_mesh, pad_for_mesh)
+from garlic_tpu.parallel import (allele_freq_sharded, factor_devices,
+                                 fit_gmm_sharded, full_window_missing,
+                                 gauss_transform_sharded,
+                                 lod_windows_sharded, make_mesh,
+                                 pad_for_mesh)
 
 W = 8
 ERROR = 0.001
@@ -37,75 +45,117 @@ def _numpy_freq(geno):
     return np.where(den > 0, num / den, 0.0)
 
 
-def _run_step(geno, positions, n_dp, n_sp, thin=None):
-    mesh = make_mesh(n_dp=n_dp, n_sp=n_sp)
-    miss = full_window_missing(positions, W, MAX_GAP, 10**9, 10**9 + 1)
-    geno_p, miss_p, iw = pad_for_mesh(geno, miss, mesh)
-    step = make_analysis_step(mesh, winsize=W, error=ERROR,
-                              kde_thin_step=thin or W)
-    g_dev, m_dev, w_dev = step.place(geno_p, miss_p, iw)
-    grid = jnp.linspace(-3.0, 3.0, 512, dtype=jnp.float32)
-    h = jnp.float32(0.25)
-    gw = jnp.array([0.5, 0.3, 0.2], dtype=jnp.float32)
-    gmu = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
-    gvar = jnp.array([1.0, 0.5, 2.0], dtype=jnp.float32)
-    out = step(g_dev, m_dev, w_dev, grid, h, gw, gmu, gvar)
-    return [np.asarray(o) for o in out], miss_p, np.asarray(grid), 0.25
+def _chrom(geno, positions, freq):
+    from garlic_tpu.core.types import ChromData
+    I, L = geno.shape
+    return ChromData(chrom="chr1", positions=positions,
+                     gpos=np.zeros(L), locus_names=[f"r{i}" for i in range(L)],
+                     alleles=np.array(["A"] * L), genotypes=geno, freq=freq)
+
+
+def _centro():
+    from garlic_tpu.centromeres import Centromere
+    from garlic_tpu.logger import RunLog
+    return Centromere("hg18", "none", "none", RunLog())
 
 
 @pytest.mark.parametrize("n_dp,n_sp", [(8, 1), (1, 8), (2, 4), (4, 2)])
-def test_sharded_matches_single_chip(n_dp, n_sp):
+def test_sharded_lod_matches_single_chip(n_dp, n_sp):
+    """lod_windows_sharded (the production --tpu-mesh Phase-I path) must
+    match the single-device fast engine across mesh factorizations."""
     geno, positions = _panel(gap_at=97)
-    (freq, win, dens, nw, nmu, nvar, ll), miss_p, grid, h = _run_step(
-        geno, positions, n_dp, n_sp)
+    freq = _numpy_freq(geno)
+    mesh = make_mesh(n_dp=n_dp, n_sp=n_sp)
+    dw = lod_windows_sharded(_chrom(geno, positions, freq), _centro(),
+                             W, ERROR, MAX_GAP, mesh)
+    got = dw.to_numpy()
     I, L = geno.shape
 
-    # frequencies: psum over dp == full-panel freq
-    np.testing.assert_allclose(freq[:L], _numpy_freq(geno), rtol=1e-6)
-
-    # windows: match the single-device fast engine
-    table = lod_ops.lod_table(_numpy_freq(geno), ERROR).astype(np.float32)
-    miss_win = miss_p[:L - W + 1]
+    table = lod_ops.lod_table(freq, ERROR).astype(np.float32)
+    miss = full_window_missing(positions, W, MAX_GAP, 10**18, 10**18 + 1)
     ref = np.asarray(lod_ops.lod_windows_fast_jax(
         jnp.asarray(geno), jnp.asarray(table),
-        jnp.asarray(miss_win), W))
-    np.testing.assert_allclose(win[:I, :L], ref, rtol=2e-4, atol=2e-4)
+        jnp.asarray(miss[:L - W + 1]), W))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
-def test_kde_density_matches_direct():
-    geno, positions = _panel(seed=3)
-    (freq, win, dens, *_), miss_p, grid, h = _run_step(geno, positions, 2, 4)
-    I, L = geno.shape
-    # direct: thin to every W-th window over the unpadded panel
-    wmat = win[:I, :L]
-    use = ~miss_p[:L] & (np.arange(L) % W == 0)
-    samples = wmat[:, use].ravel()
-    d = samples[:, None] - grid[None, :]
-    direct = np.exp(-0.5 * d * d / (h * h)).sum(axis=0)
-    direct /= samples.size * h * np.sqrt(2 * np.pi)
-    np.testing.assert_allclose(dens, direct, rtol=1e-3, atol=1e-6)
+def test_allele_freq_sharded():
+    """Freq numerator/denominator psum over dp == full-panel freq (the
+    multi-host loading collective)."""
+    geno, _ = _panel(seed=3)
+    mesh = make_mesh(n_dp=2, n_sp=4)
+    miss = np.zeros(geno.shape[1], dtype=bool)
+    geno_p, _, _ = pad_for_mesh(geno, miss, mesh)
+    freq = allele_freq_sharded(geno_p, mesh)
+    np.testing.assert_allclose(freq[:geno.shape[1]], _numpy_freq(geno),
+                               rtol=1e-6)
 
 
-def test_gmm_step_matches_numpy():
-    geno, positions = _panel(seed=5)
-    (freq, win, dens, nw, nmu, nvar, ll), miss_p, grid, h = _run_step(
-        geno, positions, 4, 2)
-    I, L = geno.shape
-    wmat = win[:I, :L]
-    use = ~miss_p[:L] & (np.arange(L) % W == 0)
-    x = wmat[:, use].ravel().astype(np.float64)
-    w0 = np.array([0.5, 0.3, 0.2])
-    mu0 = np.array([-1.0, 0.0, 1.0])
-    var0 = np.array([1.0, 0.5, 2.0])
-    logp = (-0.5 * (x[:, None] - mu0) ** 2 / var0
-            - 0.5 * np.log(2 * np.pi * var0) + np.log(w0))
-    m = logp.max(axis=1, keepdims=True)
-    r = np.exp(logp - m)
-    resp = r / r.sum(axis=1, keepdims=True)
-    s0 = resp.sum(axis=0)
-    np.testing.assert_allclose(nw, s0 / x.size, rtol=1e-3)
-    np.testing.assert_allclose(nmu, (resp * x[:, None]).sum(0) / s0,
-                               rtol=1e-3, atol=1e-3)
+def test_gauss_transform_sharded_matches_host():
+    """The Phase-II collective: per-shard partial Gauss transforms psum'd
+    over the mesh == the host/blocked transform."""
+    rng = np.random.default_rng(7)
+    src = rng.standard_normal(5000) * 1.7 + 0.4
+    tgt = np.linspace(-4.0, 5.0, 512)
+    h = 0.21
+    mesh = make_mesh(n_dp=4, n_sp=2)
+    got = gauss_transform_sharded(src, tgt, h, mesh) / src.shape[0]
+    want = kde_ops.gauss_transform(src, tgt, h, device=False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_compute_kde_mesh_matches_host():
+    """compute_kde(mesh=...) — the production --tpu-mesh Phase II — gives
+    the same grid and a density within f32-psum tolerance of the host."""
+    rng = np.random.default_rng(11)
+    x = np.concatenate([rng.standard_normal(4000) - 2.0,
+                        rng.standard_normal(2000) * 0.5 + 2.5])
+    mesh = make_mesh(n_dp=2, n_sp=4)
+    a = kde_ops.compute_kde(x)
+    b = kde_ops.compute_kde(x, mesh=mesh)
+    np.testing.assert_array_equal(a.x, b.x)  # identical grid (host nrd0)
+    np.testing.assert_allclose(a.y, b.y, rtol=2e-4, atol=1e-9)
+
+
+def test_fit_gmm_sharded_matches_host():
+    """The Phase-IV collective: the full psum'd EM loop must reproduce the
+    host f64 EM (same iterations, same convergence, same params) on
+    ROH-length-scale data."""
+    rng = np.random.default_rng(13)
+    lengths = np.concatenate([
+        rng.normal(4.5e5, 8e4, 3000),
+        rng.normal(1.2e6, 2e5, 1500),
+        rng.normal(3.0e6, 5e5, 500)]).clip(1e4, None)
+    k = 3
+    var = float(np.var(lengths, ddof=1))
+    mean = float(np.mean(lengths))
+    w0 = np.full(k, 1.0 / k)
+    mu0 = np.array([mean * (n + 1) / (k + 1) for n in range(k)])
+    var0 = np.array([var * (n + 1) / k for n in range(k)])
+    host = gmm_ops.fit_gmm(lengths, k, w0, mu0, var0)
+    mesh = make_mesh(n_dp=4, n_sp=2)
+    dist = fit_gmm_sharded(lengths, k, w0, mu0, var0, mesh)
+    np.testing.assert_allclose(dist.weights, host.weights, rtol=1e-8)
+    np.testing.assert_allclose(dist.means, host.means, rtol=1e-8)
+    np.testing.assert_allclose(dist.variances, host.variances, rtol=1e-8)
+    assert dist.converged == host.converged
+    assert abs(dist.iterations - host.iterations) <= 1
+    np.testing.assert_allclose(dist.loglikelihood, host.loglikelihood,
+                               rtol=1e-10)
+
+
+def test_select_size_classes_mesh_identical():
+    """select_size_classes with a mesh must give the same bounds as the
+    host path (the BED class letters depend on them)."""
+    rng = np.random.default_rng(17)
+    lengths = np.concatenate([
+        rng.normal(5e5, 1e5, 2000),
+        rng.normal(1.5e6, 2e5, 800),
+        rng.normal(4e6, 6e5, 300)]).clip(1e4, None)
+    mesh = make_mesh(n_dp=8, n_sp=1)
+    bounds_host, _ = gmm_ops.select_size_classes(lengths, 3)
+    bounds_mesh, _ = gmm_ops.select_size_classes(lengths, 3, mesh=mesh)
+    np.testing.assert_allclose(bounds_mesh, bounds_host, rtol=1e-7)
 
 
 @pytest.mark.parametrize("mesh_spec", ["4x2", "8x1", "2x4"])
