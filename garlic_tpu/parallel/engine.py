@@ -52,13 +52,15 @@ def _freq_block(geno_blk):
     return num, den
 
 
-def _lod_terms_block(geno_blk, freq_blk, error: float):
+def _lod_terms_block(geno_blk, freq_blk, error):
     """Elementwise lod(g, p, e) (src/garlic-roh.cpp:355-386) in f32.
 
-    Branch-free: three per-locus table rows + VPU selects, no gathers."""
+    Branch-free: three per-locus table rows + VPU selects, no gathers.
+    `error` is a python float (scalar genotyping error) or an [I_s, L_s]
+    block (TGLS per-genotype error, src/garlic-roh.cpp:68,91-95)."""
     import jax.numpy as jnp
     p = freq_blk
-    e = jnp.float32(error)
+    e = jnp.asarray(error, jnp.float32)
     one_minus = 1.0 - p
     non0 = one_minus * one_minus
     aut0 = (1.0 - e) * one_minus + e * non0
@@ -69,10 +71,12 @@ def _lod_terms_block(geno_blk, freq_blk, error: float):
     r0 = jnp.log10(aut0 / non0)
     r1 = jnp.log10(aut1 / non1)
     r2 = jnp.log10(aut2 / non2)
+    if r0.ndim == 1:  # scalar error: per-locus rows broadcast over inds
+        r0, r1, r2 = r0[None, :], r1[None, :], r2[None, :]
     g = geno_blk.astype(jnp.int32)
-    a = jnp.where(g == 0, r0[None, :],
-                  jnp.where(g == 1, r1[None, :],
-                            jnp.where(g == 2, r2[None, :], 0.0)))
+    a = jnp.where(g == 0, r0,
+                  jnp.where(g == 1, r1,
+                            jnp.where(g == 2, r2, 0.0)))
     mono = (p <= 0.0) | (p >= 1.0)
     return jnp.where(mono[None, :], 0.0, a).astype(jnp.float32)
 
@@ -355,16 +359,16 @@ _sharded_cache = {}
 
 
 def lod_windows_sharded(chrom, centro, winsize: int, error: float,
-                        max_gap: int, mesh):
+                        max_gap: int, mesh, use_gl: bool = False):
     """Phase-I window scan sharded over a ("dp", "sp") mesh -> DeviceWin.
 
     Individuals shard over dp, loci over sp with a (winsize-1) ppermute
     halo; the per-SNP frequency row is replicated along dp and sharded
-    along sp.  The result stays device-resident (and sharded) so the
-    downstream covered/thinned kernels compile as SPMD programs over the
-    same mesh."""
+    along sp.  use_gl shards the TGLS per-genotype error matrix exactly
+    like the genotypes (src/garlic-roh.cpp:68,91-95).  The result stays
+    device-resident (and sharded) so the downstream covered/thinned
+    kernels compile as SPMD programs over the same mesh."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.device_win import DeviceWin
@@ -375,43 +379,320 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
     miss = full_window_missing(chrom.positions, winsize, max_gap,
                                cstart, cend)
     geno_p, miss_p, _ = pad_for_mesh(chrom.genotypes, miss, mesh)
-    L2 = geno_p.shape[1]
+    I2, L2 = geno_p.shape
     check_halo_fits(L2, winsize - 1, mesh.shape[AXIS_SP])
     freq_p = np.zeros(L2, dtype=np.float32)
     freq_p[:L] = np.asarray(chrom.freq, dtype=np.float32)
 
-    fn = make_sharded_lod_fn(mesh, winsize, error)
+    fn = make_sharded_lod_fn(mesh, winsize, error, use_gl=use_gl)
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
     ls = NamedSharding(mesh, P(AXIS_SP))
-    win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
-             jax.device_put(miss_p, ls))
+    if use_gl:
+        gl_p = np.full((I2, L2), float(error), dtype=np.float32)
+        gl_p[:I, :L] = np.asarray(chrom.gl, dtype=np.float32)
+        win = fn(jax.device_put(geno_p, gs), jax.device_put(gl_p, gs),
+                 jax.device_put(freq_p, ls), jax.device_put(miss_p, ls))
+    else:
+        win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
+                 jax.device_put(miss_p, ls))
     return DeviceWin(win=win, nind=I, nloci=L)
 
 
-def make_sharded_lod_fn(mesh, winsize: int, error: float):
+def make_sharded_lod_fn(mesh, winsize: int, error: float,
+                        use_gl: bool = False):
     """Jitted SPMD window-scan step over `mesh` (cached per config):
-    (geno P(dp,sp), freq P(sp), win_missing P(sp)) -> win P(dp,sp)."""
+    (geno P(dp,sp), [gl P(dp,sp)], freq P(sp), win_missing P(sp))
+    -> win P(dp,sp)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    key = (id(mesh), winsize, float(error))
+    key = (id(mesh), winsize, float(error), use_gl)
     fn = _sharded_cache.get(key)
     if fn is None:
-        def block_fn(geno_blk, freq_blk, miss_blk):
-            a = _lod_terms_block(geno_blk, freq_blk, error)
+        def scan_block(a, miss_blk):
             halo = _halo_right(a, winsize - 1, AXIS_SP)
             a_ext = jnp.concatenate([a, halo], axis=1)
             s = _window_sums(a_ext, winsize)
             return jnp.where(miss_blk[None, :], jnp.float32(MISSING), s)
 
-        shard_fn = jax.shard_map(
-            block_fn, mesh=mesh,
-            in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_SP), P(AXIS_SP)),
-            out_specs=P(AXIS_DP, AXIS_SP))
+        if use_gl:
+            def block_fn(geno_blk, gl_blk, freq_blk, miss_blk):
+                a = _lod_terms_block(geno_blk, freq_blk, gl_blk)
+                return scan_block(a, miss_blk)
+
+            in_specs = (P(AXIS_DP, AXIS_SP), P(AXIS_DP, AXIS_SP),
+                        P(AXIS_SP), P(AXIS_SP))
+        else:
+            def block_fn(geno_blk, freq_blk, miss_blk):
+                a = _lod_terms_block(geno_blk, freq_blk, error)
+                return scan_block(a, miss_blk)
+
+            in_specs = (P(AXIS_DP, AXIS_SP), P(AXIS_SP), P(AXIS_SP))
+
+        shard_fn = jax.shard_map(block_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=P(AXIS_DP, AXIS_SP))
         fn = jax.jit(shard_fn)
         _sharded_cache[key] = fn
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Sharded weighted path: banded LD + wLOD window scan over the mesh
+# ---------------------------------------------------------------------------
+
+_ld_mesh_cache = {}
+_wlod_mesh_cache = {}
+
+
+def _halo_left_rows(x_blk, width: int, axis_name: str):
+    """Pull the trailing `width` ROWS of the left (sp_id-1) neighbor.
+
+    Shard 0 receives the last shard's rows (ring) — the caller must zero
+    them (global rows < 0 contribute 0 to the band recurrences)."""
+    from jax import lax
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        import jax.numpy as jnp
+        return jnp.zeros_like(x_blk[-width:])
+    tail = x_blk[-width:]
+    # send my tail to my RIGHT neighbor == receive left neighbor's tail
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return lax.ppermute(tail, axis_name, perm)
+
+
+def _halo_right_rows(x_blk, width: int, axis_name: str):
+    """Pull the leading `width` ROWS of the right (sp_id+1) neighbor
+    (row-axis analog of _halo_right; ring wrap on the last shard feeds
+    only masked windows)."""
+    from jax import lax
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        import jax.numpy as jnp
+        return jnp.zeros_like(x_blk[:width])
+    head = x_blk[:width]
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    return lax.ppermute(head, axis_name, perm)
+
+
+def ld_band_sharded(chrom, winsize: int, phased: bool, sub_idx, mesh):
+    """[L2, W] LD band sharded P(sp) over rows — the collective version of
+    ops/device_wlod.ld_band_device (reference calcLDData,
+    src/garlic-data.cpp:330-646).
+
+    Pair counts reduce over the (sub)panel individuals with a psum over
+    dp; each locus pairs with up to W-1 right neighbors, so the pair
+    stage pulls a (W-1)-column halo of the genotype indicators, and the
+    band assembly pulls a (W-1)-row halo of the pair band from the left
+    neighbor (zeroed on shard 0, matching the P[m-d]=0, m-d<0 boundary).
+    Returns a device array still sharded for wlod_windows_sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.ld import geno_hom_freq
+
+    g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
+    I, L = g.shape
+    n_sp = mesh.shape[AXIS_SP]
+    miss_dummy = np.ones(L, dtype=bool)
+    gp, _, _ = pad_for_mesh(g, miss_dummy, mesh)
+    I2, L2 = gp.shape
+    check_halo_fits(L2, winsize - 1, n_sp)
+
+    if phased:
+        fc = chrom.first_copy if sub_idx is None else chrom.first_copy[sub_idx]
+        fcp = np.zeros((I2, L2), dtype=np.int8)
+        fcp[:I, :L] = np.asarray(fc, dtype=np.int8)
+        marg = np.zeros(L2, dtype=np.float32)
+        marg[:L] = np.asarray(chrom.freq, dtype=np.float32)
+    else:
+        fcp = np.zeros((I2, L2), dtype=np.int8)  # unused placeholder
+        marg = np.zeros(L2, dtype=np.float32)
+        # full-panel marginal homozygosity freqs (src/garlic-data.cpp:648)
+        marg[:L] = np.nan_to_num(geno_hom_freq(chrom.genotypes))
+
+    key = (id(mesh), winsize, phased)
+    fn = _ld_mesh_cache.get(key)
+    if fn is None:
+        W = winsize
+
+        def block(geno_blk, fc_blk, marg_blk):
+            from jax import lax
+            I_s, L_s = geno_blk.shape
+            valid = (geno_blk != -9)
+            vf = valid.astype(jnp.float32)
+            marg_ext = jnp.concatenate(
+                [marg_blk, _halo_right(marg_blk[None, :], W - 1,
+                                       AXIS_SP)[0]])
+            if phased:
+                # phased r^2 from 2-locus haplotype freq x11
+                # (src/garlic-data.cpp:585-617)
+                g2 = (geno_blk == 2)
+                g1 = (geno_blk == 1)
+                b2 = jnp.concatenate(
+                    [g2, _halo_right(g2, W - 1, AXIS_SP)], axis=1)
+                b1 = jnp.concatenate(
+                    [g1, _halo_right(g1, W - 1, AXIS_SP)], axis=1)
+                bfc = jnp.concatenate(
+                    [fc_blk, _halo_right(fc_blk, W - 1, AXIS_SP)], axis=1)
+                bv = jnp.concatenate(
+                    [valid, _halo_right(valid, W - 1, AXIS_SP)], axis=1)
+                nums, dens = [], []
+                for d in range(1, W):
+                    pv = valid & bv[:, d:d + L_s]
+                    x11 = (2 * (g2 & b2[:, d:d + L_s])
+                           + (g1 & b2[:, d:d + L_s])
+                           + (g2 & b1[:, d:d + L_s])
+                           + (g1 & b1[:, d:d + L_s]
+                              & (fc_blk == bfc[:, d:d + L_s])))
+                    nums.append(jnp.sum(
+                        jnp.where(pv, x11.astype(jnp.float32), 0.0), axis=0))
+                    dens.append(2.0 * jnp.sum(pv.astype(jnp.float32), axis=0))
+            else:
+                # HR^2: joint hom-hom counts (src/garlic-data.cpp:558-583)
+                homv = valid & (geno_blk != 1)
+                hf = homv.astype(jnp.float32)
+                bvf = jnp.concatenate(
+                    [vf, _halo_right(vf, W - 1, AXIS_SP)], axis=1)
+                bhf = jnp.concatenate(
+                    [hf, _halo_right(hf, W - 1, AXIS_SP)], axis=1)
+                nums, dens = [], []
+                for d in range(1, W):
+                    nums.append(jnp.sum(hf * bhf[:, d:d + L_s], axis=0))
+                    dens.append(jnp.sum(vf * bvf[:, d:d + L_s], axis=0))
+            stats = jnp.stack(nums + dens, axis=0)       # [2(W-1), L_s]
+            stats = lax.psum(stats, AXIS_DP)
+            num = stats[:W - 1]
+            den = stats[W - 1:]
+            MA = marg_ext[:L_s]
+            ok = (MA > 0) & (MA < 1)
+            denom = MA * (1.0 - MA)
+            cols = [jnp.zeros((L_s,), jnp.float32)]      # d = 0 slot unused
+            for d in range(1, W):
+                MB = marg_ext[d:d + L_s]
+                okB = (MB > 0) & (MB < 1)
+                mean = num[d - 1] / den[d - 1]
+                cov = mean - MA * MB
+                r2 = (cov * cov) / (denom * MB * (1.0 - MB))
+                r2 = jnp.minimum(r2, 1.0)
+                r2 = jnp.where(ok & okB, r2, 0.0)
+                r2 = jnp.where(jnp.isfinite(r2), r2, 0.0)
+                cols.append(r2)
+            Pb = jnp.stack(cols, axis=1)                 # [L_s, W]
+
+            # ---- band assembly with a (W-1)-row left halo ----
+            halo = _halo_left_rows(Pb, W - 1, AXIS_SP)
+            sp_id = lax.axis_index(AXIS_SP)
+            halo = jnp.where(sp_id == 0, 0.0, halo)      # global m < 0 -> 0
+            Pe = jnp.concatenate([halo, Pb], axis=0)     # [L_s + W - 1, W]
+            S = jnp.cumsum(Pe, axis=1)                   # S[r, j] = sum_{d<=j}
+            Le = Pe.shape[0]
+            prev = jnp.zeros((Le,), Pe.dtype)
+            outs = [prev]
+            for j in range(1, W):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((j,), Pe.dtype), Pe[:-j, j]])
+                prev = prev + shifted
+                outs.append(prev)
+            D = jnp.stack(outs, axis=1)                  # [Le, W]
+            # LD[l, j] = 1 + D[l+j, j] + S[l+j, W-1-j] (the cumsum
+            # decomposition, ops/ld.py assemble_ld_fast).  Local block
+            # rows are ext rows [W-1, Le); rows l+j >= L_s live on the
+            # RIGHT neighbor — pull its first W-1 BLOCK rows of (S, D)
+            # (correct there because its own left halo is this shard's
+            # tail).  On the last shard the ring wraps: those rows feed
+            # only windows past nwin, which are masked MISSING.
+            S_blk = S[W - 1:]                            # [L_s, W]
+            D_blk = D[W - 1:]
+            Sr = _halo_right_rows(S_blk, W - 1, AXIS_SP)
+            Dr = _halo_right_rows(D_blk, W - 1, AXIS_SP)
+            S_all = jnp.concatenate([S_blk, Sr], axis=0)
+            D_all = jnp.concatenate([D_blk, Dr], axis=0)
+            cols = []
+            for j in range(W):
+                cols.append(1.0 + D_all[j:j + L_s, j]
+                            + S_all[j:j + L_s, W - 1 - j])
+            return jnp.stack(cols, axis=1)               # [L_s, W]
+
+        shard_fn = jax.shard_map(
+            block, mesh=mesh,
+            in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_DP, AXIS_SP), P(AXIS_SP)),
+            out_specs=P(AXIS_SP, None))
+        fn = jax.jit(shard_fn)
+        _ld_mesh_cache[key] = fn
+
+    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
+    ls = NamedSharding(mesh, P(AXIS_SP))
+    return fn(jax.device_put(gp, gs), jax.device_put(fcp, gs),
+              jax.device_put(marg, ls))
+
+
+def wlod_windows_sharded(chrom, centro, ld_dev, winsize: int, error,
+                        max_gap: int, use_gl: bool, mu: float, M: int,
+                        mesh):
+    """Weighted Phase-I over the mesh -> DeviceWin (collective version of
+    ops/device_wlod.wlod_windows_device; reference calcwLOD,
+    src/garlic-roh.cpp:144-277).
+
+    Per-locus weighted scores (host f64, identical to the single-device
+    path) shard (dp, sp); window l sums score[l+j] * (1/LD[l][j]) with a
+    (winsize-1)-column score halo from the right sp neighbor; the LD band
+    rows are already sharded P(sp) by ld_band_sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.device_win import DeviceWin
+    from ..ops.lod import window_missing_mask
+    from ..ops.wlod import wlod_scores
+
+    I, L = chrom.genotypes.shape
+    cstart = centro.start(chrom.chrom)
+    cend = centro.end(chrom.chrom)
+    nwin = max(L - winsize + 1, 0)
+    L2 = int(ld_dev.shape[0])
+    n_dp = mesh.shape[AXIS_DP]
+    I2 = -(-I // n_dp) * n_dp
+    check_halo_fits(L2, winsize - 1, mesh.shape[AXIS_SP])
+
+    score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
+    sp_arr = np.zeros((I2, L2), dtype=np.float32)
+    sp_arr[:I, :L] = score
+    miss_p = np.ones(L2, dtype=bool)
+    if nwin > 0:
+        miss_p[:nwin] = window_missing_mask(chrom.positions, winsize,
+                                            max_gap, cstart, cend)
+
+    key = (id(mesh), winsize, "wlod")
+    fn = _wlod_mesh_cache.get(key)
+    if fn is None:
+        W = winsize
+
+        def block(score_blk, ld_blk, miss_blk):
+            I_s, L_s = score_blk.shape
+            halo = _halo_right(score_blk, W - 1, AXIS_SP)
+            ext = jnp.concatenate([score_blk, halo], axis=1)
+            inv = 1.0 / ld_blk                           # [L_s, W]
+            acc = jnp.zeros((I_s, L_s), jnp.float32)
+            for j in range(W):
+                # same j-order as the single-device kernel and the
+                # reference's inner i-loop (src/garlic-roh.cpp:259-272)
+                acc = acc + ext[:, j:j + L_s] * inv[:, j][None, :]
+            return jnp.where(miss_blk[None, :], jnp.float32(MISSING), acc)
+
+        shard_fn = jax.shard_map(
+            block, mesh=mesh,
+            in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_SP, None), P(AXIS_SP)),
+            out_specs=P(AXIS_DP, AXIS_SP))
+        fn = jax.jit(shard_fn)
+        _wlod_mesh_cache[key] = fn
+
+    gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
+    ls = NamedSharding(mesh, P(AXIS_SP))
+    win = fn(jax.device_put(sp_arr, gs), ld_dev,
+             jax.device_put(miss_p, ls))
+    return DeviceWin(win=win, nind=I, nloci=L)
 
 
 # ---------------------------------------------------------------------------

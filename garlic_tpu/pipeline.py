@@ -447,7 +447,17 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         for c in ds.chroms:
             print(f"{c.chrom}    ", file=sys.stderr, end="")
             bar = Bar(total=c.nind)
-            if st.engine == "fast":
+            if st.engine == "fast" and st.mesh is not None:
+                # SPMD weighted path: psum'd pair counts for the LD band
+                # + halo'd weighted window scan over the mesh
+                from .parallel.engine import (ld_band_sharded,
+                                              wlod_windows_sharded)
+                ldm = ld_band_sharded(c, winsize, phased, sub_idx, st.mesh)
+                win_by_chr.append(wlod_windows_sharded(
+                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M,
+                    st.mesh))
+                bar.advance(c.nind)
+            elif st.engine == "fast":
                 from .ops import device_wlod
                 ldm = device_wlod.ld_band_device(c, winsize, phased, sub_idx)
                 win_by_chr.append(device_wlod.wlod_windows_device(
@@ -567,12 +577,13 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
         cc = c
         if ind_idx is not None:
             cc = _subset_chrom(c, ind_idx)
-        if st.engine == "fast" and st.mesh is not None and not use_gl:
+        if st.engine == "fast" and st.mesh is not None:
             # SPMD over the ("dp", "sp") mesh: individuals data-parallel,
-            # loci sequence-parallel with a ppermute halo
+            # loci sequence-parallel with a ppermute halo; TGLS per-genotype
+            # errors shard exactly like the genotypes
             from .parallel.engine import lod_windows_sharded
             out.append(lod_windows_sharded(cc, centro, winsize, error,
-                                           max_gap, st.mesh))
+                                           max_gap, st.mesh, use_gl=use_gl))
             bar.advance(cc.nind)
         elif st.engine == "fast" and streaming:
             out.append(device_win.LazyWin(
@@ -732,7 +743,14 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
             for c in ds.chroms:
                 print(f"{c.chrom}    ", file=sys.stderr, end="")
                 cc = _subset_chrom(c, ind_idx) if ind_idx is not None else c
-                if st.engine == "fast":
+                if st.engine == "fast" and st.mesh is not None:
+                    from .parallel.engine import (ld_band_sharded,
+                                                  wlod_windows_sharded)
+                    ldm = ld_band_sharded(c, wq, phased, sub_idx, st.mesh)
+                    win_by_chr.append(wlod_windows_sharded(
+                        cc, centro, ldm, wq, error, max_gap, use_gl, mu, M,
+                        st.mesh))
+                elif st.engine == "fast":
                     from .ops import device_wlod
                     ldm = device_wlod.ld_band_device(c, wq, phased, sub_idx)
                     win_by_chr.append(device_wlod.wlod_windows_device(

@@ -241,3 +241,98 @@ def test_factor_devices():
     assert factor_devices(7) == (7, 1)
     dp, sp = factor_devices(6)
     assert dp * sp == 6
+
+
+@pytest.mark.parametrize("mesh_spec", ["4x2", "2x4"])
+def test_pipeline_weighted_on_mesh(tmp_path, mesh_spec):
+    """--tpu-mesh --weighted: the psum'd LD band + halo'd wLOD scan must
+    produce the same BED as the single-device fast engine."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_map_scaffold, write_tped, run_ours
+
+    panel = make_panel(nind=20, nloci_per_chr=(3000, 2000), seed=41)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--winsize", "30",
+            "--error", "0.001", "--lod-cutoff", "1.0", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", mesh_spec,
+                                "--out", "meshed"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "meshed.roh.bed")).read()
+    assert a == b
+
+
+def test_pipeline_weighted_phased_ld_subsample_on_mesh(tmp_path):
+    """--tpu-mesh --weighted --phased with an LD individual subsample."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_map_scaffold, write_tped, run_ours
+
+    panel = make_panel(nind=18, nloci_per_chr=(2500,), seed=43)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--phased", "--winsize", "30",
+            "--error", "0.001", "--lod-cutoff", "1.0", "--kde-subsample", "0",
+            "--ld-subsample", "10", "--tpu-seed", "5",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", "4x2", "--out", "meshed"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "meshed.roh.bed")).read()
+    assert a == b
+
+
+def test_pipeline_tgls_on_mesh(tmp_path):
+    """--tpu-mesh with TGLS per-genotype errors: gl shards like geno."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tgls, write_tped, run_ours
+
+    panel = make_panel(nind=20, nloci_per_chr=(3000,), seed=47)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), gl_type="GQ")
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--tgls", "p.tgls.gz", "--gl-type", "GQ", "--winsize", "40",
+            "--error", "0.001", "--lod-cutoff", "1.2", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", "2x4", "--out", "meshed"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "meshed.roh.bed")).read()
+    assert a == b
+
+
+@pytest.mark.parametrize("phased", [False, True])
+def test_ld_band_sharded_matches_device(phased):
+    """The psum'd pair-count LD band == the single-device band."""
+    from garlic_tpu.ops import device_wlod
+    from garlic_tpu.parallel.engine import ld_band_sharded
+
+    rng = np.random.default_rng(51)
+    I, L, Wz = 14, 260, 10
+    geno = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.03] = -9
+    positions = np.cumsum(rng.integers(500, 3000, size=L)).astype(np.int64)
+    freq = np.clip(_numpy_freq(geno), 0.02, 0.98)
+    from garlic_tpu.core.types import ChromData
+    chrom = ChromData(chrom="chr1", positions=positions,
+                      gpos=np.cumsum(rng.random(L) * 0.01),
+                      locus_names=[f"r{i}" for i in range(L)],
+                      alleles=np.array(["A"] * L), genotypes=geno, freq=freq,
+                      first_copy=rng.integers(0, 2, (I, L)).astype(bool))
+    mesh = make_mesh(n_dp=2, n_sp=4)
+    got = np.asarray(ld_band_sharded(chrom, Wz, phased, None, mesh))
+    want = np.asarray(device_wlod.ld_band_device(chrom, Wz, phased, None))
+    nwin = L - Wz + 1
+    np.testing.assert_allclose(got[:nwin], want[:nwin], rtol=3e-5, atol=3e-5)
