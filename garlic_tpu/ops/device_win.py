@@ -47,13 +47,14 @@ class DeviceWin:
         return self.to_numpy()[idx]
 
     def to_numpy(self) -> np.ndarray:
+        from ..parallel.multihost import to_host
         if not hasattr(self, "_host"):
             if self.nwin < 0:
-                self._host = np.asarray(
-                    self.win, dtype=np.float64)[:self.nind, :self.nloci]
+                self._host = to_host(self.win).astype(
+                    np.float64)[:self.nind, :self.nloci]
             else:
                 host = np.full((self.nind, self.nloci), float(MISSING))
-                src = np.asarray(self.win, dtype=np.float64)
+                src = to_host(self.win).astype(np.float64)
                 host[:, :self.nwin] = src[:self.nind, :self.nwin]
                 self._host = host
         return self._host
@@ -164,7 +165,8 @@ def thinned_block(dwin: DeviceWin, step: int,
             return w[:, ::step]
 
         _thin_jit = _thin
-    out = np.asarray(_thin_jit(dwin.win, step), dtype=np.float64)
+    from ..parallel.multihost import to_host
+    out = to_host(_thin_jit(dwin.win, step)).astype(np.float64)
     out = out[:dwin.nind]  # drop mesh-padding rows (their windows are 0)
     if ind_idx is not None:
         out = out[ind_idx]
@@ -219,7 +221,8 @@ def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
                           jnp.float32(threshold), winsize)
-    return np.asarray(packed)
+    from ..parallel.multihost import to_host
+    return to_host(packed)
 
 
 def covered_mask(dwin: DeviceWin, cutoff: float, winsize: int,

@@ -158,8 +158,9 @@ def allele_freq_sharded(geno, mesh):
                            out_specs=P(AXIS_SP))
         fn = jax.jit(sh)
         _freq_mesh_cache[key] = fn
+    from .multihost import put_dp_sharded, to_host
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
-    return np.asarray(fn(jax.device_put(geno, gs)), dtype=np.float64)
+    return to_host(fn(put_dp_sharded(geno, mesh, gs))).astype(np.float64)
 
 
 _gauss_mesh_cache = {}
@@ -387,14 +388,16 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
     fn = make_sharded_lod_fn(mesh, winsize, error, use_gl=use_gl)
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
     ls = NamedSharding(mesh, P(AXIS_SP))
+    from .multihost import put_dp_sharded
     if use_gl:
         gl_p = np.full((I2, L2), float(error), dtype=np.float32)
         gl_p[:I, :L] = np.asarray(chrom.gl, dtype=np.float32)
-        win = fn(jax.device_put(geno_p, gs), jax.device_put(gl_p, gs),
+        win = fn(put_dp_sharded(geno_p, mesh, gs),
+                 put_dp_sharded(gl_p, mesh, gs),
                  jax.device_put(freq_p, ls), jax.device_put(miss_p, ls))
     else:
-        win = fn(jax.device_put(geno_p, gs), jax.device_put(freq_p, ls),
-                 jax.device_put(miss_p, ls))
+        win = fn(put_dp_sharded(geno_p, mesh, gs),
+                 jax.device_put(freq_p, ls), jax.device_put(miss_p, ls))
     return DeviceWin(win=win, nind=I, nloci=L)
 
 

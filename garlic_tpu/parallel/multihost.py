@@ -74,3 +74,55 @@ def host_individual_range(nind: int) -> Tuple[int, int]:
     per = -(-nind // p)
     start = min(i * per, nind)
     return start, min(start + per, nind)
+
+
+def initialize_from_env() -> Tuple[int, int]:
+    """Pipeline entry hook: wire the multi-controller runtime when the
+    GARLIC_TPU_COORD / GARLIC_TPU_NUM_PROCS / GARLIC_TPU_PROC_ID env vars
+    are present (each host runs the same garlic-tpu command; the mesh then
+    spans every host's devices over DCN).  Returns (process_count,
+    process_index) — (1, 0) when no cluster env is configured."""
+    import jax
+
+    if not (os.environ.get("GARLIC_TPU_COORD")
+            or os.environ.get("GARLIC_TPU_NUM_PROCS")):
+        return 1, 0
+    initialize_distributed()
+    return jax.process_count(), jax.process_index()
+
+
+def to_host(x) -> "np.ndarray":
+    """Device->host transfer that works for multi-process global arrays.
+
+    np.asarray on a jax.Array whose shards live on other hosts' devices
+    raises; gather them over DCN first (every process receives the full
+    array, mirroring the reference's single-address-space WinData)."""
+    import numpy as np
+
+    import jax
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def put_dp_sharded(arr, mesh, sharding):
+    """Place a host [I2, L2] array onto the mesh, feeding only THIS host's
+    dp-row block when the device layout is row-aligned (each host then
+    ships 1/num_hosts of the bytes; with per-host input shards the other
+    rows never need to exist host-side at all).  Falls back to a plain
+    device_put (full transfer, JAX scatters local shards) otherwise."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    from .mesh import AXIS_SP
+    d = jax.local_device_count()
+    n_sp = mesh.shape[AXIS_SP]
+    if d % n_sp != 0 or arr.ndim != 2:
+        return jax.device_put(arr, sharding)
+    start, stop = host_individual_range(arr.shape[0])
+    import numpy as np
+    local = np.ascontiguousarray(arr[start:stop])
+    return jax.make_array_from_process_local_data(sharding, local)

@@ -132,6 +132,15 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
 def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
               fw: _FreqWriter) -> int:
     outfile = args[cli.ARG_OUTFILE]
+    # Multi-host: wire the jax.distributed runtime over DCN BEFORE any JAX
+    # use when the GARLIC_TPU_COORD/NUM_PROCS env vars are set (every host
+    # runs this same command; --tpu-mesh then spans all hosts' devices).
+    # Secondary processes write to <out>.procN so co-located runs don't
+    # race on the same artifact files.
+    from .parallel.multihost import initialize_from_env
+    _nproc, _pidx = initialize_from_env()
+    if _pidx > 0:
+        outfile = outfile + f".proc{_pidx}"
     log.init(outfile)
     log.log(" ".join([prog] + list(argv)))
     log.log("Output file basename:", outfile)
