@@ -90,10 +90,13 @@ def load_cache(tpedfile: str, want_fc: bool,
         out = []
         for i in range(nchrom):
             packed = z[f"c{i}_geno2b"]
-            codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
-                             axis=-1).reshape(nind, -1)
             L = z[f"c{i}_pos"].shape[0]
-            geno = np.where(codes == 3, -9, codes).astype(np.int8)[:, :L]
+            from ..native import unpack_2bit_native
+            geno = unpack_2bit_native(packed, L)
+            if geno is None:  # numpy fallback (several large temporaries)
+                codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
+                                 axis=-1).reshape(nind, -1)
+                geno = np.where(codes == 3, -9, codes).astype(np.int8)[:, :L]
             fc = None
             if want_fc:
                 key = f"c{i}_fc"

@@ -16,5 +16,6 @@ from .build import (  # noqa: F401
     pack_2bit_padded_native,
     parse_tped_native,
     set_native_threads,
+    unpack_2bit_native,
     write_freq_chrom_native,
 )

@@ -102,6 +102,10 @@ def _load():
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int64]
+        lib.gt_unpack_2bit.restype = None
+        lib.gt_unpack_2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int8)]
         lib.gt_set_threads.restype = None
         lib.gt_set_threads.argtypes = [ctypes.c_int]
         lib.gt_get_max_threads.restype = ctypes.c_int
@@ -120,6 +124,21 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def unpack_2bit_native(packed: np.ndarray, L: int):
+    """[I, row_bytes] u8 2-bit codes -> [I, L] int8 (0/1/2/-9) in one C++
+    pass; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    I, rb = p.shape
+    out = np.empty((I, L), dtype=np.int8)
+    lib.gt_unpack_2bit(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, L, rb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out
 
 
 def set_native_threads(n: int) -> None:

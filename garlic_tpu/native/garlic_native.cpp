@@ -123,6 +123,29 @@ int gt_get_max_threads(void) {
 #endif
 }
 
+// One-pass 2-bit -> int8 genotype unpack (code 3 -> -9).  The numpy
+// shift/stack/where chain allocates several 100s-of-MB temporaries whose
+// fresh-page faults dominate panel-cache loads under this VM.
+// packed: [I][row_bytes]; out: [I][L] int8.
+void gt_unpack_2bit(const uint8_t *packed, int64_t I, int64_t L,
+                    int64_t row_bytes, int8_t *out) {
+  static const int8_t lut[4] = {0, 1, 2, -9};
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < I; i++) {
+    const uint8_t *p = packed + i * row_bytes;
+    int8_t *o = out + i * L;
+    int64_t l = 0;
+    for (; l + 4 <= L; l += 4) {
+      uint8_t b = p[l >> 2];
+      o[l] = lut[b & 3];
+      o[l + 1] = lut[(b >> 2) & 3];
+      o[l + 2] = lut[(b >> 4) & 3];
+      o[l + 3] = lut[(b >> 6) & 3];
+    }
+    for (; l < L; l++) o[l] = lut[(p[l >> 2] >> ((l & 3) * 2)) & 3];
+  }
+}
+
 namespace {
 
 // Per-line parse results for the parallel tokenizer.

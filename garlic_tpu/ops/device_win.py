@@ -23,6 +23,8 @@ import numpy as np
 
 from ..core.types import MISSING
 
+_warned_full_transfer = False
+
 
 @dataclass
 class DeviceWin:
@@ -43,7 +45,18 @@ class DeviceWin:
         return (self.nind, self.nloci)
 
     def __getitem__(self, idx):
-        # row access falls back to a (cheap, cached) full transfer
+        # row access falls back to a full-matrix transfer (cached): fine
+        # for --raw-lod dumps, a perf bug anywhere hot — warn once so a
+        # careless caller cannot silently reintroduce the transfer this
+        # design exists to avoid
+        global _warned_full_transfer
+        if not hasattr(self, "_host") and not _warned_full_transfer:
+            _warned_full_transfer = True
+            import sys
+            print("[garlic-tpu] note: DeviceWin row access transfers the "
+                  "full window matrix to host (expected for --raw-lod; "
+                  "use thinned/covered accessors in hot paths)",
+                  file=sys.stderr)
         return self.to_numpy()[idx]
 
     def to_numpy(self) -> np.ndarray:
@@ -205,23 +218,115 @@ def _covered_kernel_factory():
 
 
 _covered_jit = None
+_edges_jit = None
+_EDGE_CAP = 1 << 17  # 128k edges (~64k runs/chrom) before bitmap fallback
+
+
+def _edges_kernel_factory():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("winsize", "cap"))
+    def _edges(win, cutoff, threshold, winsize: int, cap: int):
+        from .lod import window_sums_exact
+
+        above = (win >= cutoff).astype(jnp.float32)
+        I, N = above.shape
+        z = jnp.zeros((I, winsize - 1), jnp.float32)
+        padded = jnp.concatenate([z, above, z], axis=1)
+        covered = window_sums_exact(padded, winsize) >= threshold
+        prev = jnp.concatenate(
+            [jnp.zeros((I, 1), bool), covered[:, :-1]], axis=1)
+        edge = covered != prev
+        n = jnp.sum(edge).astype(jnp.int32)
+        idx = jnp.nonzero(edge.reshape(-1), size=cap,
+                          fill_value=-1)[0].astype(jnp.int32)
+        return idx, n, covered[:, -1]
+
+    return _edges
+
+
+def _set_bits(row: np.ndarray, o: int, c: int) -> None:
+    """Set little-endian bits [o, c) in a packed u8 row."""
+    if c <= o:
+        return
+    bo, bc = o >> 3, c >> 3
+    if bo == bc:
+        row[bo] |= ((0xFF << (o & 7)) & 0xFF) & (0xFF >> (8 - (c & 7)))
+        return
+    if o & 7:
+        row[bo] |= (0xFF << (o & 7)) & 0xFF
+        bo += 1
+    row[bo:bc] = 0xFF
+    if c & 7:
+        row[bc] |= 0xFF >> (8 - (c & 7))
+
+
+def _edges_to_packed(idx: np.ndarray, last: np.ndarray, I: int,
+                     outw: int) -> np.ndarray:
+    """Reconstruct the bit-packed coverage matrix from run edges.
+
+    idx: sorted flat indices of 0->1/1->0 transitions (row-major over
+    [I, outw]); last: [I] bool, True when the row's final SNP is covered
+    (closes the trailing run at outw)."""
+    row_bytes = (outw + 7) // 8
+    out = np.zeros((I, row_bytes), np.uint8)
+    rows = idx // outw
+    cols = idx % outw
+    bounds = np.searchsorted(rows, np.arange(I + 1))
+    for i in range(I):
+        e = cols[bounds[i]:bounds[i + 1]]
+        if last[i]:
+            e = np.append(e, outw)
+        for k in range(0, e.shape[0] - 1, 2):
+            _set_bits(out[i], int(e[k]), int(e[k + 1]))
+    return out
 
 
 def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
                    threshold: float) -> np.ndarray:
     """uint8 [I, ceil(L/8)] little-endian bit-packed coverage flags.
 
-    Device compute + bit-packed transfer (8x smaller than bool, 32x smaller
-    than the f32 matrix); bit w = coverage_counts >= threshold at SNP w.
-    MISSING window slots score -9999 < cutoff, so they never count — same
-    comparison the reference performs (src/garlic-roh.cpp:446-448)."""
-    global _covered_jit
+    bit w = coverage_counts >= threshold at SNP w; MISSING window slots
+    score -9999 < cutoff, so they never count — same comparison the
+    reference performs (src/garlic-roh.cpp:446-448).
+
+    Transfer strategy is adaptive: ROH coverage is long runs, so on a
+    slow host link the device extracts run EDGES (transition indices) and
+    only those cross (~KBs instead of the I x L/8 bitmap) — but the
+    edge extraction (jnp.nonzero = a device sort over I x L elements)
+    costs real device time, so on a fast (PCIe-class) link the plain
+    bitmap wins.  The warmup probe's measured D2H bandwidth
+    (runtime.link_d2h_mbps) decides; edges also fall back to the bitmap
+    when a pathological panel exceeds the edge cap."""
+    global _covered_jit, _edges_jit
+    import os
+
     import jax.numpy as jnp
+
+    from ..parallel.multihost import to_host
+    from ..runtime import link_d2h_mbps
+
+    I, N = dwin.win.shape
+    outw = N + winsize - 1
+    bitmap_mb = I * ((outw + 7) // 8) / 1e6
+    mode = os.environ.get("GARLIC_TPU_COVERED", "auto")
+    use_edges = (mode == "edges"
+                 or (mode == "auto" and link_d2h_mbps is not None
+                     and bitmap_mb / link_d2h_mbps > 2.0))
+    if use_edges:
+        if _edges_jit is None:
+            _edges_jit = _edges_kernel_factory()
+        idx, n, last = _edges_jit(dwin.win, jnp.float32(cutoff),
+                                  jnp.float32(threshold), winsize, _EDGE_CAP)
+        n = int(to_host(n))
+        if n <= _EDGE_CAP:
+            idx_h = to_host(idx)[:n]
+            return _edges_to_packed(idx_h, to_host(last), I, outw)
     if _covered_jit is None:
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
                           jnp.float32(threshold), winsize)
-    from ..parallel.multihost import to_host
     return to_host(packed)
 
 

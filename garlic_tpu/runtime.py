@@ -7,6 +7,7 @@ import time
 import threading
 
 _warmup_thread = None
+link_d2h_mbps = None  # measured by the warmup probe; None = unknown
 
 
 class PhaseProfiler:
@@ -70,9 +71,21 @@ def start_link_warmup() -> threading.Thread:
 
     def _w():
         try:
+            import time as _time
+
             import jax
             import numpy as np
             np.asarray(jax.device_put(np.zeros(8, np.float32)))
+            # probe steady-state D2H bandwidth (2 MB): downstream transfer
+            # strategies (bitmap vs run-edge coverage) pick by it
+            global link_d2h_mbps
+            buf = jax.device_put(np.zeros(1 << 19, np.float32))
+            jax.block_until_ready(buf)
+            t0 = _time.perf_counter()
+            np.asarray(buf)
+            dt = _time.perf_counter() - t0
+            if dt > 0:
+                link_d2h_mbps = 2.0 / dt
         except Exception:
             pass
 

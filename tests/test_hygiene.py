@@ -85,3 +85,53 @@ def test_pbar_ticks_and_output():
         bar2.advance(1)
     bar2.finalize()
     assert "50%" in buf2.getvalue()
+
+
+def test_covered_edges_equivalent(monkeypatch):
+    """The run-edge coverage transfer (GARLIC_TPU_COVERED=edges, the
+    slow-link strategy) must produce byte-identical packed bits to the
+    bitmap path, including the cap fallback."""
+    monkeypatch.setenv("GARLIC_TPU_COVERED", "edges")
+    import jax.numpy as jnp
+
+    from garlic_tpu.ops import device_win
+    from garlic_tpu.ops.device_win import (DeviceWin,
+                                           _covered_kernel_factory,
+                                           covered_packed)
+
+    cov = _covered_kernel_factory()
+    for seed, cutoff in [(0, -0.5), (1, 0.8), (2, 3.0)]:
+        rng = np.random.default_rng(seed)
+        I, N, W = 9, 500, 12
+        win = rng.standard_normal((I, N)).astype(np.float32) * 2
+        win[rng.random((I, N)) < 0.1] = -9999.0
+        dw = DeviceWin(win=jnp.asarray(win), nind=I, nloci=N)
+        got = covered_packed(dw, cutoff, W, 3.0)
+        want = np.asarray(cov(jnp.asarray(win), jnp.float32(cutoff),
+                              jnp.float32(3.0), W))
+        np.testing.assert_array_equal(got, want)
+    # cap fallback path
+    monkeypatch.setattr(device_win, "_EDGE_CAP", 4)
+    rng = np.random.default_rng(3)
+    win = rng.standard_normal((9, 500)).astype(np.float32) * 2
+    dw = DeviceWin(win=jnp.asarray(win), nind=9, nloci=500)
+    got = covered_packed(dw, 0.0, 12, 3.0)
+    want = np.asarray(cov(jnp.asarray(win), jnp.float32(0.0),
+                          jnp.float32(3.0), 12))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_unpack_2bit_roundtrip():
+    """Native 2-bit unpack (panel-cache load path) inverts pack exactly."""
+    from garlic_tpu.native import native_available, unpack_2bit_native
+    from garlic_tpu.ops.pallas_lod import pack_genotypes
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    for I, L in [(7, 101), (20, 4000), (3, 4)]:
+        Lp = -(-L // 4) * 4
+        g = rng.integers(0, 3, size=(I, Lp)).astype(np.int8)
+        g[rng.random((I, Lp)) < 0.1] = -9
+        u = unpack_2bit_native(pack_genotypes(g), L)
+        np.testing.assert_array_equal(u, g[:, :L])
