@@ -186,7 +186,8 @@ def _flag_specs() -> List[FlagSpec]:
                  "set GARLIC_TPU_TRACE_DIR to also capture a JAX profiler trace."),
         FlagSpec(ARG_MESH, "string", "none",
                  "Device mesh 'DPxSP' for the fast engine (e.g. 4x2: individuals "
-                 "sharded over 4 ways, loci over 2 with halo exchange). "
+                 "sharded over 4 ways, loci over 2 with halo exchange), or "
+                 "'auto' to factor all visible devices. "
                  "Requires DP*SP visible devices; default single-device."),
         FlagSpec(ARG_PANEL_CACHE, "bool", False,
                  "Write/reuse a binary panel sidecar (<tped>.gtpc.npz) to skip "

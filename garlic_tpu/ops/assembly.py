@@ -158,12 +158,18 @@ def coverage_counts_batch(above: np.ndarray, winsize: int) -> np.ndarray:
 
 
 def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
-                       cstart: int, cend: int, threshold: float, cm: bool):
+                       cstart: int, cend: int, threshold: float, cm: bool,
+                       handle=None):
     """(ind, start, stop, size) arrays for one chromosome via the C++
-    extractor, or None to fall back to Python."""
+    extractor, or None to fall back to Python.  handle: a pre-dispatched
+    covered_dispatch result (assemble_roh enqueues every chromosome's
+    device kernels before the first blocking fetch)."""
     from ..native import assemble_runs_native
-    from .device_win import covered_packed, is_device_win, is_lazy_win
-    if is_lazy_win(win):
+    from .device_win import (covered_fetch, covered_packed, is_device_win,
+                             is_lazy_win)
+    if handle is not None:
+        packed = covered_fetch(handle)
+    elif is_lazy_win(win):
         # streaming mode: materialize, extract coverage bits, drop
         packed = covered_packed(win.make(), cutoff, winsize, threshold)
     elif is_device_win(win):
@@ -191,15 +197,23 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
     device, only bit-packed masks cross the host link).  Run extraction
     runs in the C++ scan (a verbatim transliteration of the reference state
     machine) with a pure-Python fallback."""
-    from .device_win import covered_mask, is_device_win, is_lazy_win
+    from .device_win import (covered_dispatch, covered_mask, is_device_win,
+                             is_lazy_win)
     threshold = overlap_threshold(overlap_frac, winsize)
     nind = len(ind_ids)
+    # enqueue every resident chromosome's coverage kernels up front so
+    # chromosome N+1's device compute overlaps chromosome N's host-side
+    # fetch + run scan (LazyWin stays sequential: it rematerializes to
+    # bound HBM)
+    handles = [covered_dispatch(w, cutoff, winsize, threshold)
+               if is_device_win(w) else None for w in win_by_chr]
     per_chrom = []
     for ci, chrom in enumerate(chroms):
         cstart = centro.start(chrom.chrom)
         cend = centro.end(chrom.chrom)
         runs = _chrom_runs_native(win_by_chr[ci], chrom, cutoff, winsize,
-                                  max_gap, cstart, cend, threshold, cm)
+                                  max_gap, cstart, cend, threshold, cm,
+                                  handle=handles[ci])
         if runs is None:
             w = win_by_chr[ci]
             if is_lazy_win(w):

@@ -219,15 +219,22 @@ def _covered_kernel_factory():
 
 _covered_jit = None
 _edges_jit = None
-_EDGE_CAP = 1 << 17  # 128k edges (~64k runs/chrom) before bitmap fallback
+_EDGE_BLOCK = 1024     # SNPs per edge block
+_EDGE_CAP = 1 << 14    # max nonempty edge blocks before bitmap fallback
 
 
 def _edges_kernel_factory():
+    """Block-sparse edge extraction: ROH coverage is long runs, so the
+    0->1/1->0 transition bitmap is extremely sparse.  A per-1024-SNP-block
+    any() summary (one cheap reduce) feeds a SMALL nonzero (I x nb
+    elements, not I x L), and only the nonempty blocks' bits are gathered
+    and packed for transfer — ~2 MB and ~60 ms device time vs a 1 s
+    full-length nonzero sort or a 15 MB bitmap."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("winsize", "cap"))
-    def _edges(win, cutoff, threshold, winsize: int, cap: int):
+    @partial(jax.jit, static_argnames=("winsize", "cap", "block"))
+    def _edges(win, cutoff, threshold, winsize: int, cap: int, block: int):
         from .lod import window_sums_exact
 
         above = (win >= cutoff).astype(jnp.float32)
@@ -238,10 +245,20 @@ def _edges_kernel_factory():
         prev = jnp.concatenate(
             [jnp.zeros((I, 1), bool), covered[:, :-1]], axis=1)
         edge = covered != prev
-        n = jnp.sum(edge).astype(jnp.int32)
-        idx = jnp.nonzero(edge.reshape(-1), size=cap,
-                          fill_value=-1)[0].astype(jnp.int32)
-        return idx, n, covered[:, -1]
+        outw = edge.shape[1]
+        nb = -(-outw // block)
+        pad = nb * block - outw
+        if pad:
+            edge = jnp.concatenate(
+                [edge, jnp.zeros((I, pad), bool)], axis=1)
+        eb = edge.reshape(I * nb, block)
+        summary = jnp.any(eb, axis=1)
+        nblk = jnp.sum(summary).astype(jnp.int32)
+        bidx = jnp.nonzero(summary, size=cap,
+                           fill_value=-1)[0].astype(jnp.int32)
+        blocks = jnp.packbits(eb[jnp.maximum(bidx, 0)], axis=1,
+                              bitorder="little")      # [cap, block/8]
+        return bidx, nblk, blocks, covered[:, -1]
 
     return _edges
 
@@ -283,6 +300,80 @@ def _edges_to_packed(idx: np.ndarray, last: np.ndarray, I: int,
     return out
 
 
+def _blocks_to_edge_idx(bidx: np.ndarray, blocks: np.ndarray, outw: int,
+                        block: int) -> np.ndarray:
+    """Flat row-major edge indices over [I, outw] from nonempty edge
+    blocks (bidx: sorted block ids over the padded [I, nb*block] grid)."""
+    nb = -(-outw // block)
+    bits = np.unpackbits(blocks, axis=1,
+                         bitorder="little")[:, :block].astype(bool)
+    out = []
+    for j in range(bidx.shape[0]):
+        b = int(bidx[j])
+        row, blk = divmod(b, nb)
+        cols = blk * block + np.nonzero(bits[j])[0]
+        cols = cols[cols < outw]
+        out.append(row * outw + cols)
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
+                     threshold: float):
+    """Enqueue the coverage extraction on device and return a handle for
+    covered_fetch.  Dispatch/fetch are split so the assembly driver can
+    enqueue EVERY chromosome's kernels before the first blocking fetch —
+    chromosome N+1's device compute then overlaps chromosome N's host-side
+    reconstruction and run scan."""
+    global _covered_jit, _edges_jit
+    import os
+
+    import jax.numpy as jnp
+
+    I, N = dwin.win.shape
+    outw = N + winsize - 1
+    mode = os.environ.get("GARLIC_TPU_COVERED", "auto")
+    if mode != "bitmap":
+        if _edges_jit is None:
+            _edges_jit = _edges_kernel_factory()
+        bidx, nblk, blocks, last = _edges_jit(
+            dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
+            _EDGE_CAP, _EDGE_BLOCK)
+        return ("edges", dwin, cutoff, winsize, threshold,
+                (bidx, nblk, blocks, last, I, outw))
+    if _covered_jit is None:
+        _covered_jit = _covered_kernel_factory()
+    packed = _covered_jit(dwin.win, jnp.float32(cutoff),
+                          jnp.float32(threshold), winsize)
+    return ("bitmap", dwin, cutoff, winsize, threshold, packed)
+
+
+def covered_fetch(handle) -> np.ndarray:
+    """Transfer + reconstruct the packed coverage bits for a handle from
+    covered_dispatch (falls back to the bitmap when the block-sparse edge
+    extraction overflowed its cap)."""
+    global _covered_jit
+    import jax.numpy as jnp
+
+    from ..parallel.multihost import to_host
+
+    kind, dwin, cutoff, winsize, threshold, data = handle
+    if kind == "edges":
+        bidx, nblk, blocks, last, I, outw = data
+        nblk = int(to_host(nblk))
+        if nblk <= _EDGE_CAP:
+            idx = _blocks_to_edge_idx(to_host(bidx)[:nblk],
+                                      to_host(blocks)[:nblk], outw,
+                                      _EDGE_BLOCK)
+            return _edges_to_packed(idx, to_host(last), I, outw)
+        if _covered_jit is None:
+            _covered_jit = _covered_kernel_factory()
+        data = _covered_jit(dwin.win, jnp.float32(cutoff),
+                            jnp.float32(threshold), winsize)
+    return to_host(data)
+
+
 def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
                    threshold: float) -> np.ndarray:
     """uint8 [I, ceil(L/8)] little-endian bit-packed coverage flags.
@@ -291,43 +382,14 @@ def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
     score -9999 < cutoff, so they never count — same comparison the
     reference performs (src/garlic-roh.cpp:446-448).
 
-    Transfer strategy is adaptive: ROH coverage is long runs, so on a
-    slow host link the device extracts run EDGES (transition indices) and
-    only those cross (~KBs instead of the I x L/8 bitmap) — but the
-    edge extraction (jnp.nonzero = a device sort over I x L elements)
-    costs real device time, so on a fast (PCIe-class) link the plain
-    bitmap wins.  The warmup probe's measured D2H bandwidth
-    (runtime.link_d2h_mbps) decides; edges also fall back to the bitmap
-    when a pathological panel exceeds the edge cap."""
-    global _covered_jit, _edges_jit
-    import os
-
-    import jax.numpy as jnp
-
-    from ..parallel.multihost import to_host
-    from ..runtime import link_d2h_mbps
-
-    I, N = dwin.win.shape
-    outw = N + winsize - 1
-    bitmap_mb = I * ((outw + 7) // 8) / 1e6
-    mode = os.environ.get("GARLIC_TPU_COVERED", "auto")
-    use_edges = (mode == "edges"
-                 or (mode == "auto" and link_d2h_mbps is not None
-                     and bitmap_mb / link_d2h_mbps > 2.0))
-    if use_edges:
-        if _edges_jit is None:
-            _edges_jit = _edges_kernel_factory()
-        idx, n, last = _edges_jit(dwin.win, jnp.float32(cutoff),
-                                  jnp.float32(threshold), winsize, _EDGE_CAP)
-        n = int(to_host(n))
-        if n <= _EDGE_CAP:
-            idx_h = to_host(idx)[:n]
-            return _edges_to_packed(idx_h, to_host(last), I, outw)
-    if _covered_jit is None:
-        _covered_jit = _covered_kernel_factory()
-    packed = _covered_jit(dwin.win, jnp.float32(cutoff),
-                          jnp.float32(threshold), winsize)
-    return to_host(packed)
+    Transfer strategy: ROH coverage is long runs, so by default the
+    device extracts run edges block-sparsely (per-1024-SNP any() summary,
+    small nonzero, gather of nonempty blocks) and ~2 MB crosses the link
+    instead of the I x L/8 bitmap — cheaper than the bitmap on any link
+    and ~20x cheaper than a full-length nonzero.  Falls back to the
+    bitmap when a pathological panel overflows the block cap
+    (GARLIC_TPU_COVERED=bitmap forces the old path)."""
+    return covered_fetch(covered_dispatch(dwin, cutoff, winsize, threshold))
 
 
 def covered_mask(dwin: DeviceWin, cutoff: float, winsize: int,

@@ -328,8 +328,10 @@ def fit_gmm_sharded(x, k: int, w0, mu0, var0, mesh, max_iter: int = 1000,
         print(f"Begin GMM estimation with k = {k} Gaussians...",
               file=sys.stderr)
     ss = NamedSharding(mesh, P((AXIS_DP, AXIS_SP)))
+    x64 = jax.enable_x64  # outside the try: an API change must SURFACE,
+    #                       not silently demote every run to the host EM
     try:
-        with jax.experimental.enable_x64():
+        with x64(True):
             w, mu, var, ll, it, done = fn(
                 jax.device_put(xp, ss), jax.device_put(wp, ss),
                 jnp.asarray(w0, dtype=jnp.float64),
@@ -342,9 +344,13 @@ def fit_gmm_sharded(x, k: int, w0, mu0, var0, mesh, max_iter: int = 1000,
             ll = float(ll)
             it = int(it)
             done = bool(done)
-    except Exception:
-        # backend cannot run the f64 SPMD program (e.g. bare TPU without
-        # x64 emulation): the host EM is bit-equivalent, just unsharded
+    except Exception as e:
+        # backend cannot run the f64 SPMD program (e.g. a TPU generation
+        # without f64 emulation): the host EM is bit-equivalent, just
+        # unsharded — say so instead of hiding it
+        import sys
+        print(f"[garlic-tpu] sharded GMM unavailable on this backend "
+              f"({type(e).__name__}); using host EM", file=sys.stderr)
         return fit_gmm(x, k, np.asarray(w0), np.asarray(mu0),
                        np.asarray(var0), max_iter=max_iter,
                        precision=precision, verbose=False)

@@ -42,17 +42,25 @@ class PipelineState:
 
 
 def _resolve_mesh(spec: str, log):
-    """Parse 'DPxSP' and build the mesh (None for single-device)."""
+    """Parse 'DPxSP' (or 'auto': factor all visible devices) and build the
+    mesh (None for single-device)."""
     if spec in ("none", "", "1", "1x1"):
         return None
-    try:
-        parts = spec.lower().replace(",", "x").split("x")
-        n_dp = int(parts[0])
-        n_sp = int(parts[1]) if len(parts) > 1 else 1
-    except (ValueError, IndexError):
-        raise CLIError(f"ERROR: bad {cli.ARG_MESH} spec '{spec}' "
-                       "(expected DPxSP, e.g. 4x2)")
-    from .parallel import make_mesh
+    from .parallel import factor_devices, make_mesh
+    if spec == "auto":
+        import jax
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        n_dp, n_sp = factor_devices(n)
+    else:
+        try:
+            parts = spec.lower().replace(",", "x").split("x")
+            n_dp = int(parts[0])
+            n_sp = int(parts[1]) if len(parts) > 1 else 1
+        except (ValueError, IndexError):
+            raise CLIError(f"ERROR: bad {cli.ARG_MESH} spec '{spec}' "
+                           "(expected DPxSP, e.g. 4x2, or auto)")
     try:
         return make_mesh(n_dp=n_dp, n_sp=n_sp)
     except ValueError as e:

@@ -59,6 +59,30 @@ class PhaseProfiler:
         print(f"[profile]   {'TOTAL':<18} {total:8.3f}s", file=sys.stderr)
 
 
+def enable_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    First compilation of the Pallas kernels costs 20-40 s; with the cache,
+    every later process loads them in ~100 ms.  Honors an existing
+    JAX_COMPILATION_CACHE_DIR; GARLIC_TPU_NO_COMPILE_CACHE disables."""
+    import os
+
+    if os.environ.get("GARLIC_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            cache = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "garlic_tpu", "xla")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def start_link_warmup() -> threading.Thread:
     """Fire-and-forget first device round-trip.
 
@@ -68,6 +92,7 @@ def start_link_warmup() -> threading.Thread:
     global _warmup_thread
     if _warmup_thread is not None:
         return _warmup_thread
+    enable_compile_cache()
 
     def _w():
         try:

@@ -117,10 +117,11 @@ def test_compute_kde_mesh_matches_host():
     np.testing.assert_allclose(a.y, b.y, rtol=2e-4, atol=1e-9)
 
 
-def test_fit_gmm_sharded_matches_host():
+def test_fit_gmm_sharded_matches_host(monkeypatch):
     """The Phase-IV collective: the full psum'd EM loop must reproduce the
     host f64 EM (same iterations, same convergence, same params) on
-    ROH-length-scale data."""
+    ROH-length-scale data.  The host-EM fallback is disabled so a silent
+    regression to it cannot vacuously pass this test."""
     rng = np.random.default_rng(13)
     lengths = np.concatenate([
         rng.normal(4.5e5, 8e4, 3000),
@@ -134,6 +135,11 @@ def test_fit_gmm_sharded_matches_host():
     var0 = np.array([var * (n + 1) / k for n in range(k)])
     host = gmm_ops.fit_gmm(lengths, k, w0, mu0, var0)
     mesh = make_mesh(n_dp=4, n_sp=2)
+
+    def _no_fallback(*a, **kw):
+        raise AssertionError("sharded GMM fell back to the host EM")
+
+    monkeypatch.setattr(gmm_ops, "fit_gmm", _no_fallback)
     dist = fit_gmm_sharded(lengths, k, w0, mu0, var0, mesh)
     np.testing.assert_allclose(dist.weights, host.weights, rtol=1e-8)
     np.testing.assert_allclose(dist.means, host.means, rtol=1e-8)
@@ -336,3 +342,24 @@ def test_ld_band_sharded_matches_device(phased):
     want = np.asarray(device_wlod.ld_band_device(chrom, Wz, phased, None))
     nwin = L - Wz + 1
     np.testing.assert_allclose(got[:nwin], want[:nwin], rtol=3e-5, atol=3e-5)
+
+
+def test_pipeline_mesh_auto(tmp_path):
+    """--tpu-mesh auto factors all visible devices (8 on the test mesh)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+
+    panel = make_panel(nind=16, nloci_per_chr=(2000,), seed=71)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "30", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0",
+            "--tpu-engine", "fast"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    assert run_ours(wd, base + ["--tpu-mesh", "auto", "--out", "auto"]) == 0
+    a = open(os.path.join(wd, "single.roh.bed")).read()
+    b = open(os.path.join(wd, "auto.roh.bed")).read()
+    assert a == b
