@@ -23,8 +23,8 @@ the W-1 halo (ICI neighbor exchange) and the O(512)/O(K) reductions.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+
+from typing import Tuple
 
 import numpy as np
 

@@ -390,3 +390,35 @@ def test_raw_lod_windows_match(oracle_bin, tmp_path):
                    panel_kw=dict(nloci_per_chr=(2500,), seed=3))
     _assert_same(wd, "oracle", "ours",
                  [".POP1.chr1.raw.lod.windows.gz", ".roh.bed"])
+
+
+@pytest.mark.slow
+def test_custom_centromere_file(oracle_bin, tmp_path):
+    """--centromere: custom 3-column gap table breaks windows/runs
+    identically to the reference's reader (garlic-centromeres.cpp:64-101),
+    including bare-name -> chr-name normalization."""
+    with open(tmp_path / "centro.txt", "w") as f:
+        f.write("1\t3000000\t3500000\n")
+        f.write("2\t2000000\t2600000\n")
+    args = ["--build", "none", "--centromere", "centro.txt",
+            "--winsize", "40", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=30, nloci_per_chr=(5000, 4000),
+                                 seed=83))
+    _assert_same(wd, "oracle", "ours", [".roh.bed", ".freq.gz"])
+    diffs = diff_logs(read_text(os.path.join(wd, "oracle.log")),
+                      read_text(os.path.join(wd, "ours.log")))
+    assert not diffs, diffs[:10]
+
+
+@pytest.mark.slow
+def test_nclust_two_auto_bounds(oracle_bin, tmp_path):
+    """--nclust 2: a 2-component GMM yields one size boundary and A/B
+    classes only (selectSizeClasses, garlic-roh.cpp:935-1003)."""
+    args = ["--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--lod-cutoff", "1.2", "--nclust", "2", "--kde-subsample", "0"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=40, nloci_per_chr=(8000, 6000),
+                                 seed=89))
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
