@@ -57,18 +57,45 @@ class LocusNames:
         return iter(self._mat())
 
 
-@dataclass
 class ChromData:
-    """All per-chromosome arrays."""
-    chrom: str                       # chr-prefixed name
-    positions: np.ndarray            # int64 [L] physical bp (truncated-to-int)
-    gpos: np.ndarray                 # float64 [L] genetic position
-    locus_names: List[str]           # [L]
-    alleles: np.ndarray              # '<U1' [L]; the internal '1' allele
-    genotypes: np.ndarray            # int8 [I, L]; 0/1/2 alt count, -9 missing
-    freq: Optional[np.ndarray] = None        # float64 [L]
-    first_copy: Optional[np.ndarray] = None  # bool [I, L] (phased only)
-    gl: Optional[np.ndarray] = None          # float64 [I, L] genotype likelihoods
+    """All per-chromosome arrays.
+
+    Genotypes may live purely in 2-bit packed form (`geno2b`, 4 loci/byte,
+    code 3 = missing, tail codes past nloci = 3): the fast engine's
+    panel-cache path filters, pads, and ships them packed, so the 4x
+    larger int8 matrix never exists.  Reading `.genotypes` materializes
+    the int8 view lazily (and caches it) for consumers that need it."""
+
+    __slots__ = ("chrom", "positions", "gpos", "locus_names", "alleles",
+                 "_geno", "freq", "first_copy", "gl", "geno2b")
+
+    def __init__(self, chrom: str, positions: np.ndarray, gpos: np.ndarray,
+                 locus_names, alleles: np.ndarray,
+                 genotypes: Optional[np.ndarray],
+                 freq: Optional[np.ndarray] = None,
+                 first_copy: Optional[np.ndarray] = None,
+                 gl: Optional[np.ndarray] = None,
+                 geno2b: Optional[np.ndarray] = None):
+        self.chrom = chrom                 # chr-prefixed name
+        self.positions = positions         # int64 [L] physical bp
+        self.gpos = gpos                   # float64 [L] genetic position
+        self.locus_names = locus_names     # [L]
+        self.alleles = alleles             # '<U1' [L]; the '1' allele
+        self._geno = genotypes             # int8 [I, L] or None (packed)
+        self.freq = freq                   # float64 [L]
+        self.first_copy = first_copy       # bool [I, L] (phased only)
+        self.gl = gl                       # float64 [I, L] TGLS errors
+        self.geno2b = geno2b               # u8 [I, ceil(L/4)] 2-bit codes
+
+    @property
+    def genotypes(self) -> np.ndarray:
+        if self._geno is None:
+            self._geno = _unpack_geno2b(self.geno2b, self.nloci)
+        return self._geno
+
+    @property
+    def geno_is_packed_only(self) -> bool:
+        return self._geno is None and self.geno2b is not None
 
     @property
     def nloci(self) -> int:
@@ -76,7 +103,20 @@ class ChromData:
 
     @property
     def nind(self) -> int:
-        return int(self.genotypes.shape[0])
+        if self._geno is not None:
+            return int(self._geno.shape[0])
+        return int(self.geno2b.shape[0])
+
+
+def _unpack_geno2b(packed: np.ndarray, L: int) -> np.ndarray:
+    from garlic_tpu.native import unpack_2bit_native
+    g = unpack_2bit_native(packed, L)
+    if g is None:  # numpy fallback (several large temporaries)
+        I = packed.shape[0]
+        codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
+                         axis=-1).reshape(I, -1)
+        g = np.where(codes == 3, -9, codes).astype(np.int8)[:, :L]
+    return g
 
 
 @dataclass
@@ -98,15 +138,17 @@ class Dataset:
         src/garlic-data.cpp:2171-2244)."""
         out = Dataset(ind_ids=[self.ind_ids[i] for i in idx], pop=self.pop)
         for c in self.chroms:
+            packed = c.geno_is_packed_only
             out.chroms.append(ChromData(
                 chrom=c.chrom,
                 positions=c.positions,
                 gpos=c.gpos,
                 locus_names=c.locus_names,
                 alleles=c.alleles,
-                genotypes=c.genotypes[idx],
+                genotypes=None if packed else c.genotypes[idx],
                 freq=c.freq,
                 first_copy=None if c.first_copy is None else c.first_copy[idx],
                 gl=None if c.gl is None else c.gl[idx],
+                geno2b=c.geno2b[idx] if packed else None,
             ))
         return out

@@ -58,16 +58,32 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
     if keep.all():
         return c  # nothing filtered: avoid copying the [I, L] matrices
     idx = np.flatnonzero(keep)
+    geno = None
+    geno2b = None
+    if c.geno_is_packed_only:
+        # packed-mode column compaction: the int8 matrix never exists
+        # (4x less memory traffic; the native pass emits missing-filled
+        # tail codes so kernels can pad by 0xFF fill)
+        try:
+            from ..native import filter_pack_2bit_native
+            r = filter_pack_2bit_native(c.geno2b, c.nloci, keep)
+        except ImportError:
+            r = None
+        if r is not None:
+            geno2b = r[0]
+    if geno2b is None:
+        geno = _compact(c.genotypes, keep)
     return ChromData(
         chrom=c.chrom,
         positions=c.positions[idx],
         gpos=c.gpos[idx],
         locus_names=_FilteredNames(c.locus_names, idx),
         alleles=c.alleles[idx],
-        genotypes=_compact(c.genotypes, keep),
+        genotypes=geno,
         freq=c.freq[idx],
         first_copy=_compact(c.first_copy, keep),
         gl=_compact(c.gl, keep),
+        geno2b=geno2b,
     )
 
 

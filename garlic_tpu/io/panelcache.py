@@ -89,14 +89,10 @@ def load_cache(tpedfile: str, want_fc: bool,
         nchrom = int(meta[3])
         out = []
         for i in range(nchrom):
-            packed = z[f"c{i}_geno2b"]
+            # stays packed: ChromData materializes the int8 view lazily,
+            # and the fast-engine path never needs it at all
+            packed = np.ascontiguousarray(z[f"c{i}_geno2b"])
             L = z[f"c{i}_pos"].shape[0]
-            from ..native import unpack_2bit_native
-            geno = unpack_2bit_native(packed, L)
-            if geno is None:  # numpy fallback (several large temporaries)
-                codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
-                                 axis=-1).reshape(nind, -1)
-                geno = np.where(codes == 3, -9, codes).astype(np.int8)[:, :L]
             fc = None
             if want_fc:
                 key = f"c{i}_fc"
@@ -108,7 +104,8 @@ def load_cache(tpedfile: str, want_fc: bool,
                 "positions": z[f"c{i}_pos"],
                 "gpos": z[f"c{i}_gpos"],
                 "alleles": z[f"c{i}_alleles"].astype("<U1"),
-                "genotypes": np.ascontiguousarray(geno),
+                "genotypes": None,
+                "geno2b": packed,
                 "first_copy": fc,
                 "freq": z[f"c{i}_freq"],
                 "names": LocusNames(z[f"c{i}_names"].tobytes()),

@@ -232,6 +232,7 @@ def _assemble_from_native(native, phased: bool, auto_freq: bool, log):
             genotypes=blk["genotypes"],
             freq=blk["freq"] if auto_freq else None,
             first_copy=blk["first_copy"] if phased else None,
+            geno2b=blk.get("geno2b"),
         ))
     return ds, num_loci
 

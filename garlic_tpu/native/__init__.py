@@ -9,12 +9,14 @@ from .build import (  # noqa: F401
     assemble_runs_native,
     covered_pack_native,
     filter_columns_native,
+    filter_pack_2bit_native,
     get_native_max_threads,
     lod_windows_exact_native,
     lod_windows_exact_tbl_native,
     native_available,
     pack_2bit_padded_native,
     parse_tped_native,
+    repad_2bit_native,
     set_native_threads,
     unpack_2bit_native,
     write_freq_chrom_native,

@@ -102,6 +102,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int64]
+        lib.gt_filter_pack_2bit.restype = ctypes.c_int64
+        lib.gt_filter_pack_2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.gt_repad_2bit.restype = None
+        lib.gt_repad_2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64]
         lib.gt_unpack_2bit.restype = None
         lib.gt_unpack_2bit.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -124,6 +133,40 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def filter_pack_2bit_native(packed: np.ndarray, L: int, keep: np.ndarray):
+    """Column-compact a packed [I, rb] genotype matrix by keep[L]; returns
+    ([I, ceil(nkeep/4)] u8, nkeep) or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    I, rb = p.shape
+    k = np.ascontiguousarray(keep, dtype=np.uint8)
+    nkeep = int(np.count_nonzero(k))
+    rb_out = max((nkeep + 3) // 4, 1)
+    out = np.empty((I, rb_out), dtype=np.uint8)
+    lib.gt_filter_pack_2bit(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, L, rb,
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), rb_out)
+    return out, nkeep
+
+
+def repad_2bit_native(packed: np.ndarray, I2: int, rb2: int):
+    """Pad a packed [I, rb] matrix to [I2, rb2] with missing (0xFF) fill;
+    None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    I, rb = p.shape
+    out = np.empty((I2, rb2), dtype=np.uint8)
+    lib.gt_repad_2bit(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, rb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I2, rb2)
+    return out
 
 
 def unpack_2bit_native(packed: np.ndarray, L: int):

@@ -123,6 +123,101 @@ int gt_get_max_threads(void) {
 #endif
 }
 
+// Column compaction of a 2-bit-packed genotype matrix: keep[l] selects
+// columns; output rows are ceil(nkeep/4) bytes with tail codes 3
+// (missing).  Lets the fast engine run filter -> pad -> H2D entirely in
+// packed form (the 4x larger int8 matrix never exists on the cache-hit
+// path).  Returns nkeep.
+namespace {
+
+inline uint8_t get_code2(const uint8_t *p, int64_t l) {
+  return (uint8_t)((p[l >> 2] >> ((l & 3) * 2)) & 3);
+}
+
+inline void set_code2(uint8_t *p, int64_t l, uint8_t c) {
+  int s = (int)((l & 3) * 2);
+  p[l >> 2] = (uint8_t)((p[l >> 2] & ~(3u << s)) | ((uint32_t)c << s));
+}
+
+// Copy n 2-bit codes src[a..a+n) -> dst[o..o+n).  Span-wise: aligned
+// phases memcpy whole bytes; misaligned phases shift 16-bit windows —
+// O(n/4) byte ops either way (the per-code loop was 10x slower than the
+// int8 memmove filter it replaced).  dst must be pre-filled 0xFF so
+// read-modify-write boundaries keep missing tails.
+inline void copy_codes2(const uint8_t *src, int64_t a, uint8_t *dst,
+                        int64_t o, int64_t n) {
+  while (n > 0 && (o & 3)) { set_code2(dst, o++, get_code2(src, a++)); n--; }
+  if (((a ^ o) & 3) == 0) {
+    int64_t nb = n >> 2;
+    if (nb) {
+      memcpy(dst + (o >> 2), src + (a >> 2), (size_t)nb);
+      o += nb * 4; a += nb * 4; n -= nb * 4;
+    }
+  } else {
+    int64_t nb = (n >> 2) - 1;  // last byte scalar: avoids reading past
+    if (nb > 0) {               // the source row's final byte
+      int shift = (int)((a & 3) * 2);
+      const uint8_t *p = src + (a >> 2);
+      uint8_t *q = dst + (o >> 2);
+      for (int64_t k = 0; k < nb; k++) {
+        uint16_t w = (uint16_t)((uint16_t)p[k] | ((uint16_t)p[k + 1] << 8));
+        q[k] = (uint8_t)(w >> shift);
+      }
+      o += nb * 4; a += nb * 4; n -= nb * 4;
+    }
+  }
+  while (n > 0) { set_code2(dst, o++, get_code2(src, a++)); n--; }
+}
+
+}  // namespace
+
+int64_t gt_filter_pack_2bit(const uint8_t *in, int64_t I, int64_t L,
+                            int64_t rb_in, const uint8_t *keep,
+                            uint8_t *out, int64_t rb_out) {
+  // kept spans (few in practice: monomorphic drops are sparse)
+  std::vector<int64_t> span_a, span_n;
+  int64_t nkeep = 0;
+  int64_t l = 0;
+  while (l < L) {
+    if (!keep[l]) { l++; continue; }
+    int64_t a = l;
+    while (l < L && keep[l]) l++;
+    span_a.push_back(a);
+    span_n.push_back(l - a);
+    nkeep += l - a;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < I; i++) {
+    const uint8_t *src = in + i * rb_in;
+    uint8_t *dst = out + i * rb_out;
+    memset(dst, 0xFF, (size_t)rb_out);
+    int64_t o = 0;
+    for (size_t s = 0; s < span_a.size(); s++) {
+      copy_codes2(src, span_a[s], dst, o, span_n[s]);
+      o += span_n[s];
+    }
+  }
+  return nkeep;
+}
+
+// Pad a packed [I, rb] matrix to kernel bucket dims [I2, rb2]: row copies
+// plus 0xFF (code 3 = missing) fill.  Requires the input's tail codes
+// past L to already be 3 (gt_filter_pack_2bit and the parser guarantee
+// it).
+void gt_repad_2bit(const uint8_t *in, int64_t I, int64_t rb,
+                   uint8_t *out, int64_t I2, int64_t rb2) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < I2; i++) {
+    uint8_t *dst = out + i * rb2;
+    if (i < I) {
+      memcpy(dst, in + i * rb, (size_t)rb);
+      memset(dst + rb, 0xFF, (size_t)(rb2 - rb));
+    } else {
+      memset(dst, 0xFF, (size_t)rb2);
+    }
+  }
+}
+
 // One-pass 2-bit -> int8 genotype unpack (code 3 -> -9).  The numpy
 // shift/stack/where chain allocates several 100s-of-MB temporaries whose
 // fresh-page faults dominate panel-cache loads under this VM.

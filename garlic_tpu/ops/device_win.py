@@ -146,6 +146,16 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
             # 2-bit genotype packing + on-device table: 4x fewer host
             # link bytes.  Bucketed padded output: one compiled kernel
             # serves every chromosome shape.
+            if chrom.geno_is_packed_only:
+                # panel-cache path: genotypes already packed — one native
+                # repad feeds the kernel, the int8 matrix never exists
+                from .pallas_lod import lod_windows_pallas_prepacked_raw
+                r = lod_windows_pallas_prepacked_raw(
+                    chrom.geno2b, chrom.nloci, chrom.freq, error, missing,
+                    winsize)
+                if r is not None:
+                    return DeviceWin(win=r[0], nind=chrom.nind,
+                                     nloci=chrom.nloci, nwin=r[1])
             from .pallas_lod import lod_windows_pallas_packed_raw
             win, nwin_real = lod_windows_pallas_packed_raw(
                 chrom.genotypes, chrom.freq, error, missing, winsize)

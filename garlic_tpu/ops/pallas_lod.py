@@ -442,6 +442,42 @@ def lod_windows_pallas_packed_raw(geno: np.ndarray, freq: np.ndarray,
     return win, nwin
 
 
+def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
+                                     freq: np.ndarray, error: float,
+                                     missing: np.ndarray, winsize: int,
+                                     block_i: int = 32, block_l: int = 1024,
+                                     interpret: bool = False):
+    """lod_windows_pallas_packed_raw for genotypes ALREADY in 2-bit form
+    (panel cache / packed filtering): one native row-copy repad replaces
+    the int8 unpack + fused pad+pack — the int8 matrix never exists.
+    Requires tail codes past nloci to be 3 (the packed filter and cache
+    pack guarantee it).  Returns (win [I2, NW2] f32 device array, nwin),
+    or None if the native repad is unavailable (callers fall back)."""
+    import jax.numpy as jnp
+
+    from ..native import repad_2bit_native
+
+    I = packed.shape[0]
+    L = nloci
+    W = winsize
+    nwin = L - W + 1
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _bucket(max(nwin, 1), block_l)
+    L2 = NW2 + HW
+    rp = repad_2bit_native(packed, I2, L2 // 4)
+    if rp is None:
+        return None
+    fp = np.zeros(L2, dtype=np.float32)
+    fp[:L] = np.asarray(freq, dtype=np.float32)
+    mp = np.ones((1, NW2), dtype=np.int8)
+    mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    win = _packed_masked_entry(
+        jnp.asarray(rp), jnp.asarray(fp), error,
+        jnp.asarray(mp), W, block_i, block_l, interpret)
+    return win, nwin
+
+
 def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
                               error: float, missing: np.ndarray,
                               winsize: int, block_i: int = 32,

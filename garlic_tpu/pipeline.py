@@ -348,7 +348,7 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         log.log("Population:", ds.pop)
         log.log("Total diploid individuals:", num_ind)
         for c in ds.chroms:
-            if c.genotypes.shape[0] != num_ind:
+            if c.nind != num_ind:
                 log.err("ERROR: TPED and TFAM disagree on individual count.")
                 return 1
 
@@ -623,11 +623,14 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
 
 def _subset_chrom(c, idx):
     from .core.types import ChromData
+    packed = c.geno_is_packed_only
     return ChromData(chrom=c.chrom, positions=c.positions, gpos=c.gpos,
                      locus_names=c.locus_names, alleles=c.alleles,
-                     genotypes=c.genotypes[idx], freq=c.freq,
+                     genotypes=None if packed else c.genotypes[idx],
+                     freq=c.freq,
                      first_copy=None if c.first_copy is None else c.first_copy[idx],
-                     gl=None if c.gl is None else c.gl[idx])
+                     gl=None if c.gl is None else c.gl[idx],
+                     geno2b=c.geno2b[idx] if packed else None)
 
 
 def _ld_subsample_idx(nind: int, ld_subsample: int,

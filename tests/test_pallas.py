@@ -136,3 +136,63 @@ def test_pallas_padding_is_inert():
                                       interpret=True))
     np.testing.assert_array_equal(a, b[:5])
     np.testing.assert_array_equal(a, b[5:])
+
+
+@pytest.mark.parametrize("I,L,W", [(9, 1700, 23), (32, 2048, 60)])
+def test_pallas_prepacked_matches_packed(I, L, W):
+    """The prepacked entry (panel-cache path: native repad, no int8) must
+    equal the int8-input packed entry bit-for-bit."""
+    from garlic_tpu.native import native_available
+    from garlic_tpu.ops.pallas_lod import (lod_windows_pallas_packed_raw,
+                                           lod_windows_pallas_prepacked_raw,
+                                           pack_genotypes)
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(13)
+    geno = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.03] = -9
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    nwin = L - W + 1
+    miss = rng.random(nwin) < 0.05
+    # pre-pack with missing-filled tail (the filter/cache contract)
+    Lp = -(-L // 4) * 4
+    gp = np.full((I, Lp), -9, dtype=np.int8)
+    gp[:, :L] = geno
+    packed = pack_genotypes(gp)
+    a, nwa = lod_windows_pallas_packed_raw(geno, freq, 0.001, miss, W,
+                                           interpret=True)
+    r = lod_windows_pallas_prepacked_raw(packed, L, freq, 0.001, miss, W,
+                                         interpret=True)
+    assert r is not None
+    b, nwb = r
+    assert nwa == nwb
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_filter_pipeline_stays_packed(tmp_path):
+    """Cache-hit loads stay in 2-bit form through monomorphic filtering:
+    the int8 matrix is never materialized on that path."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, write_tped
+
+    from garlic_tpu.io import filters, tped
+    from garlic_tpu.logger import RunLog
+
+    panel = make_panel(nind=10, nloci_per_chr=(800,), seed=91)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    rng = np.random.default_rng(0)
+    tped.load_tped(str(tmp_path / "p.tped.gz"), "0", 0, False, True,
+                   RunLog(), rng, panel_cache=True)
+    ds, _ = tped.load_tped(str(tmp_path / "p.tped.gz"), "0", 0, False, True,
+                           RunLog(), rng, panel_cache=True)
+    assert ds.chroms[0].geno_is_packed_only
+    chroms, _ = filters.filter_monomorphic(ds.chroms)
+    c = chroms[0]
+    assert c.geno_is_packed_only, "filtering materialized the int8 matrix"
+    # lazy materialization agrees with a from-scratch parse + filter
+    ds2, _ = tped.load_tped(str(tmp_path / "p.tped.gz"), "0", 0, False,
+                            True, RunLog(), rng, panel_cache=False)
+    chroms2, _ = filters.filter_monomorphic(ds2.chroms)
+    np.testing.assert_array_equal(c.genotypes, chroms2[0].genotypes)
