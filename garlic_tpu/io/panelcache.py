@@ -38,7 +38,7 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         L = c["positions"].shape[0]
         Lp = -(-L // 4) * 4
         geno = c["genotypes"]
-        if Lp != L:
+        if geno is not None and Lp != L:
             gp = np.full((nind, Lp), -9, dtype=np.int8)
             gp[:, :L] = geno
             geno = gp
@@ -51,8 +51,12 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         raw = names.raw if hasattr(names, "raw") else \
             "\n".join(names).encode()
         arrays[f"c{i}_names"] = np.frombuffer(raw, dtype=np.uint8)
-        arrays[f"c{i}_geno2b"] = pack_genotypes(
-            np.ascontiguousarray(geno))
+        if c.get("geno2b") is not None:
+            # parser emitted packed codes directly (tail codes already 3)
+            arrays[f"c{i}_geno2b"] = np.ascontiguousarray(c["geno2b"])
+        else:
+            arrays[f"c{i}_geno2b"] = pack_genotypes(
+                np.ascontiguousarray(geno))
         fc = c.get("first_copy")
         if fc is not None:
             arrays[f"c{i}_fc"] = np.packbits(np.asarray(fc, dtype=bool),

@@ -92,7 +92,8 @@ def _parse_line(line: str, tped_missing: str):
 def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
               phased: bool = False, auto_freq: bool = True,
               log=None, rng: Optional[np.random.Generator] = None,
-              panel_cache: bool = False) -> Tuple[Dataset, int]:
+              panel_cache: bool = False,
+              packed_geno: bool = False) -> Tuple[Dataset, int]:
     """Load a TPED file into a Dataset. Returns (dataset, total_loci).
 
     Mirrors loadTPEDData (src/garlic-data.cpp:10-177). Frequency resampling
@@ -118,7 +119,9 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
         try:
             from ..native import parse_tped_native
             native = parse_tped_native(tpedfile, tped_missing,
-                                       want_fc=phased)
+                                       want_fc=phased,
+                                       want_packed=packed_geno
+                                       and not phased)
         except Exception:
             native = None
 

@@ -570,6 +570,66 @@ void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
   }
 }
 
+// Copy chromosome c with genotypes emitted DIRECTLY as 2-bit codes
+// [I][rb] (rb = ceil(L/4); tail codes 3 = missing): a fused blocked
+// transpose+pack that writes 4x fewer bytes than the int8 copy — the
+// fast engine ships these to the device verbatim, so the int8 matrix
+// never exists.  first_copy is NOT produced (phased runs use the int8
+// entry point).
+void gt_tped_copy_2bit(void *hv, int c, int64_t *positions, double *gpos,
+                       char *alleles, uint8_t *geno2b, int64_t rb,
+                       double *freq, char *names_buf) {
+  TpedHandle *h = (TpedHandle *)hv;
+  ChromBlock &b = h->chroms[c];
+  int64_t L = (int64_t)b.positions.size();
+  int64_t I = h->nind;
+  memcpy(positions, b.positions.data(), L * sizeof(int64_t));
+  memcpy(gpos, b.gpos.data(), L * sizeof(double));
+  memcpy(alleles, b.allele.data(), L * sizeof(char));
+  memcpy(freq, b.freq.data(), L * sizeof(double));
+  memcpy(names_buf, b.names.data(), b.names.size());
+  const int8_t *src = h->geno.data() + b.row_offset * I;
+  static const uint8_t lut_miss = 3;
+  const int64_t BI = 32, BL = 128;  // BL multiple of 4: bytes don't straddle
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i0 = 0; i0 < I; i0 += BI) {
+    int64_t i1 = i0 + BI < I ? i0 + BI : I;
+    int8_t tmp[BI * BL];
+    for (int64_t l0 = 0; l0 < L; l0 += BL) {
+      int64_t l1 = l0 + BL < L ? l0 + BL : L;
+      for (int64_t l = l0; l < l1; l++) {
+        const int8_t *row = src + l * I;
+        for (int64_t i = i0; i < i1; i++)
+          tmp[(i - i0) * BL + (l - l0)] = row[i];
+      }
+      int64_t nb_full = (l1 - l0) / 4;
+      for (int64_t i = i0; i < i1; i++) {
+        const int8_t *t = tmp + (i - i0) * BL;
+        uint8_t *dst = geno2b + i * rb + (l0 >> 2);
+        for (int64_t k = 0; k < nb_full; k++) {
+          uint8_t c0 = t[4 * k] < 0 ? lut_miss : (uint8_t)t[4 * k];
+          uint8_t c1 = t[4 * k + 1] < 0 ? lut_miss : (uint8_t)t[4 * k + 1];
+          uint8_t c2 = t[4 * k + 2] < 0 ? lut_miss : (uint8_t)t[4 * k + 2];
+          uint8_t c3 = t[4 * k + 3] < 0 ? lut_miss : (uint8_t)t[4 * k + 3];
+          dst[k] = (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
+        }
+        int64_t rem = (l1 - l0) - nb_full * 4;  // only at l1 == L
+        if (rem) {
+          uint8_t acc = 0xFF;
+          for (int64_t j = 0; j < rem; j++) {
+            int8_t v = t[nb_full * 4 + j];
+            uint8_t cc = v < 0 ? lut_miss : (uint8_t)v;
+            acc = (uint8_t)((acc & ~(3u << (j * 2))) | (cc << (j * 2)));
+          }
+          dst[nb_full] = acc;
+        }
+      }
+    }
+  }
+}
+
 void gt_tped_close(void *hv) { delete (TpedHandle *)hv; }
 
 // Exact rolling-window LOD: terms [I][L] f64, missing [nwin] u8 (1=missing),

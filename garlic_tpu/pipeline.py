@@ -341,7 +341,10 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     try:
         ds, num_loci = tped.load_tped(
             tpedfile, tped_missing, nresample, phased, auto_freq, log, rng,
-            panel_cache=args[cli.ARG_PANEL_CACHE])
+            panel_cache=args[cli.ARG_PANEL_CACHE],
+            # fast engine ships 2-bit codes to the device: the parser can
+            # emit them directly, skipping the int8 transpose entirely
+            packed_geno=(engine == "fast" and not phased))
         log.log("Total loci:", num_loci)
         ds.ind_ids, ds.pop = tfam.read_tfam(tfamfile, log)
         num_ind = ds.nind

@@ -246,6 +246,44 @@ def test_tped_parser_fuzz_native_vs_python(tmp_path, seed):
                                       np.asarray(b.alleles))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_tped_packed_2bit_matches_int8(tmp_path, seed):
+    """The fused transpose+pack parser exit (gt_tped_copy_2bit) must emit
+    exactly the codes pack_genotypes produces from the int8 matrix,
+    including tail-byte padding codes (3 = missing)."""
+    from garlic_tpu.ops.pallas_lod import pack_genotypes
+
+    rng = np.random.default_rng(seed + 500)
+    nind = int(rng.integers(1, 40))
+    lines = []
+    for chrom in ["1", "2"]:
+        # odd locus counts exercise the tail-byte path
+        for l in range(int(rng.integers(3, 300))):
+            toks = [chrom, f"rs{chrom}_{l}", "0",
+                    str(int(rng.integers(1, 10**8)))]
+            for _ in range(2 * nind):
+                toks.append(str(rng.choice(["A", "C", "0"], p=[.5, .4, .1])))
+            lines.append(" ".join(toks))
+    p = str(tmp_path / "pk.tped")
+    _write(p, "\n".join(lines) + "\n")
+    from garlic_tpu.native import parse_tped_native
+    blks_i8 = parse_tped_native(p, "0", want_fc=False)
+    blks_2b = parse_tped_native(p, "0", want_packed=True)
+    assert blks_i8 is not None and blks_2b is not None
+    for a, b in zip(blks_i8, blks_2b):
+        assert b["genotypes"] is None
+        L = a["positions"].shape[0]
+        Lp = -(-L // 4) * 4
+        g = a["genotypes"]
+        if Lp != L:
+            g = np.concatenate(
+                [g, np.full((g.shape[0], Lp - L), -9, np.int8)], axis=1)
+        np.testing.assert_array_equal(b["geno2b"], pack_genotypes(
+            np.ascontiguousarray(g)))
+        np.testing.assert_array_equal(a["freq"], b["freq"])
+        np.testing.assert_array_equal(a["positions"], b["positions"])
+
+
 def test_panel_cache_roundtrip(tmp_path):
     """--tpu-panel-cache: second load comes from the sidecar and must be
     identical to a fresh parse."""
