@@ -422,3 +422,41 @@ def test_nclust_two_auto_bounds(oracle_bin, tmp_path):
                    panel_kw=dict(nind=40, nloci_per_chr=(8000, 6000),
                                  seed=89))
     _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
+def test_no_kde_thinning(oracle_bin, tmp_path):
+    """--no-kde-thinning: every window (not every winsize-th) feeds the
+    Phase-II KDE (convertWinData2DoubleData step=1, garlic-data.cpp:2026;
+    README warns it 'dramatically increases runtime' — cheap for us)."""
+    args = ["--build", "hg18", "--winsize", "60", "--error", "0.001",
+            "--kde-subsample", "0", "--no-kde-thinning"]
+    wd = _run_both(oracle_bin, tmp_path, args,
+                   panel_kw=dict(nind=40, nloci_per_chr=(8000, 6000),
+                                 seed=91))
+    _assert_same(wd, "oracle", "ours", [".roh.bed", ".freq.gz"])
+    diffs = diff_logs(read_text(os.path.join(wd, "oracle.log")),
+                      read_text(os.path.join(wd, "ours.log")))
+    assert not diffs, diffs[:10]
+
+
+@pytest.mark.slow
+def test_custom_tped_missing_code(oracle_bin, tmp_path):
+    """--tped-missing N: alternate missing-allele character drives the
+    same allele coding / half-missing freq rules (loadTPEDData,
+    garlic-data.cpp:109-131)."""
+    from .util import make_panel, write_tped as _wt
+    panel = make_panel(nind=30, nloci_per_chr=(5000, 4000), seed=93,
+                      missing_rate=0.01)
+    _wt(panel, str(tmp_path / "panel.tped.gz"), str(tmp_path / "panel.tfam"),
+        missing_char="N")
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--tped-missing", "N", "--build", "hg18", "--winsize", "40",
+            "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed", ".freq.gz"])

@@ -69,14 +69,18 @@ def make_panel(nind=30, nloci_per_chr=(4000, 3000), seed=7,
 
 
 def write_tped(panel: Panel, tped_path: str, tfam_path: str,
-               gpos: Optional[List[np.ndarray]] = None) -> None:
-    """Write TPED/TFAM. Allele 'A' = alt (counted), 'C' = ref, '0' missing.
+               gpos: Optional[List[np.ndarray]] = None,
+               missing_char: str = "0") -> None:
+    """Write TPED/TFAM. Allele 'A' = alt (counted), 'C' = ref,
+    `missing_char` missing (pair with --tped-missing when not '0').
 
     Vectorized: the genotype columns are rendered as one fixed-width byte
     matrix per chromosome (4 chars per diploid genotype: ' x y') so
     WGS-scale panels write in seconds, not minutes."""
     # genotype code -> 4 ASCII bytes " a b"; index 3 = missing (-9)
-    lut = np.array([b" C C", b" A C", b" A A", b" 0 0"], dtype="S4")
+    m = missing_char.encode()
+    lut = np.array([b" C C", b" A C", b" A A",
+                    b" " + m + b" " + m], dtype="S4")
     if tped_path.endswith(".gz"):
         # level 1: WGS-scale panels are ~1 GB of text; level 9 takes tens
         # of minutes for no benefit to the consumer
