@@ -229,22 +229,28 @@ def _covered_kernel_factory():
 
 _covered_jit = None
 _edges_jit = None
-_EDGE_BLOCK = 1024     # SNPs per edge block
+_EDGE_BLOCK = 128      # SNPs per edge block
 _EDGE_CAP = 1 << 14    # max nonempty edge blocks before bitmap fallback
+_EDGE_IDX_CAP = 1 << 16  # max edges before bitmap fallback
 
 
 def _edges_kernel_factory():
-    """Block-sparse edge extraction: ROH coverage is long runs, so the
-    0->1/1->0 transition bitmap is extremely sparse.  A per-1024-SNP-block
-    any() summary (one cheap reduce) feeds a SMALL nonzero (I x nb
-    elements, not I x L), and only the nonempty blocks' bits are gathered
-    and packed for transfer — ~2 MB and ~60 ms device time vs a 1 s
-    full-length nonzero sort or a 15 MB bitmap."""
+    """Block-sparse exact edge extraction: ROH coverage is long runs, so
+    the 0->1/1->0 transition bitmap is extremely sparse.  Two-stage
+    compaction keeps both nonzeros small: a per-128-SNP-block any()
+    summary (one cheap reduce) feeds a nonzero over I x nb elements, the
+    nonempty blocks' bits are gathered, and a second nonzero over
+    cap x 128 yields EXACT global edge indices.  Everything (counts, the
+    row-tail flags, the indices) is fused into ONE i32 array so a single
+    D2H round trip (~260 KB) replaces the former per-array fetches of
+    packed block bitmaps — the tunneled link pays ~25 ms latency per
+    transfer and ~10-40 MB/s, so both transfer count and bytes matter."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("winsize", "cap", "block"))
-    def _edges(win, cutoff, threshold, winsize: int, cap: int, block: int):
+    @partial(jax.jit, static_argnames=("winsize", "cap", "block", "ecap"))
+    def _edges(win, cutoff, threshold, winsize: int, cap: int, block: int,
+               ecap: int):
         from .lod import window_sums_exact
 
         above = (win >= cutoff).astype(jnp.float32)
@@ -264,11 +270,24 @@ def _edges_kernel_factory():
         eb = edge.reshape(I * nb, block)
         summary = jnp.any(eb, axis=1)
         nblk = jnp.sum(summary).astype(jnp.int32)
+        nedge = jnp.sum(eb).astype(jnp.int32)
         bidx = jnp.nonzero(summary, size=cap,
                            fill_value=-1)[0].astype(jnp.int32)
-        blocks = jnp.packbits(eb[jnp.maximum(bidx, 0)], axis=1,
-                              bitorder="little")      # [cap, block/8]
-        return bidx, nblk, blocks, covered[:, -1]
+        gb = eb[jnp.maximum(bidx, 0)] & (bidx >= 0)[:, None]
+        loc = jnp.nonzero(gb.reshape(-1), size=ecap,
+                          fill_value=-1)[0].astype(jnp.int32)
+        bid = bidx[jnp.maximum(loc // block, 0)]
+        # blocks ascend row-major, offsets ascend within each block, so
+        # gidx is globally sorted ascending (what _edges_to_packed needs)
+        gidx = jnp.where(
+            loc >= 0,
+            (bid // nb) * outw + (bid % nb) * block + loc % block,
+            -1).astype(jnp.int32)
+        out = jnp.concatenate([
+            jnp.stack([nblk, nedge]),
+            covered[:, -1].astype(jnp.int32),
+            gidx])
+        return out
 
     return _edges
 
@@ -310,25 +329,6 @@ def _edges_to_packed(idx: np.ndarray, last: np.ndarray, I: int,
     return out
 
 
-def _blocks_to_edge_idx(bidx: np.ndarray, blocks: np.ndarray, outw: int,
-                        block: int) -> np.ndarray:
-    """Flat row-major edge indices over [I, outw] from nonempty edge
-    blocks (bidx: sorted block ids over the padded [I, nb*block] grid)."""
-    nb = -(-outw // block)
-    bits = np.unpackbits(blocks, axis=1,
-                         bitorder="little")[:, :block].astype(bool)
-    out = []
-    for j in range(bidx.shape[0]):
-        b = int(bidx[j])
-        row, blk = divmod(b, nb)
-        cols = blk * block + np.nonzero(bits[j])[0]
-        cols = cols[cols < outw]
-        out.append(row * outw + cols)
-    if not out:
-        return np.zeros(0, dtype=np.int64)
-    return np.concatenate(out)
-
-
 def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
                      threshold: float):
     """Enqueue the coverage extraction on device and return a handle for
@@ -344,14 +344,16 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
     I, N = dwin.win.shape
     outw = N + winsize - 1
     mode = os.environ.get("GARLIC_TPU_COVERED", "auto")
+    if I * outw >= 2**31:
+        mode = "bitmap"  # flat i32 edge indices would overflow
     if mode != "bitmap":
         if _edges_jit is None:
             _edges_jit = _edges_kernel_factory()
-        bidx, nblk, blocks, last = _edges_jit(
+        fused = _edges_jit(
             dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
-            _EDGE_CAP, _EDGE_BLOCK)
+            _EDGE_CAP, _EDGE_BLOCK, _EDGE_IDX_CAP)
         return ("edges", dwin, cutoff, winsize, threshold,
-                (bidx, nblk, blocks, last, I, outw))
+                (fused, I, outw))
     if _covered_jit is None:
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
@@ -362,7 +364,8 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
 def covered_fetch(handle) -> np.ndarray:
     """Transfer + reconstruct the packed coverage bits for a handle from
     covered_dispatch (falls back to the bitmap when the block-sparse edge
-    extraction overflowed its cap)."""
+    extraction overflowed a cap).  The edges path is ONE D2H transfer:
+    [nblk, nedge, last(I), gidx(ecap)] i32."""
     global _covered_jit
     import jax.numpy as jnp
 
@@ -370,13 +373,13 @@ def covered_fetch(handle) -> np.ndarray:
 
     kind, dwin, cutoff, winsize, threshold, data = handle
     if kind == "edges":
-        bidx, nblk, blocks, last, I, outw = data
-        nblk = int(to_host(nblk))
-        if nblk <= _EDGE_CAP:
-            idx = _blocks_to_edge_idx(to_host(bidx)[:nblk],
-                                      to_host(blocks)[:nblk], outw,
-                                      _EDGE_BLOCK)
-            return _edges_to_packed(idx, to_host(last), I, outw)
+        fused, I, outw = data
+        m = to_host(fused)
+        nblk, nedge = int(m[0]), int(m[1])
+        if nblk <= _EDGE_CAP and nedge <= _EDGE_IDX_CAP:
+            last = m[2:2 + I].astype(bool)
+            idx = m[2 + I:2 + I + nedge].astype(np.int64)
+            return _edges_to_packed(idx, last, I, outw)
         if _covered_jit is None:
             _covered_jit = _covered_kernel_factory()
         data = _covered_jit(dwin.win, jnp.float32(cutoff),
