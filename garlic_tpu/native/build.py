@@ -122,6 +122,15 @@ def _load():
         lib.gt_unpack_2bit.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int8)]
+        lib.gt_count_missing_rows_2bit.restype = None
+        lib.gt_count_missing_rows_2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.gt_pack_base3.restype = None
+        lib.gt_pack_base3.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
         lib.gt_set_threads.restype = None
         lib.gt_set_threads.argtypes = [ctypes.c_int]
         lib.gt_get_max_threads.restype = ctypes.c_int
@@ -174,6 +183,34 @@ def repad_2bit_native(packed: np.ndarray, I2: int, rb2: int):
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, rb,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I2, rb2)
     return out
+
+
+def pack_base3_native(packed: np.ndarray, L: int):
+    """2-bit [I, rb] -> (base-3 [I, ceil(L/5)] u8, missing-exception flat
+    indices i32 sorted ascending).  None if the lib is unavailable or
+    I*L would overflow the i32 exception index space."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    I, rb = p.shape
+    if I * L >= 2**31:
+        return None
+    counts = np.empty(I, dtype=np.int64)
+    lib.gt_count_missing_rows_2bit(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, rb, L,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    row_off = np.zeros(I + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_off[1:])
+    nb5 = -(-L // 5)
+    out = np.empty((I, nb5), dtype=np.uint8)
+    exc = np.empty(max(int(row_off[-1]), 1), dtype=np.int32)
+    lib.gt_pack_base3(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, rb, L,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nb5,
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out, exc[:int(row_off[-1])]
 
 
 def unpack_2bit_native(packed: np.ndarray, L: int):

@@ -218,6 +218,61 @@ void gt_repad_2bit(const uint8_t *in, int64_t I, int64_t rb,
   }
 }
 
+// Per-row missing-code (3) counts in a packed [I, rb] 2-bit matrix,
+// valid lanes [0, L) only.  Feeds the base-3 shipping path: the caller
+// prefix-sums these into exception-array offsets.
+void gt_count_missing_rows_2bit(const uint8_t *packed, int64_t I,
+                                int64_t rb, int64_t L, int64_t *row_counts) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < I; i++) {
+    const uint8_t *p = packed + i * rb;
+    int64_t n = 0;
+    int64_t nb_full = L / 4;
+    for (int64_t k = 0; k < nb_full; k++) {
+      // code 3 = both bits of a lane set
+      uint8_t m = (uint8_t)(p[k] & (p[k] >> 1) & 0x55);
+      n += __builtin_popcount(m);
+    }
+    for (int64_t l = nb_full * 4; l < L; l++)
+      n += ((p[l >> 2] >> ((l & 3) * 2)) & 3) == 3;
+    row_counts[i] = n;
+  }
+}
+
+// 2-bit -> base-3 repack (5 genotype codes per byte, 1.6 bits/code vs
+// 2.0): the H2D link, not HBM, bounds the fast engine, so 20% fewer
+// bytes is 20% less critical-path transfer.  Missing codes (3) are
+// emitted as digit 0 and recorded as flat row-major exceptions
+// (i*L + l, int32 — caller guarantees I*L < 2^31) at exc + row_off[i];
+// the device decode scatter-ORs them back to code 3.  Tail lanes of the
+// final byte (past L) emit digit 0 and are NOT exceptions (the device
+// pads to the kernel bucket with code 3 itself).
+void gt_pack_base3(const uint8_t *packed, int64_t I, int64_t rb, int64_t L,
+                   uint8_t *out, int64_t nb5, int32_t *exc,
+                   const int64_t *row_off) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < I; i++) {
+    const uint8_t *p = packed + i * rb;
+    uint8_t *o = out + i * nb5;
+    int32_t *e = exc + row_off[i];
+    static const uint16_t pw[5] = {1, 3, 9, 27, 81};
+    for (int64_t j = 0; j < nb5; j++) {
+      uint16_t acc = 0;
+      int64_t base = j * 5;
+      int64_t lim = base + 5 < L ? base + 5 : L;
+      for (int64_t l = base; l < lim; l++) {
+        uint8_t c = (uint8_t)((p[l >> 2] >> ((l & 3) * 2)) & 3);
+        if (c == 3) {
+          *e++ = (int32_t)(i * L + l);
+          c = 0;
+        }
+        acc = (uint16_t)(acc + c * pw[l - base]);
+      }
+      o[j] = (uint8_t)acc;
+    }
+  }
+}
+
 // One-pass 2-bit -> int8 genotype unpack (code 3 -> -9).  The numpy
 // shift/stack/where chain allocates several 100s-of-MB temporaries whose
 // fresh-page faults dominate panel-cache loads under this VM.

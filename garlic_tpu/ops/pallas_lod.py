@@ -442,6 +442,36 @@ def lod_windows_pallas_packed_raw(geno: np.ndarray, freq: np.ndarray,
     return win, nwin
 
 
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("I", "L", "I2", "L2"))
+def _decode_base3(b3, exc, I: int, L: int, I2: int, L2: int):
+    """Device-side inverse of gt_pack_base3: base-3 bytes [I, ceil(L/5)]
+    + missing-exception flat indices (i*L + l, -1 padded) -> the 2-bit
+    packed [I2, L2/4] kernel input gt_repad_2bit would have produced
+    (tails and pad rows code 3).  ~16 ms for 200 x 1M on v5e — paid once
+    per chromosome to ship 20% fewer bytes over the host link."""
+    import jax.numpy as jnp
+
+    d = b3.astype(jnp.int32)
+    digs = [(d // k) % 3 for k in (1, 3, 9, 27, 81)]
+    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L].astype(jnp.uint8)
+    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, jnp.uint8)], axis=1)
+    g = jnp.concatenate([g, jnp.full((I2 - I, L2), 3, jnp.uint8)], axis=0)
+    g4 = g.reshape(I2, L2 // 4, 4)
+    packed = (g4[..., 0] | (g4[..., 1] << 2) | (g4[..., 2] << 4)
+              | (g4[..., 3] << 6))
+    flat = packed.reshape(-1)
+    i = exc // L
+    l = exc % L
+    bidx = jnp.where(exc >= 0, i * (L2 // 4) + l // 4, jnp.int32(2**30))
+    # decoded missing lanes hold bits 00, and two exceptions in one byte
+    # touch disjoint bit pairs, so scatter-add == scatter-or
+    val = (jnp.uint8(3) << ((l % 4) * 2)).astype(jnp.uint8)
+    flat = flat.at[bidx].add(val, mode="drop")
+    return flat.reshape(I2, L2 // 4)
+
+
 def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
                                      freq: np.ndarray, error: float,
                                      missing: np.ndarray, winsize: int,
@@ -452,10 +482,18 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     the int8 unpack + fused pad+pack — the int8 matrix never exists.
     Requires tail codes past nloci to be 3 (the packed filter and cache
     pack guarantee it).  Returns (win [I2, NW2] f32 device array, nwin),
-    or None if the native repad is unavailable (callers fall back)."""
+    or None if the native repad is unavailable (callers fall back).
+
+    When missingness is low (< I*L/80 codes) the genotypes ship base-3
+    packed (5 codes/byte + an exception list, gt_pack_base3) and are
+    decoded to the 2-bit kernel input on device: 20% fewer bytes over
+    the 10-40 MB/s host link, which bounds this path end-to-end.
+    GARLIC_TPU_SHIP=2bit forces the plain 2-bit ship."""
+    import os
+
     import jax.numpy as jnp
 
-    from ..native import repad_2bit_native
+    from ..native import pack_base3_native, repad_2bit_native
 
     I = packed.shape[0]
     L = nloci
@@ -465,15 +503,27 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _bucket(max(nwin, 1), block_l)
     L2 = NW2 + HW
-    rp = repad_2bit_native(packed, I2, L2 // 4)
-    if rp is None:
-        return None
     fp = np.zeros(L2, dtype=np.float32)
     fp[:L] = np.asarray(freq, dtype=np.float32)
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    dev = None
+    if os.environ.get("GARLIC_TPU_SHIP", "auto") != "2bit":
+        r = pack_base3_native(packed, L)
+        if r is not None and r[1].size < I * L // 80:
+            b3, exc = r
+            ecap = max(4096, _bucket(max(exc.size, 1), 4096))
+            ep = np.full(ecap, -1, dtype=np.int32)
+            ep[:exc.size] = exc
+            dev = _decode_base3(jnp.asarray(b3), jnp.asarray(ep),
+                                I, L, I2, L2)
+    if dev is None:
+        rp = repad_2bit_native(packed, I2, L2 // 4)
+        if rp is None:
+            return None
+        dev = jnp.asarray(rp)
     win = _packed_masked_entry(
-        jnp.asarray(rp), jnp.asarray(fp), error,
+        dev, jnp.asarray(fp), error,
         jnp.asarray(mp), W, block_i, block_l, interpret)
     return win, nwin
 

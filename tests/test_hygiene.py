@@ -135,3 +135,40 @@ def test_unpack_2bit_roundtrip():
         g[rng.random((I, Lp)) < 0.1] = -9
         u = unpack_2bit_native(pack_genotypes(g), L)
         np.testing.assert_array_equal(u, g[:, :L])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_base3_ship_roundtrip(seed):
+    """gt_pack_base3 + device decode must reproduce the exact 2-bit
+    kernel input gt_repad_2bit produces (tails, pad rows, and missing
+    exceptions included)."""
+    import jax.numpy as jnp
+
+    from garlic_tpu.native import (native_available, pack_base3_native,
+                                   repad_2bit_native)
+    from garlic_tpu.ops.pallas_lod import _decode_base3, pack_genotypes
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(seed)
+    I = int(rng.integers(1, 40))
+    L = int(rng.integers(5, 3000))
+    g = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    g[rng.random((I, L)) < 0.01] = -9
+    Lp = -(-L // 4) * 4
+    gp = np.full((I, Lp), -9, np.int8)
+    gp[:, :L] = g
+    packed = pack_genotypes(gp)
+    I2 = -(-I // 8) * 8
+    L2 = (-(-(L + 200) // 128)) * 128
+    want = repad_2bit_native(packed, I2, L2 // 4)
+    r = pack_base3_native(packed, L)
+    assert r is not None
+    b3, exc = r
+    assert np.all(np.diff(exc) > 0)  # sorted, unique
+    ecap = max(64, int(exc.size) + 7)
+    ep = np.full(ecap, -1, np.int32)
+    ep[:exc.size] = exc
+    got = np.asarray(_decode_base3(jnp.asarray(b3), jnp.asarray(ep),
+                                   I, L, I2, L2))
+    np.testing.assert_array_equal(got, want)
