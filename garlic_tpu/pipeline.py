@@ -9,6 +9,7 @@ declared comparison artifact).
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 from typing import List, Optional
@@ -131,6 +132,11 @@ def _run(args: ParsedArgs, argv: List[str], prog: str, log: RunLog) -> int:
         rc = _run_impl(args, argv, prog, log, fw)
     finally:
         werr = fw.finish()
+        try:  # free any unclaimed prefetched device genotype uploads
+            from .ops.pallas_lod import clear_ship_stash
+            clear_ship_stash()
+        except Exception:
+            pass
     if werr is not None:
         log.err("ERROR: Failed writing allele frequency data:", str(werr))
         return 1 if rc == 0 else rc
@@ -374,6 +380,21 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         log.err("ERROR: Internal failure while loading data:", repr(e))
         return 1
     prof.mark("load", num_loci * ds.nind, "genotypes")
+
+    if (engine == "fast" and not weighted and not cm and auto_freq
+            and not use_gl and nresample == 0
+            and args[cli.ARG_MESH] == "none"
+            and "GARLIC_TPU_HBM_BUDGET" not in os.environ):
+        # the filter outcome is already determined by the loaded freqs, so
+        # start the (winsize-independent) Phase-I genotype upload now —
+        # the host link moves while freq writing/filtering still run
+        try:
+            import jax
+            if jax.default_backend() == "tpu":
+                from .ops.pallas_lod import prefetch_ship
+                prefetch_ship(ds.chroms)
+        except Exception:
+            pass  # prefetch is opportunistic; Phase I re-packs on a miss
 
     # ---------------- Allele frequencies ----------------
     if auto_freq:

@@ -172,3 +172,48 @@ def test_base3_ship_roundtrip(seed):
     got = np.asarray(_decode_base3(jnp.asarray(b3), jnp.asarray(ep),
                                    I, L, I2, L2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_prefetch_ship_stash_contract():
+    """prefetch_ship keys the stash exactly as Phase I will look it up
+    (same filter, same content key), and the stashed payload decodes to
+    the kernel input the non-prefetch path builds."""
+    import jax.numpy as jnp
+
+    from garlic_tpu.core.types import ChromData
+    from garlic_tpu.io import filters
+    from garlic_tpu.native import native_available, repad_2bit_native
+    from garlic_tpu.ops import pallas_lod as pl
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    I, L = 17, 2503
+    g = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    g[rng.random((I, L)) < 0.005] = -9
+    Lp = -(-L // 4) * 4
+    gp = np.full((I, Lp), -9, np.int8)
+    gp[:, :L] = g
+    freq = rng.uniform(0.01, 0.99, L)
+    freq[::37] = 1.0  # monomorphic: filtered
+    c = ChromData(chrom="1", positions=np.arange(L) * 1000 + 1, gpos=np.zeros(L),
+                  locus_names=[f"r{i}" for i in range(L)],
+                  alleles=np.array(["A"] * L), genotypes=None, freq=freq,
+                  first_copy=None, gl=None,
+                  geno2b=pl.pack_genotypes(gp))
+    pl.clear_ship_stash()
+    pl.prefetch_ship([c])
+    assert len(pl._ship_stash) == 1
+    # Phase I side: the pipeline filter produces the packed matrix whose
+    # content key must hit the stash
+    fchroms, nkeep = filters.filter_monomorphic([c])
+    fc = fchroms[0]
+    key = pl._ship_key(fc.geno2b, fc.nloci)
+    hit = pl._ship_stash.pop(key, None)
+    assert hit is not None, "stash key mismatch between prefetch and Phase I"
+    I2 = -(-I // 8) * 8
+    L2 = (-(-(fc.nloci + 300) // 128)) * 128
+    got = np.asarray(pl._decode_base3(hit[0], hit[1], I, fc.nloci, I2, L2))
+    want = repad_2bit_native(fc.geno2b, I2, L2 // 4)
+    np.testing.assert_array_equal(got, want)
+    pl.clear_ship_stash()
