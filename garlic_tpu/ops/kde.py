@@ -18,6 +18,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..core.types import MISSING
+
 
 _block_bufs = {}
 _device_block = None
@@ -137,6 +139,124 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
         np.exp(b, out=b)
         out += b.sum(axis=0)
     return out * q
+
+
+_kde_flat_jit = None
+
+
+def _kde_flat_factory():
+    """In-graph Phase II: valid-mask -> sort -> nrd0 (f64) -> grid ->
+    blocked f32 Gauss transform -> normalize, in ONE jit.  Sample pooling,
+    bandwidth statistics, and the transform never leave the device; only
+    [targets(512), y(512), n] f64 returns over the link (vs the former
+    D2H of every thinned sample + H2D re-upload for the transform —
+    10s of MB each way on WGS panels at 10-40 MB/s).
+
+    Numerics: the bandwidth/grid math mirrors nrd0 /
+    _gsl_quantile_sorted in f64 (differences vs the host path are
+    summation-order only, ~1e-15 relative); the transform keeps the f32
+    block scheme of gauss_transform(device=True), padding with 1e30
+    (squares to inf -> exp contributes exactly 0)."""
+    global _kde_flat_jit
+    if _kde_flat_jit is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("block",))
+        def _kde_flat(flat, block: int):
+            valid = (flat != jnp.float32(MISSING)) & ~jnp.isnan(flat)
+            ni = valid.sum().astype(jnp.int32)
+            n = ni.astype(jnp.float64)
+            xs = jnp.sort(jnp.where(valid, flat, jnp.inf))
+            x64 = xs.astype(jnp.float64)
+            fin = jnp.isfinite(x64)
+            mean = jnp.where(fin, x64, 0.0).sum() / n
+            var = jnp.where(fin, (x64 - mean) ** 2, 0.0).sum() / (n - 1.0)
+            sd = jnp.sqrt(var)
+            last = jnp.maximum(ni - 1, 0)
+
+            def q(p):
+                idx = (n - 1.0) * p
+                lhs = jnp.floor(idx).astype(jnp.int32)
+                delta = idx - lhs.astype(jnp.float64)
+                lo = x64[lhs]
+                hi = x64[jnp.minimum(lhs + 1, last)]
+                return jnp.where(lhs == last, lo,
+                                 (1.0 - delta) * lo + delta * hi)
+
+            iqr = q(0.75) - q(0.25)
+            h = 0.9 * jnp.minimum(sd, iqr / 1.34) * n ** -0.2
+            CUT, M = 3.0, 512
+            mn = x64[0] - CUT * h
+            mx = x64[last] + CUT * h
+            i = jnp.arange(1, M + 1, dtype=jnp.float64)
+            targets = (i / M) * (mx - mn) + mn
+            spacing = targets[1] - targets[0]
+            tgtf = targets.astype(jnp.float32)
+            inv_h2 = (1.0 / (h * h)).astype(jnp.float32)
+            src = jnp.where(valid, flat, jnp.float32(1e30))
+            src = src.reshape(-1, block)
+
+            def body(acc, blk):
+                d = blk[:, None] - tgtf[None, :]
+                return acc + jnp.sum(jnp.exp(-(d * d) * inv_h2),
+                                     axis=0).astype(jnp.float64), None
+
+            y, _ = jax.lax.scan(body, jnp.zeros(M, jnp.float64), src)
+            y = y / n
+            y = y / (y.sum() * spacing)
+            return jnp.concatenate(
+                [targets, y, jnp.stack([n, h]).astype(jnp.float64)])
+
+        _kde_flat_jit = _kde_flat
+    return _kde_flat_jit
+
+
+def compute_kde_wins(win_by_chr, step: int, ind_idx=None,
+                     log=None) -> "KDEResult | None":
+    """Device-resident computeKDE over DeviceWin/LazyWin window matrices:
+    thinning (convertWinData2DoubleData step, src/garlic-data.cpp:2037),
+    individual subsetting, bandwidth, and the transform all run on
+    device; one ~8 KB fetch returns the 512-point density.  Returns None
+    when any chromosome's windows are host arrays or the pooled sample
+    count is 0 — callers fall back to win_to_samples + compute_kde."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_win import is_device_win, is_lazy_win
+
+    parts = []
+    for w in win_by_chr:
+        if is_lazy_win(w):
+            w = w.make()
+        if not is_device_win(w):
+            return None
+        x = w.win
+        if ind_idx is not None:
+            x = x[jnp.asarray(np.asarray(ind_idx, dtype=np.int32))]
+        else:
+            x = x[:w.nind]
+        parts.append(x[:, ::step].reshape(-1))
+    if not parts:
+        return None
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    N = flat.shape[0]
+    block = 1 << 18
+    pad = -(-max(N, 1) // block) * block - N
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full(pad, jnp.float32(MISSING))])
+    with jax.enable_x64(True):
+        out = np.asarray(_kde_flat_factory()(flat, block))
+    n = int(out[1024])
+    if n == 0:
+        return None  # host path reproduces the reference failure mode
+    if log is not None:
+        log.log("KDE with", n, nl=False)
+        log.log(" points.")
+    return KDEResult(x=out[:512].copy(), y=out[512:1024].copy())
 
 
 def compute_kde(data: np.ndarray, log=None, device: bool = False,

@@ -664,6 +664,24 @@ def _ld_subsample_idx(nind: int, ld_subsample: int,
     return np.sort(rng.choice(nind, size=ld_subsample, replace=False))
 
 
+def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
+                     log):
+    """Phase-II dispatch: device-resident KDE when the fast engine holds
+    the window matrices on device (sample pooling + bandwidth + transform
+    in one jit, ~8 KB over the link), host/mesh path otherwise."""
+    if st.engine == "fast" and st.mesh is None:
+        try:
+            kr = kde_ops.compute_kde_wins(win_by_chr, step, ind_idx=ind_idx,
+                                          log=log)
+        except Exception:
+            kr = None
+        if kr is not None:
+            return kr
+    samples = convert.win_to_samples(win_by_chr, step, ind_idx=ind_idx)
+    return kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
+                               mesh=st.mesh)
+
+
 def _select_lod_cutoff(st: PipelineState, win_by_chr, ds: Dataset,
                        kde_subsample: int, kdeoutfile: str, step: int,
                        wsize: int) -> float:
@@ -671,19 +689,16 @@ def _select_lod_cutoff(st: PipelineState, win_by_chr, ds: Dataset,
     write, min-between-modes.  Failures return -1 and the pipeline continues,
     exactly like the reference."""
     log = st.log
-    if kde_subsample <= 0:
-        samples = convert.win_to_samples(win_by_chr, step)
-    else:
+    idx = None
+    if kde_subsample > 0:
         idx = convert.choose_subsample(ds.nind, kde_subsample, st.rng)
         log.logn("Individuals used for KDE: ")
         for i in idx:
             log.logn(ds.ind_ids[i])
             log.logn(" ")
         log.logn("\n")
-        samples = convert.win_to_samples(win_by_chr, step, ind_idx=idx)
     print("Estimating distribution of raw LOD score windows:", file=sys.stderr)
-    kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
-                             mesh=st.mesh)
+    kr = _compute_kde_for(st, win_by_chr, step, idx, log)
     try:
         kdefile.write_kde(kr, kdeoutfile, log)
     except Exception:
@@ -731,9 +746,7 @@ def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
     while True:
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
-        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
-                             mesh=st.mesh)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -757,9 +770,7 @@ def _select_winsize_from_list(st: PipelineState, ds: Dataset, centro,
     for i, wq in enumerate(multi):
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
-        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
-                             mesh=st.mesh)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -808,7 +819,5 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
         else:
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
                                            max_gap, use_gl, ind_idx=ind_idx)
-        samples = convert.win_to_samples(win_by_chr, wq if thin else 1)
-        kr = kde_ops.compute_kde(samples, log, device=(st.engine == "fast"),
-                             mesh=st.mesh)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
         kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)

@@ -46,6 +46,43 @@ def test_kde_device_close_to_host():
     np.testing.assert_allclose(a.y, b.y, rtol=5e-4, atol=1e-7)
 
 
+def test_compute_kde_wins_matches_host():
+    """Fully in-graph Phase II (compute_kde_wins: thinning + subsetting +
+    nrd0 + grid + transform in one jit) reproduces the host pipeline
+    win_to_samples -> compute_kde, including bucketed/padded DeviceWin
+    layouts and MISSING tails (src/garlic-data.cpp:2026-2150)."""
+    import jax.numpy as jnp
+
+    from garlic_tpu.core.types import MISSING
+    from garlic_tpu.ops import convert
+    from garlic_tpu.ops.device_win import DeviceWin
+
+    rng = np.random.default_rng(3)
+    win_by_chr, host_wins = [], []
+    for nind, nloci, nwin, bucketed in [(7, 300, 280, True),
+                                        (7, 210, 195, False)]:
+        m = np.full((nind, nloci), float(MISSING), np.float32)
+        m[:, :nwin] = rng.normal(-1, 2, (nind, nwin)).astype(np.float32)
+        host_wins.append(m.astype(np.float64))
+        if bucketed:  # [I2, NW2] window-start columns only, padded
+            d = np.full((8, 384), float(MISSING), np.float32)
+            d[:nind, :nwin] = m[:, :nwin]
+            win_by_chr.append(DeviceWin(win=jnp.asarray(d), nind=nind,
+                                        nloci=nloci, nwin=nwin))
+        else:  # [I', L'] spanning nloci, padded past it
+            d = np.full((8, 256), float(MISSING), np.float32)
+            d[:nind, :nloci] = m
+            win_by_chr.append(DeviceWin(win=jnp.asarray(d), nind=nind,
+                                        nloci=nloci))
+    step, idx = 3, np.array([0, 2, 5])
+    got = kde_ops.compute_kde_wins(win_by_chr, step, ind_idx=idx)
+    assert got is not None
+    want = kde_ops.compute_kde(
+        convert.win_to_samples(host_wins, step, ind_idx=idx))
+    np.testing.assert_allclose(got.x, want.x, rtol=1e-10)
+    np.testing.assert_allclose(got.y, want.y, rtol=5e-4, atol=1e-7)
+
+
 def test_cutoff_bimodal():
     """On a clean bimodal density the cutoff is the minimum between modes."""
     x = np.linspace(-4, 4, 512)
