@@ -780,6 +780,32 @@ void scan_runs(const uint8_t *bits, const uint8_t *br, const int64_t *pos,
                std::vector<Run> &out) {
   int64_t win_start = -1, win_start_idx = -1;
   for (int64_t w = 0; w < L; w++) {
+    if (win_start < 0) {
+      // With no active run (-1; the position-0 quirk keeps win_start==0
+      // runs on the slow path) only a covered window changes state, so
+      // leap over zero bytes/words of the bitmap — coverage is sparse
+      // (most of the genome is not in ROH), which turns this scan from
+      // per-window branches into a memchr-style sweep.
+      uint8_t b = (uint8_t)(bits[w >> 3] >> (w & 7));
+      if (b == 0) {
+        w += 8 - (w & 7);
+        while (w + 64 <= L) {
+          uint64_t x;
+          memcpy(&x, bits + (w >> 3), 8);
+          if (x) break;
+          w += 64;
+        }
+        while (w + 8 <= L && bits[w >> 3] == 0) w += 8;
+        if (w >= L) break;
+        b = (uint8_t)(bits[w >> 3] >> (w & 7));
+        if (b == 0) break;  // only zero padding bits remain past L
+      }
+      w += __builtin_ctz((unsigned)b);
+      if (w >= L) break;  // defensive: set padding bit past L
+      win_start = pos[w];
+      win_start_idx = w;
+      continue;
+    }
     bool cov = (bits[w >> 3] >> (w & 7)) & 1;
     if (win_start < 0 && cov) {
       win_start = pos[w];

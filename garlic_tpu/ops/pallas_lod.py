@@ -472,6 +472,47 @@ def _decode_base3(b3, exc, I: int, L: int, I2: int, L2: int):
     return flat.reshape(I2, L2 // 4)
 
 
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("I", "L", "I2", "L2"))
+def _decode_2bit(p2, I: int, L: int, I2: int, L2: int):
+    """Device-side repad of a raw 2-bit packed [I, ceil(L/4)] genotype
+    matrix to the [I2, L2/4] kernel input gt_repad_2bit would produce
+    (tails and pad rows code 3).  Ships the unpadded host bytes verbatim
+    — no host-side pack or repad pass at all; on fast links this beats
+    the base-3 ship because gt_pack_base3's ~1.2 core-seconds per 200 M
+    codes outweigh the 20% byte saving (see _ship_mode)."""
+    import jax.numpy as jnp
+
+    d = p2.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L].astype(jnp.uint8)
+    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, jnp.uint8)], axis=1)
+    g = jnp.concatenate([g, jnp.full((I2 - I, L2), 3, jnp.uint8)], axis=0)
+    g4 = g.reshape(I2, L2 // 4, 4)
+    return (g4[..., 0] | (g4[..., 1] << 2) | (g4[..., 2] << 4)
+            | (g4[..., 3] << 6))
+
+
+def _ship_mode() -> str:
+    """Genotype upload format: '2bit' (raw packed bytes, device repad) or
+    'base3' (5 codes/byte + exception list, device decode).
+
+    GARLIC_TPU_SHIP=2bit|base3 forces it; auto picks by the warmup
+    probe's measured uplink: base-3 saves I*L/20 bytes but costs
+    gt_pack_base3 ~I*L/6.7e8 host core-seconds, so it only pays below
+    ~33 MB/s — exactly the documented tunneled-link regime, which is
+    also the conservative default when the probe hasn't landed yet."""
+    import os
+
+    mode = os.environ.get("GARLIC_TPU_SHIP", "auto")
+    if mode in ("2bit", "base3"):
+        return mode
+    from .. import runtime
+    bw = runtime.link_h2d_mbps
+    return "2bit" if bw is not None and bw >= 40.0 else "base3"
+
+
 _ship_stash = {}
 
 
@@ -500,23 +541,21 @@ def _ship_key(packed: np.ndarray, L: int):
 def prefetch_ship(chroms) -> None:
     """Start the Phase-I genotype upload at panel-load time.
 
-    The base-3 payload (gt_pack_base3) is winsize-independent, so for
-    fast-engine runs whose filter outcome is already determined by the
-    cached frequencies (unweighted, no resample, no user freq file) the
-    pipeline can filter + pack + device_put each chromosome the moment it
-    leaves the panel cache — the 10-40 MB/s host link starts moving
-    ~0.3 s before the driver reaches Phase I, which otherwise serializes
-    load -> freq -> filter -> upload.  Phase I pops the stash by content
-    key and skips its own pack+upload; unclaimed entries are freed by
-    clear_ship_stash() at pipeline exit."""
-    import os
-
+    Both ship payloads (base-3 via gt_pack_base3, raw 2-bit bytes) are
+    winsize-independent, so for fast-engine runs whose filter outcome is
+    already determined by the cached frequencies (unweighted, no
+    resample, no user freq file) the pipeline can filter + device_put
+    each chromosome the moment it leaves the panel cache — the host link
+    starts moving ~0.3 s before the driver reaches Phase I, which
+    otherwise serializes load -> freq -> filter -> upload.  The payload
+    format follows _ship_mode (uplink-bandwidth adaptive).  Phase I pops
+    the stash by content key and skips its own pack+upload; unclaimed
+    entries are freed by clear_ship_stash() at pipeline exit."""
     import jax.numpy as jnp
 
     from ..native import filter_pack_2bit_native, pack_base3_native
 
-    if os.environ.get("GARLIC_TPU_SHIP", "auto") == "2bit":
-        return
+    mode = _ship_mode()
     for c in chroms:
         if not c.geno_is_packed_only:
             continue
@@ -531,12 +570,16 @@ def prefetch_ship(chroms) -> None:
         I = packed.shape[0]
         if L < 1:
             continue
-        r = pack_base3_native(packed, L)
-        if r is None or r[1].size >= I * L // 80:
-            continue
-        b3, exc = r
-        _ship_stash[_ship_key(packed, L)] = (
-            jnp.asarray(b3), jnp.asarray(_pad_exc(exc)))
+        entry = None
+        if mode == "base3":
+            r = pack_base3_native(packed, L)
+            if r is not None and r[1].size < I * L // 80:
+                b3, exc = r
+                entry = ("b3", jnp.asarray(b3),
+                         jnp.asarray(_pad_exc(exc)))
+        if entry is None:  # 2bit mode, dense missingness, or no native lib
+            entry = ("2b", jnp.asarray(np.ascontiguousarray(packed)))
+        _ship_stash[_ship_key(packed, L)] = entry
 
 
 def clear_ship_stash() -> None:
@@ -549,22 +592,13 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
                                      block_i: int = 32, block_l: int = 1024,
                                      interpret: bool = False):
     """lod_windows_pallas_packed_raw for genotypes ALREADY in 2-bit form
-    (panel cache / packed filtering): one native row-copy repad replaces
-    the int8 unpack + fused pad+pack — the int8 matrix never exists.
-    Requires tail codes past nloci to be 3 (the packed filter and cache
-    pack guarantee it).  Returns (win [I2, NW2] f32 device array, nwin),
-    or None if the native repad is unavailable (callers fall back).
-
-    When missingness is low (< I*L/80 codes) the genotypes ship base-3
-    packed (5 codes/byte + an exception list, gt_pack_base3) and are
-    decoded to the 2-bit kernel input on device: 20% fewer bytes over
-    the 10-40 MB/s host link, which bounds this path end-to-end.
-    GARLIC_TPU_SHIP=2bit forces the plain 2-bit ship."""
-    import os
-
+    (panel cache / packed filtering): the int8 matrix never exists — the
+    packed bytes ship as-is (or base-3 re-packed on slow links, see
+    _ship_mode) and the kernel-input repad happens on device.  Returns
+    (win [I2, NW2] f32 device array, nwin)."""
     import jax.numpy as jnp
 
-    from ..native import pack_base3_native, repad_2bit_native
+    from ..native import pack_base3_native
 
     I = packed.shape[0]
     L = nloci
@@ -579,23 +613,23 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
     dev = None
-    if os.environ.get("GARLIC_TPU_SHIP", "auto") != "2bit":
-        hit = _ship_stash.pop(_ship_key(packed, L), None) \
-            if _ship_stash else None
-        if hit is not None:
-            dev = _decode_base3(hit[0], hit[1], I, L, I2, L2)
+    hit = _ship_stash.pop(_ship_key(packed, L), None) \
+        if _ship_stash else None
+    if hit is not None:
+        if hit[0] == "b3":
+            dev = _decode_base3(hit[1], hit[2], I, L, I2, L2)
         else:
-            r = pack_base3_native(packed, L)
-            if r is not None and r[1].size < I * L // 80:
-                b3, exc = r
-                dev = _decode_base3(jnp.asarray(b3),
-                                    jnp.asarray(_pad_exc(exc)),
-                                    I, L, I2, L2)
-    if dev is None:
-        rp = repad_2bit_native(packed, I2, L2 // 4)
-        if rp is None:
-            return None
-        dev = jnp.asarray(rp)
+            dev = _decode_2bit(hit[1], I, L, I2, L2)
+    elif _ship_mode() == "base3":
+        r = pack_base3_native(packed, L)
+        if r is not None and r[1].size < I * L // 80:
+            b3, exc = r
+            dev = _decode_base3(jnp.asarray(b3),
+                                jnp.asarray(_pad_exc(exc)),
+                                I, L, I2, L2)
+    if dev is None:  # 2bit mode, dense missingness, or no native lib
+        dev = _decode_2bit(jnp.asarray(np.ascontiguousarray(packed)),
+                           I, L, I2, L2)
     win = _packed_masked_entry(
         dev, jnp.asarray(fp), error,
         jnp.asarray(mp), W, block_i, block_l, interpret)

@@ -514,10 +514,10 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     else:
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
                                        max_gap, use_gl)
-    werr = fw.finish()
-    if werr is not None:
-        log.err("ERROR: Failed writing allele frequency data:", str(werr))
-        return 1
+    # The freq writer keeps running through Phase II/III (it only reads
+    # per-locus arrays no later phase mutates); _run's finally joins it and
+    # reports failure with exit 1, so deferring the join just overlaps the
+    # gzip+format work with assembly instead of blocking here.
     prof.mark("phase1-lod",
               sum(max(c.nloci - winsize + 1, 0) for c in ds.chroms)
               * ds.nind, "windows")

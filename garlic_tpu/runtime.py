@@ -8,6 +8,7 @@ import threading
 
 _warmup_thread = None
 link_d2h_mbps = None  # measured by the warmup probe; None = unknown
+link_h2d_mbps = None  # upstream probe; genotype ship format picks by it
 
 
 class PhaseProfiler:
@@ -103,7 +104,7 @@ def start_link_warmup() -> threading.Thread:
             np.asarray(jax.device_put(np.zeros(8, np.float32)))
             # probe steady-state D2H bandwidth (2 MB): downstream transfer
             # strategies (bitmap vs run-edge coverage) pick by it
-            global link_d2h_mbps
+            global link_d2h_mbps, link_h2d_mbps
             buf = jax.device_put(np.zeros(1 << 19, np.float32))
             jax.block_until_ready(buf)
             t0 = _time.perf_counter()
@@ -111,6 +112,14 @@ def start_link_warmup() -> threading.Thread:
             dt = _time.perf_counter() - t0
             if dt > 0:
                 link_d2h_mbps = 2.0 / dt
+            # upstream (H2D) probe: the base-3 vs raw-2-bit genotype ship
+            # trade-off (ops/pallas_lod._ship_mode) needs the uplink rate
+            src = np.zeros(1 << 21, np.uint8)
+            t0 = _time.perf_counter()
+            jax.block_until_ready(jax.device_put(src))
+            dt = _time.perf_counter() - t0
+            if dt > 0:
+                link_h2d_mbps = 2.0 / dt
         except Exception:
             pass
 

@@ -201,19 +201,59 @@ def test_prefetch_ship_stash_contract():
                   alleles=np.array(["A"] * L), genotypes=None, freq=freq,
                   first_copy=None, gl=None,
                   geno2b=pl.pack_genotypes(gp))
+    for mode in ("base3", "2bit"):
+        os.environ["GARLIC_TPU_SHIP"] = mode
+        try:
+            pl.clear_ship_stash()
+            pl.prefetch_ship([c])
+            assert len(pl._ship_stash) == 1
+            # Phase I side: the pipeline filter produces the packed matrix
+            # whose content key must hit the stash
+            fchroms, nkeep = filters.filter_monomorphic([c])
+            fc = fchroms[0]
+            key = pl._ship_key(fc.geno2b, fc.nloci)
+            hit = pl._ship_stash.pop(key, None)
+            assert hit is not None, \
+                f"stash key mismatch between prefetch and Phase I ({mode})"
+            assert hit[0] == ("b3" if mode == "base3" else "2b")
+            I2 = -(-I // 8) * 8
+            L2 = (-(-(fc.nloci + 300) // 128)) * 128
+            if hit[0] == "b3":
+                got = np.asarray(pl._decode_base3(hit[1], hit[2], I,
+                                                  fc.nloci, I2, L2))
+            else:
+                got = np.asarray(pl._decode_2bit(hit[1], I, fc.nloci,
+                                                 I2, L2))
+            want = repad_2bit_native(fc.geno2b, I2, L2 // 4)
+            np.testing.assert_array_equal(got, want)
+        finally:
+            os.environ.pop("GARLIC_TPU_SHIP", None)
     pl.clear_ship_stash()
-    pl.prefetch_ship([c])
-    assert len(pl._ship_stash) == 1
-    # Phase I side: the pipeline filter produces the packed matrix whose
-    # content key must hit the stash
-    fchroms, nkeep = filters.filter_monomorphic([c])
-    fc = fchroms[0]
-    key = pl._ship_key(fc.geno2b, fc.nloci)
-    hit = pl._ship_stash.pop(key, None)
-    assert hit is not None, "stash key mismatch between prefetch and Phase I"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_2bit_ship_roundtrip(seed):
+    """_decode_2bit (raw-byte ship + device repad) must reproduce the
+    exact 2-bit kernel input gt_repad_2bit produces, including ragged
+    last-byte tails and pad rows."""
+    import jax.numpy as jnp
+
+    from garlic_tpu.native import native_available, repad_2bit_native
+    from garlic_tpu.ops.pallas_lod import _decode_2bit, pack_genotypes
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(100 + seed)
+    I = int(rng.integers(1, 40))
+    L = int(rng.integers(5, 3000))
+    g = rng.integers(0, 3, size=(I, L)).astype(np.int8)
+    g[rng.random((I, L)) < 0.03] = -9
+    Lp = -(-L // 4) * 4
+    gp = np.full((I, Lp), -9, np.int8)
+    gp[:, :L] = g
+    packed = pack_genotypes(gp)
     I2 = -(-I // 8) * 8
-    L2 = (-(-(fc.nloci + 300) // 128)) * 128
-    got = np.asarray(pl._decode_base3(hit[0], hit[1], I, fc.nloci, I2, L2))
-    want = repad_2bit_native(fc.geno2b, I2, L2 // 4)
+    L2 = (-(-(L + 200) // 128)) * 128
+    want = repad_2bit_native(packed, I2, L2 // 4)
+    got = np.asarray(_decode_2bit(jnp.asarray(packed), I, L, I2, L2))
     np.testing.assert_array_equal(got, want)
-    pl.clear_ship_stash()
