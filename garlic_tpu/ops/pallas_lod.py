@@ -514,6 +514,39 @@ def _ship_mode() -> str:
 
 
 _ship_stash = {}
+_ship_cv = None  # threading.Condition guarding _ship_stash (lazy)
+_ship_thread = None
+
+
+def _ship_cond():
+    global _ship_cv
+    if _ship_cv is None:
+        import threading
+        _ship_cv = threading.Condition()
+    return _ship_cv
+
+
+def _ship_put(key, entry) -> None:
+    cv = _ship_cond()
+    with cv:
+        _ship_stash[key] = entry
+        cv.notify_all()
+
+
+def _ship_pop(key):
+    """Claim a prefetched upload by content key.  While the prefetch
+    worker is still shipping, block until the key lands (or the worker
+    exits) — waiting on the in-flight transfer always beats starting a
+    duplicate one down the same host link."""
+    cv = _ship_cond()
+    with cv:
+        while True:
+            if key in _ship_stash:
+                return _ship_stash.pop(key)
+            t = _ship_thread
+            if t is None or not t.is_alive():
+                return None
+            cv.wait(timeout=0.2)
 
 
 def _pad_exc(exc: np.ndarray) -> np.ndarray:
@@ -538,24 +571,25 @@ def _ship_key(packed: np.ndarray, L: int):
     return (packed.shape, L, h.hexdigest())
 
 
-def prefetch_ship(chroms) -> None:
-    """Start the Phase-I genotype upload at panel-load time.
+def _prefetch_worker(chroms) -> None:
+    import os
+    import sys
+    import time
 
-    Both ship payloads (base-3 via gt_pack_base3, raw 2-bit bytes) are
-    winsize-independent, so for fast-engine runs whose filter outcome is
-    already determined by the cached frequencies (unweighted, no
-    resample, no user freq file) the pipeline can filter + device_put
-    each chromosome the moment it leaves the panel cache — the host link
-    starts moving ~0.3 s before the driver reaches Phase I, which
-    otherwise serializes load -> freq -> filter -> upload.  The payload
-    format follows _ship_mode (uplink-bandwidth adaptive).  Phase I pops
-    the stash by content key and skips its own pack+upload; unclaimed
-    entries are freed by clear_ship_stash() at pipeline exit."""
     import jax.numpy as jnp
 
     from ..native import filter_pack_2bit_native, pack_base3_native
 
+    trace = os.environ.get("GT_SHIP_TIMING")
+    t00 = time.perf_counter()
+
+    def _t(msg):
+        if trace:
+            print(f"[ship] {time.perf_counter() - t00:8.3f}s {msg}",
+                  file=sys.stderr)
+
     mode = _ship_mode()
+    _t(f"worker start mode={mode}")
     for c in chroms:
         if not c.geno_is_packed_only:
             continue
@@ -570,20 +604,61 @@ def prefetch_ship(chroms) -> None:
         I = packed.shape[0]
         if L < 1:
             continue
+        _t(f"chrom {c.chrom}: filtered/packed")
         entry = None
         if mode == "base3":
             r = pack_base3_native(packed, L)
             if r is not None and r[1].size < I * L // 80:
                 b3, exc = r
-                entry = ("b3", jnp.asarray(b3),
-                         jnp.asarray(_pad_exc(exc)))
+                _t(f"chrom {c.chrom}: base3 packed ({b3.nbytes >> 20} MB)")
+                arr = jnp.asarray(b3)
+                arr.block_until_ready()  # land THIS chrom before packing
+                entry = ("b3", arr, jnp.asarray(_pad_exc(exc)))  # the next
         if entry is None:  # 2bit mode, dense missingness, or no native lib
-            entry = ("2b", jnp.asarray(np.ascontiguousarray(packed)))
-        _ship_stash[_ship_key(packed, L)] = entry
+            arr = jnp.asarray(np.ascontiguousarray(packed))
+            arr.block_until_ready()
+            entry = ("2b", arr)
+        _t(f"chrom {c.chrom}: upload landed")
+        _ship_put(_ship_key(packed, L), entry)
+    _t("worker done")
+
+
+def prefetch_ship(chroms) -> None:
+    """Start the Phase-I genotype upload at panel-load time.
+
+    Both ship payloads (base-3 via gt_pack_base3, raw 2-bit bytes) are
+    winsize-independent, so for fast-engine runs whose filter outcome is
+    already determined by the cached frequencies (unweighted, no
+    resample, no user freq file) the pipeline can filter + device_put
+    each chromosome the moment it leaves the panel cache.  The pack +
+    upload run on a daemon thread: the tunneled host link (10-40 MB/s,
+    the pipeline's critical path) moves while the main thread does freq
+    writing, filtering, and kernel-compile-cache loading.  The payload
+    format follows _ship_mode (uplink-bandwidth adaptive).  Phase I pops
+    the stash by content key — blocking on the in-flight upload if the
+    worker hasn't landed it yet (_ship_pop) — and skips its own
+    pack+upload; unclaimed entries are freed by clear_ship_stash() at
+    pipeline exit."""
+    import threading
+
+    global _ship_thread
+    t = threading.Thread(
+        target=_prefetch_worker, args=(list(chroms),),
+        name="garlic-prefetch-ship", daemon=True)
+    _ship_thread = t
+    t.start()
 
 
 def clear_ship_stash() -> None:
-    _ship_stash.clear()
+    global _ship_thread
+    t = _ship_thread
+    if t is not None and t.is_alive():
+        t.join(timeout=60.0)
+    _ship_thread = None
+    cv = _ship_cond()
+    with cv:
+        _ship_stash.clear()
+        cv.notify_all()
 
 
 def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
@@ -613,8 +688,9 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
     dev = None
-    hit = _ship_stash.pop(_ship_key(packed, L), None) \
-        if _ship_stash else None
+    hit = _ship_pop(_ship_key(packed, L)) \
+        if _ship_stash or (_ship_thread is not None
+                           and _ship_thread.is_alive()) else None
     if hit is not None:
         if hit[0] == "b3":
             dev = _decode_base3(hit[1], hit[2], I, L, I2, L2)

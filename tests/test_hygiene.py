@@ -206,6 +206,7 @@ def test_prefetch_ship_stash_contract():
         try:
             pl.clear_ship_stash()
             pl.prefetch_ship([c])
+            pl._ship_thread.join(timeout=60)  # upload runs on a worker
             assert len(pl._ship_stash) == 1
             # Phase I side: the pipeline filter produces the packed matrix
             # whose content key must hit the stash
