@@ -258,3 +258,61 @@ def test_2bit_ship_roundtrip(seed):
     want = repad_2bit_native(packed, I2, L2 // 4)
     got = np.asarray(_decode_2bit(jnp.asarray(packed), I, L, I2, L2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_device_panel_cache_hit_and_eviction():
+    """The device-resident panel cache returns identical Phase-I windows
+    on a repeat run (content-addressed, no re-upload), never aliases
+    distinct panels, and evicts LRU entries to stay under its budget."""
+    from garlic_tpu.native import native_available
+    from garlic_tpu.ops import pallas_lod as pl
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    I, L = 9, 1777
+    Lp = -(-L // 4) * 4
+
+    def mk_panel(seed):
+        r = np.random.default_rng(seed)
+        g = r.integers(0, 3, size=(I, L)).astype(np.int8)
+        gp = np.full((I, Lp), -9, np.int8)
+        gp[:, :L] = g
+        return pl.pack_genotypes(gp)
+
+    packed = mk_panel(1)
+    freq = rng.uniform(0.05, 0.95, L)
+    miss = np.zeros(L - 60 + 1, dtype=bool)
+    pl.clear_ship_stash()
+    pl.clear_device_cache()
+    try:
+        w1, n1 = pl.lod_windows_pallas_prepacked_raw(
+            packed, L, freq, 0.001, miss, 60, interpret=True)
+        assert pl._device_cache and len(pl._device_cache) == 1
+        h0 = pl._device_cache_hits
+        w2, n2 = pl.lod_windows_pallas_prepacked_raw(
+            packed, L, freq, 0.001, miss, 60, interpret=True)
+        assert pl._device_cache_hits == h0 + 1, "repeat run missed the cache"
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        # winsize-independence: a different winsize still reuses the payload
+        pl.lod_windows_pallas_prepacked_raw(packed, L, freq, 0.001,
+                                            np.zeros(L - 99, bool), 100,
+                                            interpret=True)
+        assert pl._device_cache_hits == h0 + 2
+        # a distinct panel of identical shape must NOT alias
+        other = mk_panel(2)
+        pl.lod_windows_pallas_prepacked_raw(other, L, freq, 0.001, miss, 60,
+                                            interpret=True)
+        assert pl._device_cache_hits == h0 + 2 and len(pl._device_cache) == 2
+        # LRU eviction: with a ~one-entry budget, inserting a third panel
+        # evicts the least-recently-used one and stays under budget
+        one = pl._entry_nbytes(next(iter(pl._device_cache.values())))
+        os.environ["GARLIC_TPU_DEVICE_CACHE"] = str((2 * one - 1) / (1 << 20))
+        pl.lod_windows_pallas_prepacked_raw(mk_panel(3), L, freq, 0.001,
+                                            miss, 60, interpret=True)
+        assert len(pl._device_cache) == 1
+        assert pl._device_cache_bytes <= 2 * one - 1
+    finally:
+        os.environ.pop("GARLIC_TPU_DEVICE_CACHE", None)
+        pl.clear_device_cache()
+        pl.clear_ship_stash()
