@@ -124,6 +124,9 @@ class Dataset:
     chroms: List[ChromData] = field(default_factory=list)
     ind_ids: List[str] = field(default_factory=list)
     pop: str = ""
+    # panel-cache sidecar backing this load (None when --tpu-panel-cache is
+    # off): lets the freq writer reuse/refresh the cached .freq.gz blob
+    panel_cache_file: str = None
 
     @property
     def nind(self) -> int:

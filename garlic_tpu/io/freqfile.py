@@ -20,9 +20,20 @@ class FreqFileError(GarlicDataError):
     pass
 
 
-def write_freq(freq_outfile: str, chroms: List[ChromData], log=None) -> None:
-    """Writes <basename>.gz (caller passes "<out>.freq")."""
+def write_freq(freq_outfile: str, chroms: List[ChromData], log=None,
+               blob: str = None) -> None:
+    """Writes <basename>.gz (caller passes "<out>.freq").
+
+    blob: optional path of a cached, already-gzipped freq file whose
+    content is a pure function of the panel-cache sidecar it sits next to
+    (computed-from-data freqs, no resampling).  When the blob is newer
+    than its sidecar it is copied instead of re-formatting + re-deflating
+    ~25 MB of text (~1 s for a 1M-locus genome); otherwise the normal
+    write runs and refreshes the blob for the next run."""
     path = freq_outfile + ".gz"
+    if blob is not None and _copy_freq_blob(blob, path):
+        print(f"Wrote allele frequency data to {path}")
+        return
     try:
         from ..native import write_freq_chrom_native
         done = True
@@ -33,6 +44,8 @@ def write_freq(freq_outfile: str, chroms: List[ChromData], log=None) -> None:
                 done = False
                 break
         if done:
+            if blob is not None:
+                _save_freq_blob(blob, path)
             print(f"Wrote allele frequency data to {path}")
             return
     except ImportError:
@@ -51,7 +64,45 @@ def write_freq(freq_outfile: str, chroms: List[ChromData], log=None) -> None:
                 f"{chrom}\t{names[locus]}\t{int(pos[locus])}\t"
                 f"{alleles[locus]}\t{g(freq[locus])}\n"
                 for locus in range(c.nloci)))
+    if blob is not None:
+        _save_freq_blob(blob, path)
     print(f"Wrote allele frequency data to {path}")
+
+
+def _blob_sidecar(blob: str) -> str:
+    """The panel-cache sidecar a freq blob derives from (blob is
+    '<sidecar>.freq.gz')."""
+    return blob[: -len(".freq.gz")]
+
+
+def _copy_freq_blob(blob: str, path: str) -> bool:
+    """Copy a valid cached freq file to path; False -> write normally.
+    Valid = blob exists and is at least as new as its sidecar (a re-parsed
+    panel rewrites the sidecar, staling any older blob)."""
+    import os
+    import shutil
+    try:
+        side = _blob_sidecar(blob)
+        if (os.path.exists(blob) and os.path.exists(side)
+                and os.path.getmtime(blob) >= os.path.getmtime(side)):
+            shutil.copyfile(blob, path)
+            return True
+    except OSError:
+        pass
+    return False
+
+
+def _save_freq_blob(blob: str, path: str) -> None:
+    """Best-effort refresh of the cached freq file (atomic rename so a
+    concurrent run never sees a torn blob)."""
+    import os
+    import shutil
+    try:
+        tmp = blob + f".tmp{os.getpid()}"
+        shutil.copyfile(path, tmp)
+        os.replace(tmp, blob)
+    except OSError:
+        pass
 
 
 def read_freq(freqfile: str, chroms: List[ChromData], log=None) -> None:

@@ -127,6 +127,9 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
 
     if native is not None:
         ds, num_loci = _assemble_from_native(native, phased, auto_freq, log)
+        if panel_cache:
+            from . import panelcache
+            ds.panel_cache_file = panelcache.cache_path(tpedfile)
         if panel_cache and not from_cache:
             from . import panelcache
             panelcache.save_cache(tpedfile, native, ds.nind

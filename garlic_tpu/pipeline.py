@@ -106,12 +106,13 @@ class _FreqWriter:
         self._thread = None
         self._exc = []
 
-    def start(self, outfile: str, chroms, log) -> None:
+    def start(self, outfile: str, chroms, log, blob: str = None) -> None:
         import threading
 
         def _write():
             try:
-                freqfile.write_freq(outfile + ".freq", chroms, log)
+                freqfile.write_freq(outfile + ".freq", chroms, log,
+                                    blob=blob)
             except BaseException as e:  # surfaced at finish()
                 self._exc.append(e)
 
@@ -398,7 +399,12 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
     # ---------------- Allele frequencies ----------------
     if auto_freq:
-        fw.start(outfile, list(ds.chroms), log)
+        # computed-from-data, non-resampled freqs are a pure function of
+        # the panel-cache sidecar: cache the finished gz blob next to it
+        blob = (ds.panel_cache_file + ".freq.gz"
+                if ds.panel_cache_file is not None and nresample == 0
+                else None)
+        fw.start(outfile, list(ds.chroms), log, blob=blob)
     else:
         print(f"Loading user provided allele frequencies from {freqfile_arg}")
         try:

@@ -352,6 +352,49 @@ def test_panel_cache_pipeline_identical(tmp_path):
     assert a == open(_os.path.join(wd, "warm2.roh.bed")).read()
 
 
+def test_freq_blob_cache(tmp_path):
+    """Panel-cache runs reuse the cached .freq.gz blob with identical
+    decompressed content; rewriting the sidecar (e.g. a changed TPED)
+    stales the blob and a fresh write replaces it."""
+    import gzip as _gzip
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from util import make_panel, write_tped, run_ours
+    panel = make_panel(nind=12, nloci_per_chr=(1500,), seed=31)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0",
+            "--tpu-panel-cache"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "a"]) == 0
+    blob = _os.path.join(wd, "p.tped.gz.gtpc.npz.freq.gz")
+    assert _os.path.exists(blob), "first run must save the freq blob"
+    blob_mtime = _os.path.getmtime(blob)
+    assert run_ours(wd, base + ["--out", "b"]) == 0
+    assert _os.path.getmtime(blob) == blob_mtime, \
+        "cached-run freq write must copy the blob, not rewrite it"
+    fa = _gzip.open(_os.path.join(wd, "a.freq.gz"), "rt").read()
+    fb = _gzip.open(_os.path.join(wd, "b.freq.gz"), "rt").read()
+    assert fa == fb and fa.startswith("CHR\tSNP\tPOS\tALLELE\tFREQ")
+    # a re-parsed panel (new TPED content -> new sidecar) stales the blob
+    _time.sleep(0.02)
+    panel2 = make_panel(nind=12, nloci_per_chr=(1500,), seed=32)
+    write_tped(panel2, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    _os.utime(_os.path.join(wd, "p.tped.gz"))
+    assert run_ours(wd, base + ["--out", "c"]) == 0
+    fc = _gzip.open(_os.path.join(wd, "c.freq.gz"), "rt").read()
+    assert fc != fa, "stale blob must not be reused after a re-parse"
+    # resampled freqs must never touch the blob
+    blob_mtime = _os.path.getmtime(blob)
+    assert run_ours(wd, base + ["--out", "d", "--resample", "50"]) == 0
+    assert _os.path.getmtime(blob) == blob_mtime
+    fd = _gzip.open(_os.path.join(wd, "d.freq.gz"), "rt").read()
+    assert fd != fc
+
+
 def test_resample_deterministic_with_seed(tmp_path):
     """--resample draws Binomial(n, freq)/n; with --tpu-seed the run is
     reproducible (the reference's time(NULL) seeding is not)."""
