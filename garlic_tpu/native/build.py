@@ -104,6 +104,9 @@ def _load():
         lib.gt_pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
                                      ctypes.POINTER(ctypes.c_uint8),
                                      ctypes.c_int64]
+        lib.gt_hash128.restype = None
+        lib.gt_hash128.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_uint64)]
         lib.gt_pack_2bit_padded.restype = None
         lib.gt_pack_2bit_padded.argtypes = [
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
@@ -367,6 +370,17 @@ def filter_columns_native(arr: np.ndarray, keep: np.ndarray):
         arr.ctypes.data_as(ctypes.c_void_p), I, L, arr.itemsize,
         keep_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return arr[:, :nkeep]
+
+
+def hash128_native(arr: np.ndarray) -> Optional[bytes]:
+    """16-byte content digest of a C-contiguous array (OpenMP chunked
+    mixing, ~memory-bandwidth speed), or None when the lib is absent."""
+    lib = _load()
+    if lib is None or not arr.flags.c_contiguous:
+        return None
+    out = (ctypes.c_uint64 * 2)()
+    lib.gt_hash128(arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes, out)
+    return bytes(out)
 
 
 def write_freq_chrom_native(path: str, append: bool, chrom: str,

@@ -1020,6 +1020,57 @@ void gt_pack_2bit_padded(const int8_t *src, int64_t I, int64_t L,
   }
 }
 
+// 128-bit content hash for the device panel cache keys.  Chunked
+// multiply-xor mixing (splitmix64 finalizer per 8-byte lane), chunks
+// hashed in parallel and combined in order, so the digest is
+// deterministic regardless of thread count.  Collision-resistance here
+// only needs to beat accidental aliasing of genotype panels (the cache
+// is process-local, no adversary); the win over blake2b is ~20x
+// throughput on this host (memory-bound, OpenMP over chunks).
+static inline uint64_t gt_mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+static uint64_t gt_hash_chunk(const uint8_t *p, int64_t n, uint64_t seed) {
+  uint64_t h = gt_mix64(seed ^ (uint64_t)n);
+  int64_t nw = n / 8;
+  uint64_t buf;
+  for (int64_t i = 0; i < nw; i++) {
+    memcpy(&buf, p + i * 8, 8);
+    h = gt_mix64(h ^ buf);
+  }
+  uint64_t tail = 0;
+  for (int64_t i = nw * 8; i < n; i++) tail = (tail << 8) | p[i];
+  return gt_mix64(h ^ tail);
+}
+
+void gt_hash128(const uint8_t *buf, int64_t n, uint64_t *out) {
+  const int64_t CHUNK = 4 << 20;
+  int64_t nchunk = n > 0 ? (n + CHUNK - 1) / CHUNK : 1;
+  std::vector<uint64_t> ch((size_t)nchunk * 2);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t c = 0; c < nchunk; c++) {
+    int64_t lo = c * CHUNK;
+    int64_t len = n - lo < CHUNK ? n - lo : CHUNK;
+    if (len < 0) len = 0;
+    ch[(size_t)c * 2] = gt_hash_chunk(buf + lo, len, 0x67617200ULL + (uint64_t)c);
+    ch[(size_t)c * 2 + 1] = gt_hash_chunk(buf + lo, len, 0x6c696300ULL + (uint64_t)c);
+  }
+  uint64_t h0 = gt_mix64((uint64_t)n);
+  uint64_t h1 = gt_mix64(~(uint64_t)n);
+  for (int64_t c = 0; c < nchunk; c++) {
+    h0 = gt_mix64(h0 ^ ch[(size_t)c * 2]);
+    h1 = gt_mix64(h1 ^ ch[(size_t)c * 2 + 1]);
+  }
+  out[0] = h0;
+  out[1] = h1;
+}
+
 // Pack int8 genotype codes (0/1/2/-9) into 2-bit lanes, 4 per byte
 // (little-endian), -9 -> 3.  One pass, no intermediates — the numpy
 // formulation allocates ~5 hundred-MB temporaries whose fresh-page

@@ -352,13 +352,26 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
         fused = _edges_jit(
             dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
             _EDGE_CAP, _EDGE_BLOCK, _EDGE_IDX_CAP)
+        _start_host_copy(fused)
         return ("edges", dwin, cutoff, winsize, threshold,
                 (fused, I, outw))
     if _covered_jit is None:
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
                           jnp.float32(threshold), winsize)
+    _start_host_copy(packed)
     return ("bitmap", dwin, cutoff, winsize, threshold, packed)
+
+
+def _start_host_copy(arr) -> None:
+    """Begin the D2H transfer now (non-blocking) so every dispatched
+    chromosome's copy is in flight before the first blocking fetch —
+    transfers overlap each other and the host-side run scans instead of
+    serializing one link round trip per chromosome."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass  # non-jax array (tests) or backend without async copies
 
 
 def covered_fetch(handle) -> np.ndarray:

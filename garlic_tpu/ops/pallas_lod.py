@@ -564,12 +564,18 @@ def _ship_key(packed: np.ndarray, L: int):
     single pipeline run (API parameter sweeps load arbitrary panels into
     the same process), so the key must be collision-safe across
     *different* panels, not just across configs of one panel — hence
-    full bytes, not a strided sample.  blake2b runs ~1 GB/s, so a 25 MB
-    chromosome costs ~25 ms against the multi-second upload it keys."""
-    import hashlib
-    h = hashlib.blake2b(digest_size=16)
-    h.update(np.ascontiguousarray(packed).data)
-    return (packed.shape, L, h.hexdigest())
+    full bytes, not a strided sample.  The digest is the native OpenMP
+    gt_hash128 (memory-bandwidth speed; blake2b fallback at ~300 MB/s
+    costs ~80 ms per 25 MB chromosome on this host)."""
+    from ..native import hash128_native
+    cp = np.ascontiguousarray(packed)
+    d = hash128_native(cp)
+    if d is None:
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+        h.update(cp.data)
+        d = h.digest()
+    return (packed.shape, L, d)
 
 
 # Device-resident panel cache: content key -> ship entry kept in HBM
