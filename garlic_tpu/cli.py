@@ -190,7 +190,7 @@ def _flag_specs() -> List[FlagSpec]:
                  "'auto' to factor all visible devices. "
                  "Requires DP*SP visible devices; default single-device."),
         FlagSpec(ARG_PANEL_CACHE, "bool", False,
-                 "Write/reuse a binary panel sidecar (<tped>.gtpc.npz) to skip "
+                 "Write/reuse a binary panel sidecar (<tped>.gtpc) to skip "
                  "TPED re-parsing on repeated runs of the same panel."),
     ]
 

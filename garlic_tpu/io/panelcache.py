@@ -4,36 +4,39 @@ The reference's only resumable intermediate is the freq file
 (src/garlic-main.cpp:245-259); genotype parsing is repeated every run.
 For production pipelines that call ROH repeatedly on the same panel
 (winsize sweeps, parameter tuning), `--tpu-panel-cache` writes a
-`<tped>.gtpc.npz` sidecar after the first parse (2-bit packed genotypes +
+`<tped>.gtpc` sidecar after the first parse (2-bit packed genotypes +
 per-chromosome metadata) and loads it on later runs when its mtime is
-newer than the TPED — cutting panel load from seconds to ~100 ms.
+newer than the TPED — cutting panel load from seconds to ~50 ms.
+
+Format (v3): a raw memory-mappable container — 8-byte magic, u64 JSON
+header length, JSON header (parse params + per-array dtype/shape/offset),
+then 64-byte-aligned raw array sections.  v2 was an .npz; the zipfile
+CRC + buffered copies cost ~3x a plain mmap on a 200x1M panel, and the
+big genotype sections are read-only downstream (filter/pack/hash/ship),
+so they stay as zero-copy views into the map.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import List, Optional
 
 import numpy as np
 
-_MAGIC = "garlic-tpu-panel-cache"
-_VERSION = 2
+_MAGIC = b"GTPCv3\n\0"
+_ALIGN = 64
 
 
 def cache_path(tpedfile: str) -> str:
-    return tpedfile + ".gtpc.npz"
+    return tpedfile + ".gtpc"
 
 
-def save_cache(tpedfile: str, chroms: List[dict], nind: int,
-               tped_missing: str = "0") -> None:
-    """Write the sidecar (best effort: failures are silent — the TPED is
-    always the source of truth).  Parse-affecting parameters (the missing
-    code) go into the meta block; a mismatch on load is a cache miss."""
+def _collect_arrays(chroms: List[dict], nind: int):
+    """The per-chromosome array dict the container serializes."""
     from ..ops.pallas_lod import pack_genotypes
 
-    path = cache_path(tpedfile)
-    arrays = {"meta": np.array([_MAGIC, str(_VERSION), str(nind),
-                                str(len(chroms)), str(tped_missing)])}
+    arrays = {}
     for i, c in enumerate(chroms):
         L = c["positions"].shape[0]
         Lp = -(-L // 4) * 4
@@ -42,7 +45,6 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
             gp = np.full((nind, Lp), -9, dtype=np.int8)
             gp[:, :L] = geno
             geno = gp
-        arrays[f"c{i}_name"] = np.array(c["chrom"])
         arrays[f"c{i}_pos"] = np.asarray(c["positions"], dtype=np.int64)
         arrays[f"c{i}_gpos"] = np.asarray(c["gpos"], dtype=np.float64)
         arrays[f"c{i}_alleles"] = np.asarray(c["alleles"]).astype("S1")
@@ -61,58 +63,110 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         if fc is not None:
             arrays[f"c{i}_fc"] = np.packbits(np.asarray(fc, dtype=bool),
                                              axis=1)
+    return arrays
+
+
+def save_cache(tpedfile: str, chroms: List[dict], nind: int,
+               tped_missing: str = "0") -> None:
+    """Write the sidecar (best effort: failures are silent — the TPED is
+    always the source of truth).  Parse-affecting parameters (the missing
+    code) go into the header; a mismatch on load is a cache miss."""
+    path = cache_path(tpedfile)
+    arrays = _collect_arrays(chroms, nind)
+    meta = {"nind": int(nind), "nchrom": len(chroms),
+            "missing": str(tped_missing),
+            "chrom_names": [str(c["chrom"]) for c in chroms], "arrays": {}}
+    # lay out sections after a fixed-size header slot
+    hdr_probe = dict(meta)
+    hdr_probe["arrays"] = {
+        k: {"dtype": a.dtype.str, "shape": list(a.shape), "offset": 0}
+        for k, a in arrays.items()}
+    hdr_cap = len(json.dumps(hdr_probe).encode()) + 256
+    off = len(_MAGIC) + 8 + hdr_cap
+    for k, a in arrays.items():
+        off = -(-off // _ALIGN) * _ALIGN
+        meta["arrays"][k] = {"dtype": a.dtype.str, "shape": list(a.shape),
+                             "offset": off}
+        off += a.nbytes
+    hdr = json.dumps(meta).encode()
+    assert len(hdr) <= hdr_cap
     try:
-        tmp = path + ".tmp"
+        tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
+            f.write(_MAGIC)
+            f.write(np.uint64(hdr_cap).tobytes())
+            f.write(hdr.ljust(hdr_cap, b" "))
+            for k, a in arrays.items():
+                f.seek(meta["arrays"][k]["offset"])
+                f.write(np.ascontiguousarray(a).data)
         os.replace(tmp, path)
     except OSError:
         pass
 
 
+def _view(mm: np.memmap, spec) -> np.ndarray:
+    dt = np.dtype(spec["dtype"])
+    shape = tuple(spec["shape"])
+    n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+    off = spec["offset"]
+    return np.ndarray(shape, dtype=dt, buffer=mm.data[off:off + n])
+
+
 def load_cache(tpedfile: str, want_fc: bool,
                tped_missing: str = "0") -> Optional[List[dict]]:
     """Load the sidecar if present, newer than the TPED, and parsed with the
-    same parse-affecting parameters; None to fall back to parsing."""
+    same parse-affecting parameters; None to fall back to parsing.
+
+    Small per-locus arrays (positions/gpos/freq) are copied out — later
+    stages may in-place them — while the large genotype sections stay
+    read-only zero-copy views into the file map (every consumer only
+    reads: filter/pack, content hash, device upload)."""
     from ..core.types import LocusNames
 
     path = cache_path(tpedfile)
     try:
         if os.path.getmtime(path) < os.path.getmtime(tpedfile):
             return None
-        z = np.load(path, allow_pickle=False)
-    except (OSError, ValueError):
+        with open(path, "rb") as f:
+            if f.read(len(_MAGIC)) != _MAGIC:
+                return None
+            hdr_cap = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+            if hdr_cap > 1 << 28:
+                return None
+            meta = json.loads(f.read(hdr_cap).decode())
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+    except (OSError, ValueError, json.JSONDecodeError):
         return None
     try:
-        meta = z["meta"]
-        if str(meta[0]) != _MAGIC or int(meta[1]) != _VERSION:
-            return None
-        if len(meta) < 5 or str(meta[4]) != str(tped_missing):
+        if str(meta.get("missing")) != str(tped_missing):
             return None  # cached parse used a different missing code
-        nind = int(meta[2])
-        nchrom = int(meta[3])
+        nchrom = int(meta["nchrom"])
+        specs = meta["arrays"]
         out = []
         for i in range(nchrom):
             # stays packed: ChromData materializes the int8 view lazily,
             # and the fast-engine path never needs it at all
-            packed = np.ascontiguousarray(z[f"c{i}_geno2b"])
-            L = z[f"c{i}_pos"].shape[0]
+            packed = _view(mm, specs[f"c{i}_geno2b"])
+            pos = np.array(_view(mm, specs[f"c{i}_pos"]))
+            L = pos.shape[0]
             fc = None
             if want_fc:
                 key = f"c{i}_fc"
-                if key not in z:
+                if key not in specs:
                     return None  # cache lacks phased bits; re-parse
-                fc = np.unpackbits(z[key], axis=1)[:, :L].view(np.bool_)
+                fc = np.unpackbits(_view(mm, specs[key]),
+                                   axis=1)[:, :L].view(np.bool_)
             out.append({
-                "chrom": str(z[f"c{i}_name"]),
-                "positions": z[f"c{i}_pos"],
-                "gpos": z[f"c{i}_gpos"],
-                "alleles": z[f"c{i}_alleles"].astype("<U1"),
+                "chrom": meta["chrom_names"][i],
+                "positions": pos,
+                "gpos": np.array(_view(mm, specs[f"c{i}_gpos"])),
+                "alleles": _view(mm, specs[f"c{i}_alleles"]).astype("<U1"),
                 "genotypes": None,
                 "geno2b": packed,
                 "first_copy": fc,
-                "freq": z[f"c{i}_freq"],
-                "names": LocusNames(z[f"c{i}_names"].tobytes()),
+                "freq": np.array(_view(mm, specs[f"c{i}_freq"])),
+                "names": LocusNames(
+                    _view(mm, specs[f"c{i}_names"]).tobytes()),
             })
         return out
     except (KeyError, ValueError):

@@ -293,7 +293,7 @@ def test_panel_cache_roundtrip(tmp_path):
     ds1, n1 = tped.load_tped(p, "0", 0, False, True, RunLog(), rng,
                              panel_cache=True)
     import os as _os
-    assert _os.path.exists(p + ".gtpc.npz")
+    assert _os.path.exists(p + ".gtpc")
     ds2, n2 = tped.load_tped(p, "0", 0, False, True, RunLog(), rng,
                              panel_cache=True)
     assert n1 == n2
@@ -322,7 +322,7 @@ def test_panel_cache_missing_code_mismatch(tmp_path):
     rng = np.random.default_rng(0)
     tped.load_tped(p, "0", 0, False, True, RunLog(), rng, panel_cache=True)
     import os as _os
-    assert _os.path.exists(p + ".gtpc.npz")
+    assert _os.path.exists(p + ".gtpc")
     ds_n, _ = tped.load_tped(p, "N", 0, False, True, RunLog(), rng,
                              panel_cache=False)
     ds_c, _ = tped.load_tped(p, "N", 0, False, True, RunLog(), rng,
@@ -370,7 +370,7 @@ def test_freq_blob_cache(tmp_path):
             "--tpu-panel-cache"]
     wd = str(tmp_path)
     assert run_ours(wd, base + ["--out", "a"]) == 0
-    blob = _os.path.join(wd, "p.tped.gz.gtpc.npz.freq.gz")
+    blob = _os.path.join(wd, "p.tped.gz.gtpc.freq.gz")
     assert _os.path.exists(blob), "first run must save the freq blob"
     blob_mtime = _os.path.getmtime(blob)
     assert run_ours(wd, base + ["--out", "b"]) == 0
