@@ -81,7 +81,8 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
     hdr_probe["arrays"] = {
         k: {"dtype": a.dtype.str, "shape": list(a.shape), "offset": 0}
         for k, a in arrays.items()}
-    hdr_cap = len(json.dumps(hdr_probe).encode()) + 256
+    # probe offsets are "0"; real ones are up to 16 digits each
+    hdr_cap = len(json.dumps(hdr_probe).encode()) + 16 * len(arrays) + 256
     off = len(_MAGIC) + 8 + hdr_cap
     for k, a in arrays.items():
         off = -(-off // _ALIGN) * _ALIGN
@@ -89,7 +90,8 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
                              "offset": off}
         off += a.nbytes
     hdr = json.dumps(meta).encode()
-    assert len(hdr) <= hdr_cap
+    if len(hdr) > hdr_cap:  # cannot happen (16-digit slack); skip, don't die
+        return
     try:
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:

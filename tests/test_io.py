@@ -313,6 +313,34 @@ def test_panel_cache_roundtrip(tmp_path):
                                   ds1.chroms[0].genotypes)
 
 
+def test_panel_cache_22_chromosomes(tmp_path):
+    """v3 container layout with a WGS-shaped chromosome count: ~130 array
+    sections must fit the fixed header slot and round-trip exactly
+    (phased bits included)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from util import make_panel, write_tped
+    panel = make_panel(nind=6, nloci_per_chr=(40,) * 22, seed=77)
+    p = str(tmp_path / "wgs.tped.gz")
+    write_tped(panel, p, str(tmp_path / "wgs.tfam"))
+    rng = np.random.default_rng(0)
+    ds1, n1 = tped.load_tped(p, "0", 0, True, True, RunLog(), rng,
+                             panel_cache=True)
+    assert _os.path.exists(p + ".gtpc")
+    ds2, n2 = tped.load_tped(p, "0", 0, True, True, RunLog(), rng,
+                             panel_cache=True)
+    assert n1 == n2 and len(ds2.chroms) == 22
+    for a, b in zip(ds1.chroms, ds2.chroms):
+        assert a.chrom == b.chrom
+        np.testing.assert_array_equal(a.genotypes, b.genotypes)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.freq, b.freq)
+        np.testing.assert_array_equal(np.asarray(a.first_copy),
+                                      np.asarray(b.first_copy))
+        assert list(a.locus_names) == list(b.locus_names)
+
+
 def test_panel_cache_missing_code_mismatch(tmp_path):
     """A cached panel parsed with one --tped-missing code must NOT be
     reused for a run with a different code (the code changes allele
