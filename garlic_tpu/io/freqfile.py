@@ -25,13 +25,16 @@ def write_freq(freq_outfile: str, chroms: List[ChromData], log=None,
     """Writes <basename>.gz (caller passes "<out>.freq").
 
     blob: optional path of a cached, already-gzipped freq file whose
-    content is a pure function of the panel-cache sidecar it sits next to
-    (computed-from-data freqs, no resampling).  When the blob is newer
-    than its sidecar it is copied instead of re-formatting + re-deflating
-    ~25 MB of text (~1 s for a 1M-locus genome); otherwise the normal
-    write runs and refreshes the blob for the next run."""
+    content is a pure function of the per-locus arrays written
+    (computed-from-data freqs, no resampling).  A content digest of those
+    arrays, stored beside the blob, decides reuse — not mtimes, which
+    race under concurrent runs, failed sidecar rewrites, or TPED swaps.
+    On a digest match the blob is copied instead of re-formatting +
+    re-deflating ~25 MB of text (~1 s for a 1M-locus genome); otherwise
+    the normal write runs and refreshes blob + digest for the next run."""
     path = freq_outfile + ".gz"
-    if blob is not None and _copy_freq_blob(blob, path):
+    key = _freq_content_key(chroms) if blob is not None else None
+    if key is not None and _copy_freq_blob(blob, path, key):
         print(f"Wrote allele frequency data to {path}")
         return
     try:
@@ -44,8 +47,8 @@ def write_freq(freq_outfile: str, chroms: List[ChromData], log=None,
                 done = False
                 break
         if done:
-            if blob is not None:
-                _save_freq_blob(blob, path)
+            if key is not None:
+                _save_freq_blob(blob, path, key)
             print(f"Wrote allele frequency data to {path}")
             return
     except ImportError:
@@ -64,27 +67,49 @@ def write_freq(freq_outfile: str, chroms: List[ChromData], log=None,
                 f"{chrom}\t{names[locus]}\t{int(pos[locus])}\t"
                 f"{alleles[locus]}\t{g(freq[locus])}\n"
                 for locus in range(c.nloci)))
-    if blob is not None:
-        _save_freq_blob(blob, path)
+    if key is not None:
+        _save_freq_blob(blob, path, key)
     print(f"Wrote allele frequency data to {path}")
 
 
-def _blob_sidecar(blob: str) -> str:
-    """The panel-cache sidecar a freq blob derives from (blob is
-    '<sidecar>.freq.gz')."""
-    return blob[: -len(".freq.gz")]
+def _freq_content_key(chroms) -> bytes:
+    """Digest of everything the freq file's text depends on: chromosome
+    names, locus names, positions, alleles, and the freq values.  ~10 ms
+    per 1M-locus genome via the native hash (blake2b fallback)."""
+    import hashlib
+    try:
+        from ..native import hash128_native
+    except ImportError:
+        hash128_native = lambda a: None  # noqa: E731
+    h = hashlib.blake2b(digest_size=16)
+    for c in chroms:
+        h.update(c.chrom.encode())
+        names = c.locus_names
+        h.update(names.raw if hasattr(names, "raw")
+                 else "\n".join(names).encode())
+        for arr in (np.ascontiguousarray(c.positions),
+                    np.ascontiguousarray(np.asarray(c.alleles).view(np.uint32)
+                                         if np.asarray(c.alleles).dtype.kind == "U"
+                                         else np.asarray(c.alleles)),
+                    np.ascontiguousarray(c.freq)):
+            d = hash128_native(arr)
+            h.update(d if d is not None else arr.tobytes())
+    return h.digest()
 
 
-def _copy_freq_blob(blob: str, path: str) -> bool:
-    """Copy a valid cached freq file to path; False -> write normally.
-    Valid = blob exists and is at least as new as its sidecar (a re-parsed
-    panel rewrites the sidecar, staling any older blob)."""
+def _copy_freq_blob(blob: str, path: str, key: bytes) -> bool:
+    """Copy the cached freq file to path when its stored digest matches
+    the current content key; False -> write normally.  Digest matching
+    makes every race (concurrent runs, partial writes) safe: a mixed
+    blob/digest pair from two writers either mismatches (rewrite) or
+    matches because the content is identical anyway."""
     import os
     import shutil
     try:
-        side = _blob_sidecar(blob)
-        if (os.path.exists(blob) and os.path.exists(side)
-                and os.path.getmtime(blob) >= os.path.getmtime(side)):
+        with open(blob + ".key", "rb") as f:
+            if f.read(64) != key:
+                return False
+        if os.path.exists(blob):
             shutil.copyfile(blob, path)
             return True
     except OSError:
@@ -92,15 +117,19 @@ def _copy_freq_blob(blob: str, path: str) -> bool:
     return False
 
 
-def _save_freq_blob(blob: str, path: str) -> None:
-    """Best-effort refresh of the cached freq file (atomic rename so a
-    concurrent run never sees a torn blob)."""
+def _save_freq_blob(blob: str, path: str, key: bytes) -> None:
+    """Best-effort refresh of the cached freq file (atomic renames, blob
+    before digest, so a matching digest always describes a complete
+    blob)."""
     import os
     import shutil
     try:
         tmp = blob + f".tmp{os.getpid()}"
         shutil.copyfile(path, tmp)
         os.replace(tmp, blob)
+        with open(tmp + "k", "wb") as f:
+            f.write(key)
+        os.replace(tmp + "k", blob + ".key")
     except OSError:
         pass
 

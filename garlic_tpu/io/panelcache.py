@@ -110,7 +110,9 @@ def _view(mm: np.memmap, spec) -> np.ndarray:
     dt = np.dtype(spec["dtype"])
     shape = tuple(spec["shape"])
     n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
-    off = spec["offset"]
+    off = int(spec["offset"])
+    if off < 0 or n < 0 or off + n > mm.size:
+        raise ValueError("truncated panel cache section")
     return np.ndarray(shape, dtype=dt, buffer=mm.data[off:off + n])
 
 
@@ -171,5 +173,6 @@ def load_cache(tpedfile: str, want_fc: bool,
                     _view(mm, specs[f"c{i}_names"]).tobytes()),
             })
         return out
-    except (KeyError, ValueError):
+    except (KeyError, ValueError, TypeError, IndexError):
+        # corrupt/truncated sidecar: the TPED is the source of truth
         return None

@@ -367,9 +367,13 @@ def _start_host_copy(arr) -> None:
     """Begin the D2H transfer now (non-blocking) so every dispatched
     chromosome's copy is in flight before the first blocking fetch —
     transfers overlap each other and the host-side run scans instead of
-    serializing one link round trip per chromosome."""
+    serializing one link round trip per chromosome.  Skipped for
+    non-fully-addressable (multi-host) arrays: covered_fetch gathers
+    those via process_allgather, which would not consume this copy —
+    the bytes would cross the host link twice for nothing."""
     try:
-        arr.copy_to_host_async()
+        if getattr(arr, "is_fully_addressable", False):
+            arr.copy_to_host_async()
     except AttributeError:
         pass  # non-jax array (tests) or backend without async copies
 

@@ -516,6 +516,7 @@ def _ship_mode() -> str:
 _ship_stash = {}
 _ship_cv = None  # threading.Condition guarding _ship_stash (lazy)
 _ship_thread = None
+_ship_cancel = None  # threading.Event of the CURRENT worker
 
 
 def _ship_cond():
@@ -644,7 +645,7 @@ def clear_device_cache() -> None:
         _device_cache_bytes = 0
 
 
-def _prefetch_worker(chroms) -> None:
+def _prefetch_worker(chroms, cancel) -> None:
     import os
     import sys
     import time
@@ -664,6 +665,9 @@ def _prefetch_worker(chroms) -> None:
     mode = _ship_mode()
     _t(f"worker start mode={mode}")
     for c in chroms:
+        if cancel.is_set():
+            _t("worker cancelled")
+            return
         if not c.geno_is_packed_only:
             continue
         keep = (np.asarray(c.freq) > 0) & (np.asarray(c.freq) < 1)
@@ -696,6 +700,9 @@ def _prefetch_worker(chroms) -> None:
             arr.block_until_ready()
             entry = ("2b", arr)
         _t(f"chrom {c.chrom}: upload landed")
+        if cancel.is_set():  # the run exited; don't strand HBM in the stash
+            _t("worker cancelled post-upload")
+            return
         _ship_put(key, entry)
     _t("worker done")
 
@@ -718,20 +725,29 @@ def prefetch_ship(chroms) -> None:
     pipeline exit."""
     import threading
 
-    global _ship_thread
+    global _ship_thread, _ship_cancel
+    cancel = threading.Event()
     t = threading.Thread(
-        target=_prefetch_worker, args=(list(chroms),),
+        target=_prefetch_worker, args=(list(chroms), cancel),
         name="garlic-prefetch-ship", daemon=True)
+    _ship_cancel = cancel
     _ship_thread = t
     t.start()
 
 
 def clear_ship_stash() -> None:
-    global _ship_thread
-    t = _ship_thread
+    """Pipeline-exit cleanup: cancel any in-flight prefetch (the worker
+    checks the flag per chromosome and before each stash put, so a
+    timed-out join cannot repopulate the stash afterwards) and free
+    unclaimed uploads."""
+    global _ship_thread, _ship_cancel
+    t, c = _ship_thread, _ship_cancel
+    if c is not None:
+        c.set()
     if t is not None and t.is_alive():
-        t.join(timeout=60.0)
+        t.join(timeout=10.0)
     _ship_thread = None
+    _ship_cancel = None
     cv = _ship_cond()
     with cv:
         _ship_stash.clear()
@@ -765,12 +781,14 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
     dev = None
-    key = _ship_key(packed, L)
-    hit = _device_cache_get(key)
-    if hit is None and (_ship_stash or (_ship_thread is not None
-                                        and _ship_thread.is_alive())):
+    stash_live = _ship_stash or (_ship_thread is not None
+                                 and _ship_thread.is_alive())
+    use_cache = _device_cache_budget() > 0
+    key = _ship_key(packed, L) if (use_cache or stash_live) else None
+    hit = _device_cache_get(key) if use_cache else None
+    if hit is None and stash_live:
         hit = _ship_pop(key)
-        if hit is not None:
+        if hit is not None and use_cache:
             _device_cache_put(key, hit)
     if hit is not None:
         if hit[0] == "b3":

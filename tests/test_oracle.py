@@ -119,13 +119,17 @@ def test_weighted_wlod_bed_identical(oracle_bin, tmp_path):
 
 
 def _diff_logs_tolerant(a: str, b: str, rtol: float = 2e-2,
-                        max_waived: int = 8):
+                        atol: float = 1e-2, max_waived: int = 8):
     """Log diff that compares `winsize\\tsmoothness` table rows numerically:
     the oracle's KDE runs through FIGTree at eps=1e-2, so wiggle values
     (density-derived) legitimately differ from our exact transform within
-    that tolerance; everything else must match byte-for-byte.  The waiver is
-    quantified: more than `max_waived` within-tolerance rows means the two
-    searches diverged structurally and the diff is NOT waived."""
+    that tolerance; everything else must match byte-for-byte.  atol is the
+    FIGTree eps as an absolute floor: near-converged wiggles (~0.1) carry
+    eps-scale absolute error, so a pure rtol flakes on them (diagnosed
+    from a captured failure: ours 0.14181 vs oracle 0.138152 — 2.6% rel,
+    0.0036 abs — with a byte-identical BED).  The waiver is quantified:
+    more than `max_waived` within-tolerance rows means the two searches
+    diverged structurally and the diff is NOT waived."""
     diffs = diff_logs(a, b)
     out = []
     waived = 0
@@ -136,7 +140,8 @@ def _diff_logs_tolerant(a: str, b: str, rtol: float = 2e-2,
             rhs = parts[1].strip().strip("'").split("\\t")
             la, lb = float(lhs[0]), float(lhs[1])
             ra, rb = float(rhs[0]), float(rhs[1])
-            if la == ra and abs(lb - rb) <= rtol * max(abs(lb), abs(rb)):
+            if la == ra and abs(lb - rb) <= max(
+                    rtol * max(abs(lb), abs(rb)), atol):
                 waived += 1
                 continue
         except (ValueError, IndexError):
