@@ -213,6 +213,31 @@ def test_fuzz_variant_paths_bed_identical(oracle_bin, tmp_path, seed):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("seed", _seed_range("GARLIC_FUZZ_STREAM_SEEDS",
+                                             "0:2"))
+def test_fuzz_streaming_identical_to_resident(tmp_path, seed, monkeypatch):
+    """GARLIC_TPU_HBM_BUDGET=1 forces per-chromosome rematerialization
+    (LazyWin); streamed runs must reproduce the resident BED exactly for
+    random shapes/winsizes."""
+    rng = np.random.default_rng(66_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    panel = make_panel(**panel_kw)
+    wd = str(tmp_path)
+    write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam",
+            "--tpu-engine", "fast"] + args
+    rc1 = run_ours(wd, args + ["--out", "resident"])
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "1")
+    rc2 = run_ours(wd, args + ["--out", "streamed"])
+    assert (rc1 == 0) == (rc2 == 0), (args, rc1, rc2)
+    if rc1 != 0:
+        return
+    a = read_text(os.path.join(wd, "resident.roh.bed"))
+    b = read_text(os.path.join(wd, "streamed.roh.bed"))
+    assert a == b, ("streamed BED differs from resident", args)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", _seed_range("GARLIC_FUZZ_MESH_SEEDS", "0:3"))
 def test_fuzz_mesh_identical_to_single(tmp_path, seed):
     """--tpu-mesh sharded runs must produce BED identical to the
