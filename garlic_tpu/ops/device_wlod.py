@@ -155,6 +155,51 @@ def ld_band_device(chrom, winsize: int, phased: bool,
     return _assemble_band(P, winsize)
 
 
+@partial(__import__("jax").jit, static_argnames=("I", "L", "L2"))
+def _wlod_score_from_table(p2, table, I: int, L: int, L2: int):
+    """score [I, L2] f32 on device from 2-bit genotype bytes + a [4, L2]
+    per-class table of lod*nomut*norec.  The gather reproduces the host
+    formulation bit-for-bit in f32 (same f64 products, cast once), while
+    the H2D payload shrinks from the [I, L] f32 score matrix (~80 MB per
+    200x100k chromosome — 2-8 s on the tunneled link) to ~I*L/4 genotype
+    bytes + 16*L table bytes (~6 MB)."""
+    import jax.numpy as jnp
+    d = p2.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L]
+    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, g.dtype)], axis=1)
+    return jnp.take_along_axis(table, g, axis=0)
+
+
+def _packed_2bit(chrom):
+    """[I, ceil(L/4)] 2-bit genotype bytes (reuse the panel-cache packing
+    when the chromosome is packed-only; otherwise pack the int8 view)."""
+    if chrom.geno_is_packed_only:
+        return chrom.geno2b
+    from .pallas_lod import pack_genotypes
+    g = np.asarray(chrom.genotypes)
+    I, L = g.shape
+    Lp = -(-L // 4) * 4
+    if Lp != L:
+        gp = np.full((I, Lp), -9, np.int8)
+        gp[:, :L] = g
+        g = gp
+    return pack_genotypes(np.ascontiguousarray(g))
+
+
+def _decay_factors(chrom, mu: float, M: int):
+    """(nomut, norec) [L] f64 per wlod_scores (src/garlic-roh.cpp:134-141)."""
+    pos = chrom.positions.astype(np.float64)
+    gpos = chrom.gpos.astype(np.float64)
+    dpos = np.empty_like(pos)
+    dpos[0] = pos[0]
+    dpos[1:] = pos[1:] - pos[:-1]
+    dg = np.empty_like(gpos)
+    dg[0] = gpos[0]
+    dg[1:] = gpos[1:] - gpos[:-1]
+    return np.exp(-2.0 * M * mu * dpos), np.exp(-2.0 * M * 1.0 * dg)
+
+
 @partial(__import__("jax").jit, static_argnames=("winsize",))
 def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
     """win [I, NW2] f32 (padded window-start layout): for each start l,
@@ -171,11 +216,15 @@ def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
 def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
                         max_gap: int, use_gl: bool, mu: float,
                         M: int) -> DeviceWin:
-    """Weighted Phase-I on device -> DeviceWin (no host transfer)."""
+    """Weighted Phase-I on device -> DeviceWin (no host transfer).
+
+    Scalar-error runs ship 2-bit genotypes + a [4, L] class table and
+    gather the per-locus scores on device (_wlod_score_from_table);
+    TGLS runs have a genuinely per-(ind, locus) error so the [I, L]
+    score matrix still ships."""
     import jax.numpy as jnp
     from .lod import window_missing_mask
-    from .wlod import wlod_scores
-    I, L = chrom.genotypes.shape
+    I, L = chrom.nind, chrom.nloci
     nwin = L - winsize + 1
     if nwin <= 0:
         win = jnp.full((I, L), jnp.float32(MISSING))
@@ -186,13 +235,24 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
                                   cstart, cend)
     # pad to the LD band's bucketed length (scores 0 there; masked anyway)
     L2 = ld_dev.shape[0]
-    score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
-    sp = np.zeros((I, L2), dtype=np.float32)
-    sp[:, :L] = score
     nw2 = L2 - winsize + 1
     mp = np.ones((1, nw2), dtype=np.int8)
     mp[0, :nwin] = missing.astype(np.int8)
     inv_ld = 1.0 / ld_dev
-    win = _wlod_windows_dev(jnp.asarray(sp), inv_ld, jnp.asarray(mp),
-                            winsize)
+    if use_gl:
+        from .wlod import wlod_scores
+        score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
+        sp = np.zeros((I, L2), dtype=np.float32)
+        sp[:, :L] = score
+        score_dev = jnp.asarray(sp)
+    else:
+        from .lod import lod_table
+        nomut, norec = _decay_factors(chrom, mu, M)
+        # reference order: (lod * nomut) * norec (src/garlic-roh.cpp:249)
+        t = (lod_table(chrom.freq, error) * nomut[None, :]) * norec[None, :]
+        tp = np.zeros((4, L2), dtype=np.float32)
+        tp[:, :L] = t.astype(np.float32)
+        score_dev = _wlod_score_from_table(
+            jnp.asarray(_packed_2bit(chrom)), jnp.asarray(tp), I, L, L2)
+    win = _wlod_windows_dev(score_dev, inv_ld, jnp.asarray(mp), winsize)
     return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)

@@ -81,3 +81,28 @@ def test_wlod_windows_device_centromere_mask():
     ref = wlod_ops.wlod_windows(c, centro, ld, W, 0.001, 200000, False,
                                 1e-9, 7)
     np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+
+
+def test_wlod_table_gather_bitwise_equals_score_ship():
+    """The device table-gather score path (2-bit geno + [4, L] class
+    table) must reproduce the old [I, L] f32 score ship BIT-FOR-BIT:
+    both are f32 casts of the same f64 (lod*nomut)*norec products, so
+    any difference is a table/gather bug, not rounding."""
+    import jax.numpy as jnp
+
+    for seed in range(4):
+        c = _chrom(I=11, L=257 + 13 * seed, seed=seed)
+        I, L = c.genotypes.shape
+        L2 = -(-L // 128) * 128
+        old = wlod_ops.wlod_scores(c, 0.001, False, 1e-9, 7).astype(
+            np.float32)
+        tp = np.zeros((4, L2), dtype=np.float32)
+        from garlic_tpu.ops.lod import lod_table
+        nomut, norec = device_wlod._decay_factors(c, 1e-9, 7)
+        tp[:, :L] = ((lod_table(c.freq, 0.001) * nomut[None, :])
+                     * norec[None, :]).astype(np.float32)
+        got = np.asarray(device_wlod._wlod_score_from_table(
+            jnp.asarray(device_wlod._packed_2bit(c)), jnp.asarray(tp),
+            I, L, L2))
+        np.testing.assert_array_equal(got[:, :L], old)
+        assert np.all(got[:, L:] == 0.0)
