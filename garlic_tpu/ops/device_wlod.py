@@ -133,25 +133,29 @@ def ld_band_device(chrom, winsize: int, phased: bool,
     import jax.numpy as jnp
     from .ld import geno_hom_freq
     from .pallas_lod import _bucket
-    g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
-    I, L = g.shape
+    I, L = chrom.nind, chrom.nloci
     L2 = _bucket(L, 128)
-    gp = np.full((I, L2), -9, dtype=np.int8)
-    gp[:, :L] = g
+    # genotypes come from the device-resident 2-bit cache (decoded on
+    # device; row-gather for the subsample) — the host link only carries
+    # ~I*L/4 bytes once per panel content instead of an [I_sub, L2] int8
+    # matrix per run
+    g_dev = _int8_from_packed(_device_packed(chrom), I, L, L2)
+    if sub_idx is not None:
+        g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
     if phased:
         fc = chrom.first_copy if sub_idx is None \
             else chrom.first_copy[sub_idx]
-        fcp = np.zeros((I, L2), dtype=bool)
+        nsub = fc.shape[0]
+        fcp = np.zeros((nsub, L2), dtype=bool)
         fcp[:, :L] = fc
         fp = np.zeros(L2, dtype=np.float32)
         fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
-        P = _r2_band(jnp.asarray(gp), jnp.asarray(fcp), jnp.asarray(fp),
-                     winsize)
+        P = _r2_band(g_dev, jnp.asarray(fcp), jnp.asarray(fp), winsize)
     else:
         hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
         hp = np.zeros(L2, dtype=np.float32)
         hp[:L] = np.nan_to_num(hf)
-        P = _hr2_band(jnp.asarray(gp), jnp.asarray(hp), winsize)
+        P = _hr2_band(g_dev, jnp.asarray(hp), winsize)
     return _assemble_band(P, winsize)
 
 
@@ -185,6 +189,37 @@ def _packed_2bit(chrom):
         gp[:, :L] = g
         g = gp
     return pack_genotypes(np.ascontiguousarray(g))
+
+
+def _device_packed(chrom):
+    """Device-resident [I, ceil(L/4)] 2-bit bytes, cached across runs in
+    the same content-addressed HBM cache the plain Phase-I ship uses —
+    repeat weighted runs (parameter sweeps) skip the genotype upload."""
+    import jax.numpy as jnp
+    from .pallas_lod import (_device_cache_get, _device_cache_put,
+                             _ship_key)
+    packed = _packed_2bit(chrom)
+    key = _ship_key(packed, chrom.nloci)
+    hit = _device_cache_get(key)
+    if hit is not None and hit[0] == "2b":
+        return hit[1]
+    arr = jnp.asarray(np.ascontiguousarray(packed))
+    _device_cache_put(key, ("2b", arr))
+    return arr
+
+
+@partial(__import__("jax").jit, static_argnames=("I", "L", "L2"))
+def _int8_from_packed(p2, I: int, L: int, L2: int):
+    """[I, L2] int8 genotypes (0/1/2/-9, -9 pad) decoded on device from
+    2-bit bytes — feeds the existing _hr2_band/_r2_band jits with the
+    exact values the host int8 ship produced, so the band numerics are
+    unchanged."""
+    import jax.numpy as jnp
+    d = p2.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L]
+    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, g.dtype)], axis=1)
+    return jnp.where(g == 3, -9, g).astype(jnp.int8)
 
 
 def _decay_factors(chrom, mu: float, M: int):
@@ -253,6 +288,6 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
         tp = np.zeros((4, L2), dtype=np.float32)
         tp[:, :L] = t.astype(np.float32)
         score_dev = _wlod_score_from_table(
-            jnp.asarray(_packed_2bit(chrom)), jnp.asarray(tp), I, L, L2)
+            _device_packed(chrom), jnp.asarray(tp), I, L, L2)
     win = _wlod_windows_dev(score_dev, inv_ld, jnp.asarray(mp), winsize)
     return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
