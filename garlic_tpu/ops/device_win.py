@@ -230,8 +230,20 @@ def _covered_kernel_factory():
 _covered_jit = None
 _edges_jit = None
 _EDGE_BLOCK = 128      # SNPs per edge block
-_EDGE_CAP = 1 << 14    # max nonempty edge blocks before bitmap fallback
-_EDGE_IDX_CAP = 1 << 16  # max edges before bitmap fallback
+_EDGE_CAP = 1 << 14    # final-tier block cap before bitmap fallback
+_EDGE_IDX_CAP = 1 << 16  # final-tier edge cap before bitmap fallback
+# First-tier caps: the fused payload ships (2 + I + ecap) i32 slots, and
+# real panels produce ~5k edges per 500k-SNP chromosome — an 8k tier is
+# ~34 KB on the link instead of the final tier's ~263 KB.  Overflow
+# escalates to the final tier (one extra small round trip), then bitmap.
+_EDGE_T1_CAP = 1 << 13
+_EDGE_T1_IDX_CAP = 1 << 13
+
+
+def _edge_tiers():
+    t1 = (min(_EDGE_T1_CAP, _EDGE_CAP), min(_EDGE_T1_IDX_CAP, _EDGE_IDX_CAP))
+    t2 = (_EDGE_CAP, _EDGE_IDX_CAP)
+    return (t1, t2) if t1 != t2 else (t2,)
 
 
 def _edges_kernel_factory():
@@ -347,20 +359,31 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
     if I * outw >= 2**31:
         mode = "bitmap"  # flat i32 edge indices would overflow
     if mode != "bitmap":
-        if _edges_jit is None:
-            _edges_jit = _edges_kernel_factory()
-        fused = _edges_jit(
-            dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
-            _EDGE_CAP, _EDGE_BLOCK, _EDGE_IDX_CAP)
-        _start_host_copy(fused)
-        return ("edges", dwin, cutoff, winsize, threshold,
-                (fused, I, outw))
+        return _dispatch_edges(dwin, cutoff, winsize, threshold, 0)
     if _covered_jit is None:
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
                           jnp.float32(threshold), winsize)
     _start_host_copy(packed)
     return ("bitmap", dwin, cutoff, winsize, threshold, packed)
+
+
+def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
+                    threshold: float, tier: int):
+    global _edges_jit
+    import jax.numpy as jnp
+
+    if _edges_jit is None:
+        _edges_jit = _edges_kernel_factory()
+    cap, icap = _edge_tiers()[tier]
+    I, N = dwin.win.shape
+    outw = N + winsize - 1
+    fused = _edges_jit(
+        dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
+        cap, _EDGE_BLOCK, icap)
+    _start_host_copy(fused)
+    return ("edges", dwin, cutoff, winsize, threshold,
+            (fused, I, outw, tier))
 
 
 def _start_host_copy(arr) -> None:
@@ -390,13 +413,18 @@ def covered_fetch(handle) -> np.ndarray:
 
     kind, dwin, cutoff, winsize, threshold, data = handle
     if kind == "edges":
-        fused, I, outw = data
+        fused, I, outw, tier = data
         m = to_host(fused)
+        tiers = _edge_tiers()
+        cap, icap = tiers[tier]
         nblk, nedge = int(m[0]), int(m[1])
-        if nblk <= _EDGE_CAP and nedge <= _EDGE_IDX_CAP:
+        if nblk <= cap and nedge <= icap:
             last = m[2:2 + I].astype(bool)
             idx = m[2 + I:2 + I + nedge].astype(np.int64)
             return _edges_to_packed(idx, last, I, outw)
+        if tier + 1 < len(tiers):  # escalate: one extra small round trip
+            return covered_fetch(_dispatch_edges(
+                dwin, cutoff, winsize, threshold, tier + 1))
         if _covered_jit is None:
             _covered_jit = _covered_kernel_factory()
         data = _covered_jit(dwin.win, jnp.float32(cutoff),

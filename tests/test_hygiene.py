@@ -110,14 +110,20 @@ def test_covered_edges_equivalent(monkeypatch):
         want = np.asarray(cov(jnp.asarray(win), jnp.float32(cutoff),
                               jnp.float32(3.0), W))
         np.testing.assert_array_equal(got, want)
-    # cap fallback path
-    monkeypatch.setattr(device_win, "_EDGE_CAP", 4)
+    # tier escalation: tier-1 overflow retries at the final edge tier
+    monkeypatch.setattr(device_win, "_EDGE_T1_CAP", 4)
+    monkeypatch.setattr(device_win, "_EDGE_T1_IDX_CAP", 4)
     rng = np.random.default_rng(3)
     win = rng.standard_normal((9, 500)).astype(np.float32) * 2
     dw = DeviceWin(win=jnp.asarray(win), nind=9, nloci=500)
     got = covered_packed(dw, 0.0, 12, 3.0)
     want = np.asarray(cov(jnp.asarray(win), jnp.float32(0.0),
                           jnp.float32(3.0), 12))
+    np.testing.assert_array_equal(got, want)
+    # bitmap fallback: every edge tier overflows
+    monkeypatch.setattr(device_win, "_EDGE_CAP", 4)
+    monkeypatch.setattr(device_win, "_EDGE_IDX_CAP", 4)
+    got = covered_packed(dw, 0.0, 12, 3.0)
     np.testing.assert_array_equal(got, want)
 
 
