@@ -64,10 +64,18 @@ class ChromData:
     code 3 = missing, tail codes past nloci = 3): the fast engine's
     panel-cache path filters, pads, and ships them packed, so the 4x
     larger int8 matrix never exists.  Reading `.genotypes` materializes
-    the int8 view lazily (and caches it) for consumers that need it."""
+    the int8 view lazily (and caches it) for consumers that need it.
+
+    `geno2b` itself may also be lazy (`geno2b_thunk`): the monomorphic
+    filter defers the packed column compaction, because on a
+    device-cache hit nothing on the host ever reads the filtered bytes
+    — the content key (`geno2b_digest`, derived through the filter from
+    the panel-cache sidecar's stored digest) is enough to find the
+    payload already in HBM."""
 
     __slots__ = ("chrom", "positions", "gpos", "locus_names", "alleles",
-                 "_geno", "freq", "first_copy", "gl", "geno2b")
+                 "_geno", "freq", "first_copy", "gl", "_geno2b",
+                 "_geno2b_thunk", "_nind", "geno2b_digest")
 
     def __init__(self, chrom: str, positions: np.ndarray, gpos: np.ndarray,
                  locus_names, alleles: np.ndarray,
@@ -75,7 +83,9 @@ class ChromData:
                  freq: Optional[np.ndarray] = None,
                  first_copy: Optional[np.ndarray] = None,
                  gl: Optional[np.ndarray] = None,
-                 geno2b: Optional[np.ndarray] = None):
+                 geno2b: Optional[np.ndarray] = None,
+                 geno2b_thunk=None, nind: Optional[int] = None,
+                 geno2b_digest: Optional[bytes] = None):
         self.chrom = chrom                 # chr-prefixed name
         self.positions = positions         # int64 [L] physical bp
         self.gpos = gpos                   # float64 [L] genetic position
@@ -85,7 +95,11 @@ class ChromData:
         self.freq = freq                   # float64 [L]
         self.first_copy = first_copy       # bool [I, L] (phased only)
         self.gl = gl                       # float64 [I, L] TGLS errors
-        self.geno2b = geno2b               # u8 [I, ceil(L/4)] 2-bit codes
+        self._geno2b = geno2b              # u8 [I, ceil(L/4)] 2-bit codes
+        self._geno2b_thunk = geno2b_thunk  # 0-arg -> u8 [I, ceil(L/4)]
+        self._nind = nind                  # required when both geno forms
+        #                                    are lazy (thunk-only)
+        self.geno2b_digest = geno2b_digest  # 16B content key or None
 
     @property
     def genotypes(self) -> np.ndarray:
@@ -94,8 +108,16 @@ class ChromData:
         return self._geno
 
     @property
+    def geno2b(self) -> Optional[np.ndarray]:
+        if self._geno2b is None and self._geno2b_thunk is not None:
+            self._geno2b = self._geno2b_thunk()
+            self._geno2b_thunk = None
+        return self._geno2b
+
+    @property
     def geno_is_packed_only(self) -> bool:
-        return self._geno is None and self.geno2b is not None
+        return self._geno is None and (self._geno2b is not None
+                                       or self._geno2b_thunk is not None)
 
     @property
     def nloci(self) -> int:
@@ -105,7 +127,9 @@ class ChromData:
     def nind(self) -> int:
         if self._geno is not None:
             return int(self._geno.shape[0])
-        return int(self.geno2b.shape[0])
+        if self._geno2b is not None:
+            return int(self._geno2b.shape[0])
+        return int(self._nind)
 
 
 def _unpack_geno2b(packed: np.ndarray, L: int) -> np.ndarray:

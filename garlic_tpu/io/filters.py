@@ -59,19 +59,26 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         return c  # nothing filtered: avoid copying the [I, L] matrices
     idx = np.flatnonzero(keep)
     geno = None
-    geno2b = None
+    geno2b_thunk = None
+    digest = None
     if c.geno_is_packed_only:
         # packed-mode column compaction: the int8 matrix never exists
         # (4x less memory traffic; the native pass emits missing-filled
-        # tail codes so kernels can pad by 0xFF fill)
-        try:
-            from ..native import filter_pack_2bit_native
-            r = filter_pack_2bit_native(c.geno2b, c.nloci, keep)
-        except ImportError:
-            r = None
-        if r is not None:
-            geno2b = r[0]
-    if geno2b is None:
+        # tail codes so kernels can pad by 0xFF fill).  The compaction is
+        # DEFERRED (thunk): with a sidecar digest the filtered payload's
+        # content key is derivable without touching the bytes, and on a
+        # device-cache hit nothing ever reads them.
+        from ..native import filter_pack_2bit_native, native_available
+        if native_available():
+            from ..core.digest import derived_digest
+            parent2b, parent_L = c.geno2b, c.nloci
+            k = keep.copy()
+
+            def geno2b_thunk(_p=parent2b, _L=parent_L, _k=k):
+                return filter_pack_2bit_native(_p, _L, _k)[0]
+
+            digest = derived_digest(c.geno2b_digest, keep)
+    if geno2b_thunk is None:
         geno = _compact(c.genotypes, keep)
     return ChromData(
         chrom=c.chrom,
@@ -83,7 +90,9 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         freq=c.freq[idx],
         first_copy=_compact(c.first_copy, keep),
         gl=_compact(c.gl, keep),
-        geno2b=geno2b,
+        geno2b_thunk=geno2b_thunk,
+        nind=c.nind,
+        geno2b_digest=digest,
     )
 
 

@@ -73,9 +73,16 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
     code) go into the header; a mismatch on load is a cache miss."""
     path = cache_path(tpedfile)
     arrays = _collect_arrays(chroms, nind)
+    # one-time content digests of the packed payloads: later runs key the
+    # device-resident genotype cache off these (derived through the
+    # monomorphic filter) instead of rehashing ~50 MB per run
+    from ..core.digest import content_digest
+    digests = [content_digest(arrays[f"c{i}_geno2b"]).hex()
+               for i in range(len(chroms))]
     meta = {"nind": int(nind), "nchrom": len(chroms),
             "missing": str(tped_missing),
-            "chrom_names": [str(c["chrom"]) for c in chroms], "arrays": {}}
+            "chrom_names": [str(c["chrom"]) for c in chroms],
+            "geno2b_digest": digests, "arrays": {}}
     # lay out sections after a fixed-size header slot
     hdr_probe = dict(meta)
     hdr_probe["arrays"] = {
@@ -146,6 +153,7 @@ def load_cache(tpedfile: str, want_fc: bool,
             return None  # cached parse used a different missing code
         nchrom = int(meta["nchrom"])
         specs = meta["arrays"]
+        digs = meta.get("geno2b_digest") or [None] * nchrom
         out = []
         for i in range(nchrom):
             # stays packed: ChromData materializes the int8 view lazily,
@@ -167,6 +175,8 @@ def load_cache(tpedfile: str, want_fc: bool,
                 "alleles": _view(mm, specs[f"c{i}_alleles"]).astype("<U1"),
                 "genotypes": None,
                 "geno2b": packed,
+                "geno2b_digest": (bytes.fromhex(digs[i])
+                                  if digs[i] else None),
                 "first_copy": fc,
                 "freq": np.array(_view(mm, specs[f"c{i}_freq"])),
                 "names": LocusNames(

@@ -239,6 +239,7 @@ def _assemble_from_native(native, phased: bool, auto_freq: bool, log):
             freq=blk["freq"] if auto_freq else None,
             first_copy=blk["first_copy"] if phased else None,
             geno2b=blk.get("geno2b"),
+            geno2b_digest=blk.get("geno2b_digest"),
         ))
     return ds, num_loci
 

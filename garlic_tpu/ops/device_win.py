@@ -148,11 +148,14 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
             # serves every chromosome shape.
             if chrom.geno_is_packed_only:
                 # panel-cache path: genotypes already packed — one native
-                # repad feeds the kernel, the int8 matrix never exists
-                from .pallas_lod import lod_windows_pallas_prepacked_raw
+                # repad feeds the kernel, the int8 matrix never exists.
+                # The sidecar-derived content key + packed thunk mean a
+                # device-cache hit touches no host genotype bytes at all.
+                from .pallas_lod import (_chrom_key,
+                                         lod_windows_pallas_prepacked_raw)
                 r = lod_windows_pallas_prepacked_raw(
-                    chrom.geno2b, chrom.nloci, chrom.freq, error, missing,
-                    winsize)
+                    lambda: chrom.geno2b, chrom.nloci, chrom.freq, error,
+                    missing, winsize, key=_chrom_key(chrom), I=chrom.nind)
                 if r is not None:
                     return DeviceWin(win=r[0], nind=chrom.nind,
                                      nloci=chrom.nloci, nwin=r[1])

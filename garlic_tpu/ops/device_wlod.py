@@ -196,13 +196,19 @@ def _device_packed(chrom):
     the same content-addressed HBM cache the plain Phase-I ship uses —
     repeat weighted runs (parameter sweeps) skip the genotype upload."""
     import jax.numpy as jnp
-    from .pallas_lod import (_device_cache_get, _device_cache_put,
-                             _ship_key)
+    from .pallas_lod import (_chrom_key, _device_cache_get,
+                             _device_cache_put, _ship_key)
+    key = _chrom_key(chrom)
+    if key is not None:
+        hit = _device_cache_get(key)
+        if hit is not None and hit[0] == "2b":
+            return hit[1]
     packed = _packed_2bit(chrom)
-    key = _ship_key(packed, chrom.nloci)
-    hit = _device_cache_get(key)
-    if hit is not None and hit[0] == "2b":
-        return hit[1]
+    if key is None:
+        key = _ship_key(packed, chrom.nloci)
+        hit = _device_cache_get(key)
+        if hit is not None and hit[0] == "2b":
+            return hit[1]
     arr = jnp.asarray(np.ascontiguousarray(packed))
     _device_cache_put(key, ("2b", arr))
     return arr

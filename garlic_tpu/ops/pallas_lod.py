@@ -568,15 +568,21 @@ def _ship_key(packed: np.ndarray, L: int):
     full bytes, not a strided sample.  The digest is the native OpenMP
     gt_hash128 (memory-bandwidth speed; blake2b fallback at ~300 MB/s
     costs ~80 ms per 25 MB chromosome on this host)."""
-    from ..native import hash128_native
-    cp = np.ascontiguousarray(packed)
-    d = hash128_native(cp)
-    if d is None:
-        import hashlib
-        h = hashlib.blake2b(digest_size=16)
-        h.update(cp.data)
-        d = h.digest()
-    return (packed.shape, L, d)
+    from ..core.digest import content_digest
+    return (packed.shape, L, content_digest(packed))
+
+
+def _chrom_key(chrom):
+    """Ship/device-cache key for a packed-only chromosome WITHOUT touching
+    its (possibly still unmaterialized) packed bytes: derived from the
+    panel-cache sidecar digest carried through the filter.  None when no
+    digest is known (fresh parse, legacy sidecar, row-subset) — callers
+    fall back to hashing the materialized payload."""
+    if not chrom.geno_is_packed_only:
+        return None
+    from ..core.digest import ship_key_from_digest
+    return ship_key_from_digest(chrom.nind, chrom.nloci,
+                                chrom.geno2b_digest)
 
 
 # Device-resident panel cache: content key -> ship entry kept in HBM
@@ -671,6 +677,19 @@ def _prefetch_worker(chroms, cancel) -> None:
         if not c.geno_is_packed_only:
             continue
         keep = (np.asarray(c.freq) > 0) & (np.asarray(c.freq) < 1)
+        key = None
+        if c.geno2b_digest is not None:
+            # key the payload from the sidecar digest BEFORE filtering:
+            # on a device-cache hit neither the column compaction nor the
+            # 50 MB content hash ever runs
+            from ..core.digest import derived_digest, ship_key_from_digest
+            L = int(np.count_nonzero(keep))
+            dig = (c.geno2b_digest if L == c.nloci
+                   else derived_digest(c.geno2b_digest, keep))
+            key = ship_key_from_digest(c.nind, L, dig)
+            if L >= 1 and _device_cache_get(key) is not None:
+                _t(f"chrom {c.chrom}: device-cache hit, skip pack+upload")
+                continue
         if keep.all():
             packed, L = c.geno2b, c.nloci
         else:
@@ -682,7 +701,8 @@ def _prefetch_worker(chroms, cancel) -> None:
         if L < 1:
             continue
         _t(f"chrom {c.chrom}: filtered/packed")
-        key = _ship_key(packed, L)
+        if key is None:
+            key = _ship_key(packed, L)
         if _device_cache_get(key) is not None:
             _t(f"chrom {c.chrom}: device-cache hit, skip upload")
             continue
@@ -754,21 +774,35 @@ def clear_ship_stash() -> None:
         cv.notify_all()
 
 
-def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
+def lod_windows_pallas_prepacked_raw(packed, nloci: int,
                                      freq: np.ndarray, error: float,
                                      missing: np.ndarray, winsize: int,
                                      block_i: int = 32, block_l: int = 1024,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     key=None, I: int = None):
     """lod_windows_pallas_packed_raw for genotypes ALREADY in 2-bit form
     (panel cache / packed filtering): the int8 matrix never exists — the
     packed bytes ship as-is (or base-3 re-packed on slow links, see
     _ship_mode) and the kernel-input repad happens on device.  Returns
-    (win [I2, NW2] f32 device array, nwin)."""
+    (win [I2, NW2] f32 device array, nwin).
+
+    `packed` may be a 0-arg callable (the filter's deferred compaction);
+    with a precomputed content `key` (sidecar-digest-derived) a
+    device-cache or stash hit never materializes the host bytes at all —
+    `I` must then be passed."""
     import jax.numpy as jnp
 
     from ..native import pack_base3_native
 
-    I = packed.shape[0]
+    if not callable(packed):
+        I = packed.shape[0]
+
+    def _mat():
+        nonlocal packed
+        if callable(packed):
+            packed = packed()
+        return packed
+
     L = nloci
     W = winsize
     nwin = L - W + 1
@@ -784,7 +818,8 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
     stash_live = _ship_stash or (_ship_thread is not None
                                  and _ship_thread.is_alive())
     use_cache = _device_cache_budget() > 0
-    key = _ship_key(packed, L) if (use_cache or stash_live) else None
+    if key is None and (use_cache or stash_live):
+        key = _ship_key(_mat(), L)
     hit = _device_cache_get(key) if use_cache else None
     if hit is None and stash_live:
         hit = _ship_pop(key)
@@ -796,14 +831,14 @@ def lod_windows_pallas_prepacked_raw(packed: np.ndarray, nloci: int,
         else:
             dev = _decode_2bit(hit[1], I, L, I2, L2)
     elif _ship_mode() == "base3":
-        r = pack_base3_native(packed, L)
+        r = pack_base3_native(_mat(), L)
         if r is not None and r[1].size < I * L // 80:
             b3, exc = r
             entry = ("b3", jnp.asarray(b3), jnp.asarray(_pad_exc(exc)))
             _device_cache_put(key, entry)
             dev = _decode_base3(entry[1], entry[2], I, L, I2, L2)
     if dev is None:  # 2bit mode, dense missingness, or no native lib
-        entry = ("2b", jnp.asarray(np.ascontiguousarray(packed)))
+        entry = ("2b", jnp.asarray(np.ascontiguousarray(_mat())))
         _device_cache_put(key, entry)
         dev = _decode_2bit(entry[1], I, L, I2, L2)
     win = _packed_masked_entry(

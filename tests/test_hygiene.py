@@ -322,3 +322,77 @@ def test_device_panel_cache_hit_and_eviction():
         os.environ.pop("GARLIC_TPU_DEVICE_CACHE", None)
         pl.clear_device_cache()
         pl.clear_ship_stash()
+
+
+def test_derived_digest_cache_key():
+    """The sidecar-derived content key (core/digest.py) must let a
+    device-cache hit serve a filtered chromosome WITHOUT materializing the
+    filtered bytes: the monomorphic filter defers the packed compaction to
+    a thunk, and _chrom_key (derived from the parent digest + keep mask)
+    finds the payload uploaded under the same key earlier in the process."""
+    from garlic_tpu.core.digest import (content_digest, derived_digest,
+                                        ship_key_from_digest)
+    from garlic_tpu.core.types import ChromData, LocusNames
+    from garlic_tpu.io.filters import _apply
+    from garlic_tpu.ops import pallas_lod as pl
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(17)
+    I, L = 7, 913
+    Lp = -(-L // 4) * 4
+    g = rng.integers(0, 3, size=(I, Lp)).astype(np.int8)
+    g[:, L:] = -9
+    packed = pl.pack_genotypes(np.ascontiguousarray(g))
+    freq = rng.uniform(0.05, 0.95, L)
+    freq[rng.choice(L, 40, replace=False)] = 0.0  # monomorphic → filtered
+    keep = (freq > 0) & (freq < 1)
+    dig = content_digest(packed)
+    names = LocusNames([f"rs{i}" for i in range(L)])
+    c = ChromData(chrom="chr1", positions=np.arange(1, L + 1, dtype=np.int64),
+                  gpos=np.zeros(L), locus_names=names,
+                  alleles=np.array(["A"] * L, dtype="<U1"), genotypes=None,
+                  geno2b=packed, freq=freq, geno2b_digest=dig)
+
+    fc = _apply(c, keep)
+    nk = int(keep.sum())
+    # the filter deferred the compaction and derived the child digest
+    assert fc._geno2b is None and fc._geno2b_thunk is not None
+    assert fc.nind == I and fc.nloci == nk
+    assert fc.geno2b_digest == derived_digest(dig, keep)
+    key = pl._chrom_key(fc)
+    assert key == ship_key_from_digest(I, nk, fc.geno2b_digest)
+    # determinism + sensitivity of the derivation
+    assert derived_digest(dig, keep) == derived_digest(dig, keep.copy())
+    keep2 = keep.copy()
+    keep2[np.flatnonzero(keep)[0]] = False
+    assert derived_digest(dig, keep2) != derived_digest(dig, keep)
+    assert derived_digest(None, keep) is None
+
+    miss = np.zeros(nk - 60 + 1, dtype=bool)
+    pl.clear_ship_stash()
+    pl.clear_device_cache()
+    try:
+        w1, n1 = pl.lod_windows_pallas_prepacked_raw(
+            lambda: fc.geno2b, nk, freq[keep], 0.001, miss, 60,
+            interpret=True, key=key, I=I)
+        assert len(pl._device_cache) == 1
+        # repeat with a poisoned thunk: a genuine hit never materializes
+
+        def boom():
+            raise AssertionError("cache hit materialized the payload")
+
+        w2, n2 = pl.lod_windows_pallas_prepacked_raw(
+            boom, nk, freq[keep], 0.001, miss, 60,
+            interpret=True, key=key, I=I)
+        assert n1 == n2
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        # and the derived-key payload matches hashing the real bytes: the
+        # windows equal the eager (no-thunk, hash-keyed) computation
+        pl.clear_device_cache()
+        w3, _ = pl.lod_windows_pallas_prepacked_raw(
+            fc.geno2b, nk, freq[keep], 0.001, miss, 60, interpret=True)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w3))
+    finally:
+        pl.clear_device_cache()
+        pl.clear_ship_stash()
