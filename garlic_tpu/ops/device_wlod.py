@@ -94,6 +94,22 @@ def _r2_band(geno_sub, fc_sub, freq, winsize: int):
     return jnp.stack(cols, axis=1)
 
 
+@partial(__import__("jax").jit)
+def _hom_freq_dev(g_full):
+    """Per-locus homozygosity frequency of the FULL panel, on device
+    (calculateGenoFreq, src/garlic-data.cpp:656-676): counts are exact
+    integers in f32 (I < 2^24), total==0 -> 0 (the host path's nan is
+    nan_to_num'd to 0 before use anyway).  Keeps the packed-only
+    chromosome packed: the host int8 matrix never materializes for the
+    marginals."""
+    import jax.numpy as jnp
+    valid = (g_full != -9)
+    hom = valid & (g_full != 1)
+    total = jnp.sum(valid.astype(jnp.float32), axis=0)
+    homs = jnp.sum(hom.astype(jnp.float32), axis=0)
+    return jnp.where(total > 0, homs / total, 0.0)
+
+
 @partial(__import__("jax").jit, static_argnames=("winsize",))
 def _assemble_band(P, winsize: int):
     """LD [L, W] from the pair band (cumsum decomposition, see
@@ -140,9 +156,9 @@ def ld_band_device(chrom, winsize: int, phased: bool,
     # ~I*L/4 bytes once per panel content instead of an [I_sub, L2] int8
     # matrix per run
     g_dev = _int8_from_packed(_device_packed(chrom), I, L, L2)
-    if sub_idx is not None:
-        g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
     if phased:
+        if sub_idx is not None:
+            g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
         fc = chrom.first_copy if sub_idx is None \
             else chrom.first_copy[sub_idx]
         nsub = fc.shape[0]
@@ -152,10 +168,19 @@ def ld_band_device(chrom, winsize: int, phased: bool,
         fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
         P = _r2_band(g_dev, jnp.asarray(fcp), jnp.asarray(fp), winsize)
     else:
-        hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
-        hp = np.zeros(L2, dtype=np.float32)
-        hp[:L] = np.nan_to_num(hf)
-        P = _hr2_band(g_dev, jnp.asarray(hp), winsize)
+        if chrom.geno_is_packed_only:
+            # marginals from the full-panel decode already on device —
+            # the host int8 matrix (and, with a sidecar digest, even the
+            # filtered packed bytes) never materializes
+            hf_dev = _hom_freq_dev(g_dev)
+        else:
+            hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
+            hp = np.zeros(L2, dtype=np.float32)
+            hp[:L] = np.nan_to_num(hf)
+            hf_dev = jnp.asarray(hp)
+        if sub_idx is not None:
+            g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
+        P = _hr2_band(g_dev, hf_dev, winsize)
     return _assemble_band(P, winsize)
 
 
@@ -252,6 +277,112 @@ def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
     for j in range(winsize):
         acc = acc + score[:, j:j + nw2] * inv_ld[:nw2, j][None, :]
     return jnp.where(missing != 0, jnp.float32(MISSING), acc)
+
+
+@partial(__import__("jax").jit,
+         static_argnames=("I", "L", "L2", "winsize"))
+def _fused_unphased(pk, aux, sub_idx, I: int, L: int, L2: int,
+                    winsize: int):
+    """The ENTIRE unphased scalar-error weighted Phase I as ONE program:
+    2-bit decode -> full-panel hom freqs -> LD-subsample row gather ->
+    HR^2 pair band -> LD band assembly -> reciprocal -> per-class score
+    gather -> weighted window sum.
+
+    Fusing matters for latency, not FLOPs: over the tunneled PJRT link
+    every executable launch and every host array upload is a separate
+    ~30-150 ms round trip, so the former 8-dispatch/3-upload chain cost
+    ~0.9 s per chromosome in pure RPC latency while the math itself is
+    ~1 ms (measured; see BASELINE.md round-2-late weighted note).  One
+    jit + one packed `aux` upload is 2 round trips.
+
+    aux [5, L2] f32: rows 0..3 = lod*nomut*norec per genotype class
+    (missing-class row 3), row 4 = window-missing flags (nonzero = window
+    MISSING) in window-start layout, zero-padded past nw2."""
+    import jax.numpy as jnp
+    g_full = _int8_from_packed(pk, I, L, L2)
+    hf = _hom_freq_dev(g_full)
+    gsub = g_full[sub_idx]
+    P = _hr2_band(gsub, hf, winsize)
+    inv_ld = 1.0 / _assemble_band(P, winsize)
+    score = _wlod_score_from_table(pk, aux[:4], I, L, L2)
+    nw2 = L2 - winsize + 1
+    return _wlod_windows_dev(score, inv_ld, aux[4:5, :nw2], winsize)
+
+
+@partial(__import__("jax").jit,
+         static_argnames=("I", "L", "L2", "winsize"))
+def _fused_phased(pk, aux, sub_idx, fcp_sub, I: int, L: int, L2: int,
+                  winsize: int):
+    """_fused_unphased for phased panels: r^2 from the subsample's
+    first-copy bits + full-panel allele freqs (aux row 5)."""
+    import jax.numpy as jnp
+    g_full = _int8_from_packed(pk, I, L, L2)
+    gsub = g_full[sub_idx]
+    P = _r2_band(gsub, fcp_sub, aux[5], winsize)
+    inv_ld = 1.0 / _assemble_band(P, winsize)
+    score = _wlod_score_from_table(pk, aux[:4], I, L, L2)
+    nw2 = L2 - winsize + 1
+    return _wlod_windows_dev(score, inv_ld, aux[4:5, :nw2], winsize)
+
+
+def _weighted_aux(chrom, centro, winsize: int, error, max_gap: int,
+                  mu: float, M: int, L2: int, phased: bool):
+    """One packed [5|6, L2] f32 host array carrying every per-locus input
+    the fused kernels need — a single H2D round trip."""
+    from .lod import lod_table, window_missing_mask
+    L = chrom.nloci
+    nwin = L - winsize + 1
+    cstart = centro.start(chrom.chrom)
+    cend = centro.end(chrom.chrom)
+    missing = window_missing_mask(chrom.positions, winsize, max_gap,
+                                  cstart, cend)
+    nomut, norec = _decay_factors(chrom, mu, M)
+    # reference order: (lod * nomut) * norec (src/garlic-roh.cpp:249)
+    t = (lod_table(chrom.freq, error) * nomut[None, :]) * norec[None, :]
+    aux = np.zeros((6 if phased else 5, L2), dtype=np.float32)
+    aux[:4, :L] = t.astype(np.float32)
+    nw2 = L2 - winsize + 1
+    aux[4, :nw2] = 1.0
+    aux[4, :nwin] = missing.astype(np.float32)
+    if phased:
+        aux[5, :L] = np.asarray(chrom.freq, dtype=np.float32)
+    return aux, nwin
+
+
+def weighted_windows_device(chrom, centro, winsize: int, error,
+                            max_gap: int, use_gl: bool, mu: float, M: int,
+                            phased: bool,
+                            sub_idx: Optional[np.ndarray] = None
+                            ) -> DeviceWin:
+    """Weighted Phase I (LD band + wLOD windows) -> DeviceWin in ONE
+    device dispatch + one aux upload (see _fused_unphased).  TGLS runs
+    (per-(ind, locus) error) fall back to the two-step path — the [I, L]
+    score matrix genuinely has to ship."""
+    import jax.numpy as jnp
+    I, L = chrom.nind, chrom.nloci
+    if use_gl or L - winsize + 1 <= 0:
+        ld_dev = ld_band_device(chrom, winsize, phased, sub_idx)
+        return wlod_windows_device(chrom, centro, ld_dev, winsize, error,
+                                   max_gap, use_gl, mu, M)
+    from .pallas_lod import _bucket
+    L2 = _bucket(L, 128)
+    aux, nwin = _weighted_aux(chrom, centro, winsize, error, max_gap,
+                              mu, M, L2, phased)
+    aux_dev = jnp.asarray(aux)
+    sub = (np.arange(I, dtype=np.int32) if sub_idx is None
+           else np.asarray(sub_idx, dtype=np.int32))
+    sub_dev = jnp.asarray(sub)
+    pk = _device_packed(chrom)
+    if phased:
+        fc = chrom.first_copy if sub_idx is None \
+            else chrom.first_copy[sub_idx]
+        fcp = np.zeros((fc.shape[0], L2), dtype=bool)
+        fcp[:, :L] = fc
+        win = _fused_phased(pk, aux_dev, sub_dev, jnp.asarray(fcp),
+                            I, L, L2, winsize)
+    else:
+        win = _fused_unphased(pk, aux_dev, sub_dev, I, L, L2, winsize)
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
 
 
 def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,

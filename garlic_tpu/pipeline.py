@@ -506,9 +506,9 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                 bar.advance(c.nind)
             elif st.engine == "fast":
                 from .ops import device_wlod
-                ldm = device_wlod.ld_band_device(c, winsize, phased, sub_idx)
-                win_by_chr.append(device_wlod.wlod_windows_device(
-                    c, centro, ldm, winsize, error, max_gap, use_gl, mu, M))
+                win_by_chr.append(device_wlod.weighted_windows_device(
+                    c, centro, winsize, error, max_gap, use_gl, mu, M,
+                    phased, sub_idx))
                 bar.advance(c.nind)
             else:
                 ldm = ld_ops.calc_ld(c, winsize, phased, sub_idx,
@@ -813,9 +813,17 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
                         st.mesh))
                 elif st.engine == "fast":
                     from .ops import device_wlod
-                    ldm = device_wlod.ld_band_device(c, wq, phased, sub_idx)
-                    win_by_chr.append(device_wlod.wlod_windows_device(
-                        cc, centro, ldm, wq, error, max_gap, use_gl, mu, M))
+                    if cc is c:
+                        win_by_chr.append(
+                            device_wlod.weighted_windows_device(
+                                c, centro, wq, error, max_gap, use_gl,
+                                mu, M, phased, sub_idx))
+                    else:  # KDE individual subset: scores for cc, LD from c
+                        ldm = device_wlod.ld_band_device(c, wq, phased,
+                                                         sub_idx)
+                        win_by_chr.append(device_wlod.wlod_windows_device(
+                            cc, centro, ldm, wq, error, max_gap, use_gl,
+                            mu, M))
                 else:
                     ldm = ld_ops.calc_ld(c, wq, phased, sub_idx,
                                          engine=st.engine)

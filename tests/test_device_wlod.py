@@ -83,6 +83,29 @@ def test_wlod_windows_device_centromere_mask():
     np.testing.assert_array_equal(got == MISSING, ref == MISSING)
 
 
+@pytest.mark.parametrize("phased", [False, True])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_fused_weighted_matches_two_step(phased, subsample):
+    """weighted_windows_device (ONE fused dispatch) must reproduce the
+    two-step ld_band_device + wlod_windows_device chain it replaces.
+    Tolerance covers the one real numeric difference: the fused path
+    computes full-panel hom freqs on device in f32 (counts are exact
+    ints, only the final division rounds) vs the host f64 path."""
+    c = _chrom(I=20, L=290, seed=7 + phased)
+    W = 11
+    centro = _Centro(int(c.positions[60]), int(c.positions[80]))
+    sub = np.arange(2, 16) if subsample else None
+    ld_dev = device_wlod.ld_band_device(c, W, phased, sub)
+    ref = device_wlod.wlod_windows_device(
+        c, centro, ld_dev, W, 0.001, 200000, False, 1e-9, 7).to_numpy()
+    got = device_wlod.weighted_windows_device(
+        c, centro, W, 0.001, 200000, False, 1e-9, 7, phased,
+        sub).to_numpy()
+    np.testing.assert_array_equal(got == MISSING, ref == MISSING)
+    live = ref != MISSING
+    np.testing.assert_allclose(got[live], ref[live], rtol=1e-5, atol=1e-5)
+
+
 def test_wlod_table_gather_bitwise_equals_score_ship():
     """The device table-gather score path (2-bit geno + [4, L] class
     table) must reproduce the old [I, L] f32 score ship BIT-FOR-BIT:
