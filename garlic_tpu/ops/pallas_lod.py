@@ -842,9 +842,30 @@ def lod_windows_pallas_prepacked_raw(packed, nloci: int,
         _device_cache_put(key, entry)
         dev = _decode_2bit(entry[1], I, L, I2, L2)
     win = _packed_masked_entry(
-        dev, jnp.asarray(fp), error,
-        jnp.asarray(mp), W, block_i, block_l, interpret)
+        dev, _device_plane(fp), error,
+        _device_plane(mp), W, block_i, block_l, interpret)
     return win, nwin
+
+
+def _device_plane(plane: np.ndarray):
+    """Content-keyed HBM residency for small per-locus input planes (the
+    padded freq row, the window-missing mask).  On a warm device-cached
+    run these ~2.5 MB/chromosome uploads were the ENTIRE Phase-I wait
+    (the tunneled link moves ~10-40 MB/s H2D while the kernels finish in
+    <1 ms) — caching them drops the warm-run fetch wait from ~170 ms to
+    the link's round-trip floor."""
+    import jax.numpy as jnp
+
+    if _device_cache_budget() <= 0:
+        return jnp.asarray(plane)
+    from ..core.digest import content_digest
+    key = ("plane", plane.dtype.str, plane.shape, content_digest(plane))
+    hit = _device_cache_get(key)
+    if hit is not None:
+        return hit[1]
+    arr = jnp.asarray(plane)
+    _device_cache_put(key, ("pl", arr))
+    return arr
 
 
 def lod_windows_pallas_packed(geno: np.ndarray, freq: np.ndarray,
