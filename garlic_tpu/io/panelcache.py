@@ -47,7 +47,10 @@ def _collect_arrays(chroms: List[dict], nind: int):
             geno = gp
         arrays[f"c{i}_pos"] = np.asarray(c["positions"], dtype=np.int64)
         arrays[f"c{i}_gpos"] = np.asarray(c["gpos"], dtype=np.float64)
-        arrays[f"c{i}_alleles"] = np.asarray(c["alleles"]).astype("S1")
+        # stored as raw UCS4 ('<U1', 4 B/locus): the loader views the map
+        # zero-copy; the older S1 encoding cost a ~45 ms/chromosome
+        # bytes->unicode astype on EVERY warm load
+        arrays[f"c{i}_alleles"] = np.asarray(c["alleles"], dtype="<U1")
         arrays[f"c{i}_freq"] = np.asarray(c["freq"], dtype=np.float64)
         names = c["names"]
         raw = names.raw if hasattr(names, "raw") else \
@@ -168,11 +171,14 @@ def load_cache(tpedfile: str, want_fc: bool,
                     return None  # cache lacks phased bits; re-parse
                 fc = np.unpackbits(_view(mm, specs[key]),
                                    axis=1)[:, :L].view(np.bool_)
+            al = _view(mm, specs[f"c{i}_alleles"])
+            if al.dtype.kind == "S":   # older sidecar: stored S1 bytes
+                al = al.astype("<U1")
             out.append({
                 "chrom": meta["chrom_names"][i],
                 "positions": pos,
                 "gpos": np.array(_view(mm, specs[f"c{i}_gpos"])),
-                "alleles": _view(mm, specs[f"c{i}_alleles"]).astype("<U1"),
+                "alleles": al,
                 "genotypes": None,
                 "geno2b": packed,
                 "geno2b_digest": (bytes.fromhex(digs[i])

@@ -643,12 +643,15 @@ def _device_cache_put(key, entry) -> None:
 
 
 def clear_device_cache() -> None:
-    global _device_cache_bytes
+    global _device_cache_bytes, _plane_cache_bytes
     cv = _ship_cond()
     with cv:
         if _device_cache is not None:
             _device_cache.clear()
         _device_cache_bytes = 0
+        if _plane_cache is not None:
+            _plane_cache.clear()
+        _plane_cache_bytes = 0
 
 
 def _prefetch_worker(chroms, cancel) -> None:
@@ -847,24 +850,43 @@ def lod_windows_pallas_prepacked_raw(packed, nloci: int,
     return win, nwin
 
 
+_plane_cache: "OrderedDict" = None  # lazy; separate LRU so plane churn
+_plane_cache_bytes = 0              # never evicts big genotype payloads
+
+
 def _device_plane(plane: np.ndarray):
     """Content-keyed HBM residency for small per-locus input planes (the
     padded freq row, the window-missing mask).  On a warm device-cached
     run these ~2.5 MB/chromosome uploads were the ENTIRE Phase-I wait
     (the tunneled link moves ~10-40 MB/s H2D while the kernels finish in
     <1 ms) — caching them drops the warm-run fetch wait from ~170 ms to
-    the link's round-trip floor."""
+    the link's round-trip floor.  Budget: 1/8 of the genotype cache's,
+    capped at 64 MB, in its own LRU."""
     import jax.numpy as jnp
 
-    if _device_cache_budget() <= 0:
+    global _plane_cache, _plane_cache_bytes
+    budget = min(_device_cache_budget() // 8, 64 << 20)
+    if budget <= 0 or plane.nbytes > budget:
         return jnp.asarray(plane)
     from ..core.digest import content_digest
-    key = ("plane", plane.dtype.str, plane.shape, content_digest(plane))
-    hit = _device_cache_get(key)
-    if hit is not None:
-        return hit[1]
+    key = (plane.dtype.str, plane.shape, content_digest(plane))
+    cv = _ship_cond()
+    with cv:
+        if _plane_cache is None:
+            from collections import OrderedDict
+            _plane_cache = OrderedDict()
+        hit = _plane_cache.pop(key, None)
+        if hit is not None:
+            _plane_cache[key] = hit  # LRU bump
+            return hit
     arr = jnp.asarray(plane)
-    _device_cache_put(key, ("pl", arr))
+    with cv:
+        if key not in _plane_cache:
+            while _plane_cache and _plane_cache_bytes + arr.nbytes > budget:
+                _, old = _plane_cache.popitem(last=False)
+                _plane_cache_bytes -= old.nbytes
+            _plane_cache[key] = arr
+            _plane_cache_bytes += arr.nbytes
     return arr
 
 

@@ -4,6 +4,7 @@ long-locus-name freq writing (the snprintf OOB fix), and bar behavior."""
 import gzip
 import io
 import os
+import tempfile
 
 import numpy as np
 import pytest
@@ -396,3 +397,63 @@ def test_derived_digest_cache_key():
     finally:
         pl.clear_device_cache()
         pl.clear_ship_stash()
+
+
+def test_device_plane_cache():
+    """_device_plane keeps small input planes (freq row, missing mask)
+    device-resident keyed by content: same bytes -> same device buffer,
+    different bytes -> different buffer; values always round-trip; the
+    plane LRU stays within its budget and never touches the genotype
+    cache."""
+    from garlic_tpu.ops import pallas_lod as pl
+
+    pl.clear_device_cache()
+    try:
+        a = np.arange(512, dtype=np.float32)
+        d1 = pl._device_plane(a)
+        d2 = pl._device_plane(a.copy())          # same content
+        assert d1 is d2, "identical content must hit the plane cache"
+        np.testing.assert_array_equal(np.asarray(d1), a)
+        b = a + 1
+        d3 = pl._device_plane(b)
+        assert d3 is not d1
+        np.testing.assert_array_equal(np.asarray(d3), b)
+        # same bytes, different dtype/shape must not alias
+        d4 = pl._device_plane(a.view(np.int32))
+        assert d4 is not d1
+        assert not pl._device_cache, "planes must not enter the geno cache"
+        assert pl._plane_cache_bytes <= min(
+            pl._device_cache_budget() // 8, 64 << 20)
+    finally:
+        pl.clear_device_cache()
+
+
+def test_panel_cache_alleles_zero_copy():
+    """v3+ sidecars store alleles as raw UCS4 so warm loads view them
+    zero-copy as '<U1' (the old S1 encoding cost ~45 ms/chromosome in
+    bytes->unicode conversion per load)."""
+    from garlic_tpu.io import panelcache
+
+    with tempfile.TemporaryDirectory() as td:
+        tped = os.path.join(td, "p.tped")
+        with open(tped, "w") as f:
+            f.write("stub\n")
+        rng = np.random.default_rng(3)
+        L, I = 97, 5
+        chroms = [{
+            "chrom": "chr1",
+            "positions": np.arange(L, dtype=np.int64) * 100,
+            "gpos": np.zeros(L),
+            "alleles": rng.choice(list("ACGT"), L).astype("<U1"),
+            "genotypes": rng.integers(0, 3, size=(I, L)).astype(np.int8),
+            "freq": rng.uniform(0.1, 0.9, L),
+            "names": [f"rs{i}" for i in range(L)],
+        }]
+        panelcache.save_cache(tped, chroms, I)
+        out = panelcache.load_cache(tped, want_fc=False)
+        assert out is not None
+        al = out[0]["alleles"]
+        assert al.dtype == np.dtype("<U1")
+        np.testing.assert_array_equal(al, chroms[0]["alleles"])
+        # zero-copy: the array must be a view into the mapped file
+        assert not al.flags.owndata
