@@ -141,6 +141,27 @@ def read_freq(freqfile: str, chroms: List[ChromData], log=None) -> None:
     opener = gzip.open if freqfile.endswith(".gz") else open
     import sys
     print(f"Reading {freqfile}", file=sys.stderr)
+    # native fast path: one OpenMP pass (~0.1 s/1M loci vs ~1.8 s for the
+    # line loop below).  Any anomaly -> None -> the Python loop re-parses
+    # and produces the reference's exact error text.
+    try:
+        from ..native import read_freq_native
+        names_raw = b"\n".join(
+            c.locus_names.raw if hasattr(c.locus_names, "raw")
+            else "\n".join(c.locus_names).encode() for c in chroms)
+        alleles = np.concatenate(
+            [np.asarray(c.alleles) for c in chroms]) if chroms else \
+            np.empty(0, dtype="S1")
+        freqs = read_freq_native(freqfile, names_raw, alleles,
+                                 expected_rows - 1)
+        if freqs is not None:
+            o = 0
+            for c in chroms:
+                c.freq = freqs[o:o + c.nloci].copy()
+                o += c.nloci
+            return
+    except ImportError:
+        pass
     with opener(freqfile, "rt") as fin:
         fin.readline()  # header
         line_num = 1

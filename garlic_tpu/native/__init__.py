@@ -21,5 +21,6 @@ from .build import (  # noqa: F401
     repad_2bit_native,
     set_native_threads,
     unpack_2bit_native,
+    read_freq_native,
     write_freq_chrom_native,
 )

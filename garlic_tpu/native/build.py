@@ -86,6 +86,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.gt_read_freq.restype = ctypes.c_int
+        lib.gt_read_freq.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double)]
         lib.gt_lod_windows_exact_tbl.restype = None
         lib.gt_lod_windows_exact_tbl.argtypes = [
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
@@ -381,6 +386,23 @@ def hash128_native(arr: np.ndarray) -> Optional[bytes]:
     out = (ctypes.c_uint64 * 2)()
     lib.gt_hash128(arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes, out)
     return bytes(out)
+
+
+def read_freq_native(path: str, names_raw: bytes, alleles: np.ndarray,
+                     nloci: int) -> "np.ndarray | None":
+    """Happy-path freq-file parse (5-column validation, locus-name match,
+    allele flip); None on any anomaly or missing lib — the caller falls
+    back to the Python reader, whose error text matches the reference."""
+    lib = _load()
+    if lib is None:
+        return None
+    al = np.ascontiguousarray(alleles.astype("S1"))
+    out = np.empty(nloci, dtype=np.float64)
+    rc = lib.gt_read_freq(
+        path.encode(), names_raw, len(names_raw),
+        al.ctypes.data_as(ctypes.c_char_p), nloci,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out if rc == 0 else None
 
 
 def write_freq_chrom_native(path: str, append: bool, chrom: str,

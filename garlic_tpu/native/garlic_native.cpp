@@ -19,6 +19,7 @@
 //
 // Exposed as a C ABI for ctypes.  Build: see build.py.
 
+#include <atomic>
 #include <cctype>
 #include <chrono>
 #include <condition_variable>
@@ -1088,6 +1089,114 @@ void gt_pack_2bit(const int8_t *src, uint8_t *dst, int64_t n) {
     }
     dst[i >> 2] = b;
   }
+}
+
+// Happy-path freq-file reader (gz or plain; zlib transparently reads
+// both).  Parses the reference's 5-column table (garlic-data.cpp
+// readFreqData semantics: skip header, whitespace-tokenized rows,
+// row/column-count and locus-name validation, allele flip on mismatch)
+// and fills out_freq[nloci].  ANY anomaly returns nonzero WITHOUT
+// localizing it: the caller re-parses with the Python reader, which
+// reproduces the reference's exact error text — so this path stays a
+// pure fast path.  names: '\n'-joined locus names across all
+// chromosomes in file order; alleles: one char per locus.
+int gt_read_freq(const char *path, const char *names, int64_t names_len,
+                 const char *alleles, int64_t nloci, double *out_freq) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return 6;
+  gzbuffer(f, 1 << 20);
+  std::string data;
+  data.reserve(16u << 20);
+  std::vector<char> chunk(4u << 20);
+  for (;;) {
+    int got = gzread(f, chunk.data(), (unsigned)chunk.size());
+    if (got < 0) { gzclose(f); return 6; }
+    data.append(chunk.data(), (size_t)got);
+    if ((size_t)got < chunk.size()) break;
+  }
+  gzclose(f);
+  const char *p = data.data();
+  const char *end = p + data.size();
+  const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+  if (!nl) return 1;  // header only / empty
+  p = nl + 1;
+  // row boundaries for exactly nloci data rows (extra trailing lines are
+  // ignored, like the Python reader)
+  std::vector<const char *> rb((size_t)nloci), re((size_t)nloci);
+  for (int64_t r = 0; r < nloci; r++) {
+    if (p >= end) return 1;  // short file
+    const char *q = (const char *)memchr(p, '\n', (size_t)(end - p));
+    if (!q) q = end;
+    rb[(size_t)r] = p;
+    re[(size_t)r] = q;
+    p = q + 1;
+  }
+  // name offsets from the '\n'-joined blob
+  std::vector<const char *> nb((size_t)nloci), ne((size_t)nloci);
+  {
+    const char *np = names;
+    const char *nend = names + names_len;
+    for (int64_t r = 0; r < nloci; r++) {
+      const char *q = (const char *)memchr(np, '\n', (size_t)(nend - np));
+      if (!q) q = nend;
+      nb[(size_t)r] = np;
+      ne[(size_t)r] = q;
+      np = q < nend ? q + 1 : nend;
+    }
+  }
+  auto is_ws = [](char c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+  };
+  // parse row r into out_freq[r]; returns false on any anomaly
+  int ncols0 = -1;
+  auto parse_row = [&](int64_t r, int *ncols_out) -> bool {
+    const char *s = rb[(size_t)r];
+    const char *e = re[(size_t)r];
+    const char *tb[5];
+    const char *te[5];
+    int ncols = 0;
+    while (s < e) {
+      while (s < e && is_ws(*s)) s++;
+      if (s >= e) break;
+      const char *t0 = s;
+      while (s < e && !is_ws(*s)) s++;
+      if (ncols < 5) { tb[ncols] = t0; te[ncols] = s; }
+      ncols++;
+    }
+    *ncols_out = ncols;
+    if (ncols < 5) return false;
+    // locus name match (field 1)
+    size_t nlen = (size_t)(ne[(size_t)r] - nb[(size_t)r]);
+    if ((size_t)(te[1] - tb[1]) != nlen ||
+        memcmp(tb[1], nb[(size_t)r], nlen) != 0)
+      return false;
+    // freq (field 4): full-token strtod, same accepted forms as float()
+    char buf[64];
+    size_t flen = (size_t)(te[4] - tb[4]);
+    if (flen == 0 || flen >= sizeof(buf)) return false;
+    memcpy(buf, tb[4], flen);
+    buf[flen] = '\0';
+    char *endp = nullptr;
+    double fr = strtod(buf, &endp);
+    if (endp != buf + flen) return false;
+    // allele flip (field 3 vs the panel's '1' allele)
+    if (!((te[3] - tb[3]) == 1 && tb[3][0] == alleles[r])) fr = 1.0 - fr;
+    out_freq[r] = fr;
+    return true;
+  };
+  if (nloci == 0) return 0;
+  if (!parse_row(0, &ncols0)) return 2;
+  std::atomic<int> bad{0};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 1; r < nloci; r++) {
+    if (bad.load(std::memory_order_relaxed)) continue;
+    int nc = 0;
+    if (!parse_row(r, &nc) || nc != ncols0)
+      bad.store(1, std::memory_order_relaxed);
+  }
+  return bad.load() ? 2 : 0;
 }
 
 }  // extern "C"

@@ -449,3 +449,81 @@ def test_genetic_map_interpolation(tmp_path):
     pos = np.array([1000, 1500, 2000, 3000, 4000], dtype=np.int64)
     gp, ninterp = interpolate_genetic_map(pos, scaff[0])
     np.testing.assert_allclose(gp, [0.0, 0.5, 1.0, 2.0, 3.0])
+
+
+def test_native_freq_reader_matches_python(tmp_path):
+    """gt_read_freq must reproduce the Python reader bit-for-bit on the
+    happy path (incl. allele flips and extra-but-consistent columns) and
+    decline (-> Python fallback) on every anomaly the reference errors
+    on, so .error text stays byte-compatible."""
+    from garlic_tpu.native import native_available, read_freq_native
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    p = str(tmp_path / "x.tped")
+    _write(p, TPED_BASIC)
+    ds, _ = _load(p)
+    fpath = str(tmp_path / "out.freq")
+    freqfile.write_freq(fpath, ds.chroms)
+
+    def names_alleles(chroms):
+        raw = b"\n".join(c.locus_names.raw if hasattr(c.locus_names, "raw")
+                         else "\n".join(c.locus_names).encode()
+                         for c in chroms)
+        al = np.concatenate([np.asarray(c.alleles) for c in chroms])
+        return raw, al
+
+    raw, al = names_alleles(ds.chroms)
+    n = sum(c.nloci for c in ds.chroms)
+    got = read_freq_native(fpath + ".gz", raw, al, n)
+    assert got is not None
+    ds2, _ = _load(p)
+    for c in ds2.chroms:
+        c.freq = None
+    freqfile.read_freq(fpath + ".gz", ds2.chroms)
+    np.testing.assert_array_equal(
+        got, np.concatenate([np.asarray(c.freq) for c in ds2.chroms]))
+
+    # allele flip parity
+    al2 = al.copy()
+    al2[0] = "Q"
+    got2 = read_freq_native(fpath + ".gz", raw, al2, n)
+    assert got2 is not None and got2[0] == 1.0 - got[0]
+    np.testing.assert_array_equal(got2[1:], got[1:])
+
+    # plain-text (non-gz) file works too
+    import gzip as _gz
+    with _gz.open(fpath + ".gz", "rb") as f:
+        txt = f.read()
+    plain = str(tmp_path / "plain.freq")
+    with open(plain, "wb") as f:
+        f.write(txt)
+    np.testing.assert_array_equal(
+        read_freq_native(plain, raw, al, n), got)
+
+    # extra-but-consistent sixth column: accepted (matches Python)
+    lines = txt.decode().rstrip("\n").split("\n")
+    six = "\n".join(l + "\textra" for l in lines) + "\n"
+    p6 = str(tmp_path / "six.freq")
+    with open(p6, "w") as f:
+        f.write(six)
+    np.testing.assert_array_equal(read_freq_native(p6, raw, al, n), got)
+
+    # anomalies must return None (Python fallback raises the real error)
+    def variant(name, mutate):
+        v = str(tmp_path / name)
+        with open(v, "w") as f:
+            f.write(mutate(lines[:]))
+        return read_freq_native(v, raw, al, n)
+
+    assert variant("short.freq",
+                   lambda ls: "\n".join(ls[:-1]) + "\n") is None
+    assert variant("badcols.freq", lambda ls: "\n".join(
+        ls[:2] + ["chr1\tonly\tfour\tcols"] + ls[3:]) + "\n") is None
+    assert variant("ragged.freq", lambda ls: "\n".join(
+        ls[:2] + [ls[2] + "\textra"] + ls[3:]) + "\n") is None
+    assert variant("mismatch.freq", lambda ls: "\n".join(
+        ls[:1] + [ls[1].replace("rs1", "rsX")] + ls[2:]) + "\n") is None
+    assert variant("badfloat.freq", lambda ls: "\n".join(
+        ls[:1] + ["\t".join(ls[1].split("\t")[:4] + ["0.5junk"])]
+        + ls[2:]) + "\n") is None
