@@ -465,3 +465,50 @@ def test_custom_tped_missing_code(oracle_bin, tmp_path):
     rc = run_ours(wd, args + ["--out", "ours"])
     assert rc == 0
     _assert_same(wd, "oracle", "ours", [".roh.bed", ".freq.gz"])
+
+
+@pytest.mark.slow
+def test_corrupt_freq_file_error_parity(oracle_bin, tmp_path):
+    """--freq-file validation errors must produce byte-identical .error
+    files (readFreqData, src/garlic-data.cpp:1345-1440) — incl. with the
+    native fast reader in front, which declines on any anomaly so the
+    Python reader re-parses and emits the reference's exact text."""
+    import gzip as _gz
+    import subprocess
+
+    from .util import run_ours
+
+    panel, tped, tfam = _prepare(tmp_path, nind=12, nloci_per_chr=(500,),
+                                 seed=77)
+    wd = str(tmp_path)
+    base = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--kde-subsample", "0", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000"]
+    # generate a clean freq file first
+    r = run_oracle(oracle_bin, wd, base + ["--out", "seed"])
+    assert r.returncode == 0
+    with _gz.open(os.path.join(wd, "seed.freq.gz"), "rt") as f:
+        lines = f.read().rstrip("\n").split("\n")
+
+    def write_freq(name, ls):
+        with _gz.open(os.path.join(wd, name), "wt") as f:
+            f.write("\n".join(ls) + "\n")
+
+    cases = {
+        "mismatch.freq.gz": lines[:10] + [lines[10].replace("rs", "zz", 1)]
+        + lines[11:],
+        "short.freq.gz": lines[:-5],
+        "badcols.freq.gz": lines[:5] + ["chr1\tonly\tfour\tcols"]
+        + lines[6:],
+    }
+    for name, ls in cases.items():
+        write_freq(name, ls)
+        args = base + ["--freq-file", name]
+        r = run_oracle(oracle_bin, wd, args + ["--out", f"o_{name}"])
+        assert r.returncode != 0
+        rc = run_ours(wd, args + ["--out", f"m_{name}"])
+        assert rc != 0
+        a = read_text(os.path.join(wd, f"o_{name}.error"))
+        b = read_text(os.path.join(wd, f"m_{name}.error"))
+        assert a == b, f"{name}: {_first_diff(a, b)}"
