@@ -231,6 +231,7 @@ def _covered_kernel_factory():
 
 
 _covered_jit = None
+_cov_jit = None
 _edges_jit = None
 _EDGE_BLOCK = 128      # SNPs per edge block
 _EDGE_CAP = 1 << 14    # final-tier block cap before bitmap fallback
@@ -249,6 +250,39 @@ def _edge_tiers():
     return (t1, t2) if t1 != t2 else (t2,)
 
 
+_COV_BUCKET = 8192  # covered-width bucket: all winsizes of one panel
+                    # share the edge-extract executable (see below)
+
+
+def _cov_kernel_factory():
+    """Coverage bits, bucketed: SNP s is covered when >= threshold
+    cutoff-passing windows span it (assembleROHWindows' inWin
+    accumulation, src/garlic-roh.cpp:446-454).  winsize is static (the
+    exact shifted-add window sum unrolls over it) but this program is
+    SMALL — a couple of seconds of XLA compile — unlike the edge
+    extraction below, which costs ~22 s to compile and is therefore kept
+    winsize-independent behind a bucketed shape."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("winsize", "outw2"))
+    def _cov(win, cutoff, threshold, winsize: int, outw2: int):
+        from .lod import window_sums_exact
+
+        above = (win >= cutoff).astype(jnp.float32)
+        I, N = above.shape
+        z = jnp.zeros((I, winsize - 1), jnp.float32)
+        padded = jnp.concatenate([z, above, z], axis=1)
+        covered = window_sums_exact(padded, winsize) >= threshold
+        outw = N + winsize - 1
+        if outw2 > outw:
+            covered = jnp.concatenate(
+                [covered, jnp.zeros((I, outw2 - outw), bool)], axis=1)
+        return covered
+
+    return _cov
+
+
 def _edges_kernel_factory():
     """Block-sparse exact edge extraction: ROH coverage is long runs, so
     the 0->1/1->0 transition bitmap is extremely sparse.  Two-stage
@@ -257,37 +291,35 @@ def _edges_kernel_factory():
     nonempty blocks' bits are gathered, and a second nonzero over
     cap x 128 yields EXACT global edge indices.  Everything (counts, the
     row-tail flags, the indices) is fused into ONE i32 array so a single
-    D2H round trip (~260 KB) replaces the former per-array fetches of
-    packed block bitmaps — the tunneled link pays ~25 ms latency per
-    transfer and ~10-40 MB/s, so both transfer count and bytes matter."""
+    D2H round trip (~34 KB tier 0) replaces the former per-array fetches
+    of packed block bitmaps — the tunneled link pays ~25 ms latency per
+    transfer and ~10-40 MB/s, so both transfer count and bytes matter.
+
+    The program takes the bucketed covered matrix plus a TRACED true
+    width `outw`, so its ~22 s XLA compile is paid once per (I, bucket)
+    shape rather than once per winsize (an --auto-winsize search or a
+    winsize sweep would otherwise recompile it per candidate)."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("winsize", "cap", "block", "ecap"))
-    def _edges(win, cutoff, threshold, winsize: int, cap: int, block: int,
-               ecap: int):
-        from .lod import window_sums_exact
-
-        above = (win >= cutoff).astype(jnp.float32)
-        I, N = above.shape
-        z = jnp.zeros((I, winsize - 1), jnp.float32)
-        padded = jnp.concatenate([z, above, z], axis=1)
-        covered = window_sums_exact(padded, winsize) >= threshold
+    @partial(jax.jit, static_argnames=("cap", "block", "ecap"))
+    def _edges(covered, outw, cap: int, block: int, ecap: int):
         # optimization_barrier between the dense stages and each sparse
-        # compaction: without them XLA fuses the window-sum producer into
+        # compaction: without them XLA fuses the dense producers into
         # the nonzero/gather consumer loops, which lower to the scalar
-        # core and recompute it per element — 65 ms/chromosome instead of
-        # 0.3 ms at bench scale (measured, bit-identical output)
+        # core and recompute them per element — 65 ms/chromosome instead
+        # of 0.3 ms at bench scale (measured, bit-identical output)
         covered = jax.lax.optimization_barrier(covered)
+        I, OUTW2 = covered.shape
         prev = jnp.concatenate(
             [jnp.zeros((I, 1), bool), covered[:, :-1]], axis=1)
         edge = covered != prev
-        outw = edge.shape[1]
-        nb = -(-outw // block)
-        pad = nb * block - outw
-        if pad:
-            edge = jnp.concatenate(
-                [edge, jnp.zeros((I, pad), bool)], axis=1)
+        # mask pad-region transitions: a run reaching outw-1 would
+        # otherwise record a closing edge at column outw, whose flat
+        # index collides with the next row's column 0 (trailing runs are
+        # closed host-side via the `last` flags instead)
+        edge = edge & (jnp.arange(OUTW2, dtype=jnp.int32)[None, :] < outw)
+        nb = OUTW2 // block  # OUTW2 is a block multiple by construction
         eb = edge.reshape(I * nb, block)
         summary = jnp.any(eb, axis=1)
         nblk = jnp.sum(summary).astype(jnp.int32)
@@ -306,9 +338,10 @@ def _edges_kernel_factory():
             loc >= 0,
             (bid // nb) * outw + (bid % nb) * block + loc % block,
             -1).astype(jnp.int32)
+        last = jax.lax.dynamic_slice(covered, (0, outw - 1), (I, 1))[:, 0]
         out = jnp.concatenate([
             jnp.stack([nblk, nedge]),
-            covered[:, -1].astype(jnp.int32),
+            last.astype(jnp.int32),
             gidx])
         return out
 
@@ -381,17 +414,20 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
 
 def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
                     threshold: float, tier: int):
-    global _edges_jit
+    global _cov_jit, _edges_jit
     import jax.numpy as jnp
 
+    if _cov_jit is None:
+        _cov_jit = _cov_kernel_factory()
     if _edges_jit is None:
         _edges_jit = _edges_kernel_factory()
     cap, icap = _edge_tiers()[tier]
     I, N = dwin.win.shape
     outw = N + winsize - 1
-    fused = _edges_jit(
-        dwin.win, jnp.float32(cutoff), jnp.float32(threshold), winsize,
-        cap, _EDGE_BLOCK, icap)
+    outw2 = -(-outw // _COV_BUCKET) * _COV_BUCKET
+    covered = _cov_jit(dwin.win, jnp.float32(cutoff),
+                       jnp.float32(threshold), winsize, outw2)
+    fused = _edges_jit(covered, jnp.int32(outw), cap, _EDGE_BLOCK, icap)
     _start_host_copy(fused)
     return ("edges", dwin, cutoff, winsize, threshold,
             (fused, I, outw, tier))
