@@ -173,7 +173,7 @@ def _draw_variant_config(rng: np.random.Generator):
         args += ["--map", "f.map.gz", "--weighted", "--ld-subsample", "0",
                  "--lod-cutoff", f"{rng.uniform(20, 80):.2f}",
                  "--size-bounds", "300000", "800000"]
-        if mode == "weighted" and rng.random() < 0.5:
+        if rng.random() < 0.5:     # orthogonal to USE_GL in the reference
             args += ["--phased"]   # r2 LD from first-copy haplotype bits
     elif mode == "cm":
         lo = rng.uniform(0.3, 0.8)

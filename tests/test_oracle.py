@@ -512,3 +512,27 @@ def test_corrupt_freq_file_error_parity(oracle_bin, tmp_path):
         a = read_text(os.path.join(wd, f"o_{name}.error"))
         b = read_text(os.path.join(wd, f"m_{name}.error"))
         assert a == b, f"{name}: {_first_diff(a, b)}"
+
+
+@pytest.mark.slow
+def test_phased_weighted_tgls_combined(oracle_bin, tmp_path):
+    """--weighted --phased + --tgls: r2 LD from first-copy haplotype
+    bits combined with per-genotype GL error in the wLOD (PHASED and
+    USE_GL are orthogonal in the reference, garlic-main.cpp)."""
+    from .util import write_map_scaffold, write_tgls
+    panel, tped, tfam = _prepare(tmp_path, nind=18,
+                                 nloci_per_chr=(2500,), seed=84)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), "GQ")
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted", "--phased",
+            "--tgls", "p.tgls.gz", "--gl-type", "GQ",
+            "--build", "hg18", "--winsize", "30",
+            "--lod-cutoff", "40", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
