@@ -244,10 +244,17 @@ def compute_kde_wins(win_by_chr, step: int, ind_idx=None,
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     N = flat.shape[0]
     block = 1 << 18
-    pad = -(-max(N, 1) // block) * block - N
-    if pad:
+    # pad to the next power of two, not just the next block multiple:
+    # the thinned sample count varies with every winsize candidate, and
+    # an exact-N shape recompiles this (sort-heavy, ~20 s) program per
+    # candidate of a winsize search.  MISSING pads are masked out of the
+    # statistics and contribute exactly 0 to the transform, so only the
+    # sort pays the <=2x padding.
+    import math
+    total = 1 << math.ceil(math.log2(max(N, block)))
+    if total > N:
         flat = jnp.concatenate(
-            [flat, jnp.full(pad, jnp.float32(MISSING))])
+            [flat, jnp.full(total - N, jnp.float32(MISSING))])
     with jax.enable_x64(True):
         out = np.asarray(_kde_flat_factory()(flat, block))
     n = int(out[1024])
