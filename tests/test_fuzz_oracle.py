@@ -20,6 +20,12 @@ Campaign results (2026-08-17):
 - mesh consistency (random 2x4/4x2/8x1/1x8 meshes vs single device),
   seeds 0:20 — 20/20 identical
 Zero unexplained divergences.
+
+Campaign re-run (2026-08-18, after the round-2-final engine: fused
+weighted Phase I, VPU select/slice kernels, plane/aux HBM caches, UCS4
+sidecar, split edge extractor, native freq reader): plain seeds 0:300,
+variants (now incl. --phased and phased+TGLS) 0:32, mesh 0:8, streaming
+0:8 — all green, zero divergences.
 """
 
 from __future__ import annotations
