@@ -1,4 +1,4 @@
-"""Count annotated variant effects inside/outside called ROH (companion
+r"""Count annotated variant effects inside/outside called ROH (companion
 tool).
 
 Reproduces src/count_features_in_roh.pl (reference, 412 LoC): takes a
