@@ -159,8 +159,8 @@ def _lod_windows_pallas_padded(geno, table, winsize: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BI, BL), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -218,7 +218,7 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BI, BL), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((I2, NW2), jnp.float32),
