@@ -536,3 +536,41 @@ def test_phased_weighted_tgls_combined(oracle_bin, tmp_path):
     rc = run_ours(wd, args + ["--out", "ours"])
     assert rc == 0
     _assert_same(wd, "oracle", "ours", [".roh.bed"])
+
+
+@pytest.mark.slow
+def test_noncontiguous_chromosome_blocks(oracle_bin, tmp_path):
+    """A chromosome name that REAPPEARS later in the TPED starts a new
+    independent block (the reference splits on name change,
+    src/garlic-data.cpp:66-91, and never merges revisited names) — BED
+    and log must match on such inputs."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    lines = []
+    pos = 100000
+    for chrom, n in (("1", 300), ("2", 300), ("1", 300)):
+        for _ in range(n):
+            pos += int(rng.integers(500, 3000))
+            alleles = []
+            for _k in range(20):
+                alleles += list(rng.choice(["A", "C"], 2, p=[0.8, 0.2]))
+            lines.append(f"{chrom} rs{chrom}_{pos} 0 {pos} "
+                         + " ".join(alleles))
+    wd = str(tmp_path)
+    with open(os.path.join(wd, "nc.tped"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(wd, "nc.tfam"), "w") as f:
+        for k in range(20):
+            f.write(f"P1 ind{k} 0 0 1 1\n")
+    args = ["--tped", "nc.tped", "--tfam", "nc.tfam", "--build", "hg18",
+            "--winsize", "30", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.0", "--size-bounds", "100000", "300000"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+    a = read_text(os.path.join(wd, "oracle.log")).splitlines()[1:]
+    b = read_text(os.path.join(wd, "ours.log")).splitlines()[1:]
+    assert [x.replace("oracle", "B") for x in a] == \
+           [x.replace("ours", "B") for x in b]
