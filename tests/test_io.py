@@ -527,3 +527,29 @@ def test_native_freq_reader_matches_python(tmp_path):
     assert variant("badfloat.freq", lambda ls: "\n".join(
         ls[:1] + ["\t".join(ls[1].split("\t")[:4] + ["0.5junk"])]
         + ls[2:]) + "\n") is None
+
+
+def test_tped_tfam_count_mismatch_errors(tmp_path):
+    """Deliberate divergence (PARITY.md): the reference silently
+    overwrites the individual count with the TFAM's line count
+    (garlic-data.cpp:1957) — shorter TFAM silently truncates the
+    analysis, longer TFAM reads past the genotype rows.  garlic-tpu
+    must error cleanly in BOTH directions."""
+    from garlic_tpu.pipeline import run_main
+
+    p = str(tmp_path / "x.tped")
+    _write(p, TPED_BASIC)
+    nind = len(TPED_BASIC.splitlines()[0].split()[4:]) // 2
+    base = ["--tped", p, "--build", "hg18", "--winsize", "2",
+            "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.0", "--size-bounds", "1000", "2000"]
+    for extra in (-1, +1):
+        tf = str(tmp_path / f"t{extra}.tfam")
+        with open(tf, "w") as f:
+            for k in range(nind + extra):
+                f.write(f"P1 ind{k} 0 0 1 1\n")
+        out = str(tmp_path / f"o{extra}")
+        rc = run_main(base + ["--tfam", tf, "--out", out])
+        assert rc != 0
+        err = open(out + ".error").read()
+        assert "TPED and TFAM disagree on individual count" in err

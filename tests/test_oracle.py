@@ -574,3 +574,36 @@ def test_noncontiguous_chromosome_blocks(oracle_bin, tmp_path):
     b = read_text(os.path.join(wd, "ours.log")).splitlines()[1:]
     assert [x.replace("oracle", "B") for x in a] == \
            [x.replace("ours", "B") for x in b]
+
+
+@pytest.mark.slow
+def test_tfam_validation_error_parity(oracle_bin, tmp_path):
+    """.error parity for TFAM validation failures: multiple population
+    IDs and duplicate individual IDs (scanIndData3,
+    src/garlic-data.cpp:1893-1961)."""
+    panel, tped, tfam = _prepare(tmp_path, nind=12, nloci_per_chr=(400,),
+                                 seed=9)
+    wd = str(tmp_path)
+    lines = open(os.path.join(wd, "panel.tfam")).read().splitlines()
+    cases = {}
+    mp = [l if i < 6 else "POPX " + l.split(None, 1)[1]
+          for i, l in enumerate(lines)]
+    cases["mp.tfam"] = "\n".join(mp) + "\n"
+    parts = lines[3].split()
+    dup = list(lines)
+    dup[3] = " ".join([parts[0], lines[0].split()[1]] + parts[2:])
+    cases["dup.tfam"] = "\n".join(dup) + "\n"
+    base = ["--tped", "panel.tped.gz", "--build", "hg18", "--winsize", "30",
+            "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.0", "--size-bounds", "100000", "300000"]
+    for name, content in cases.items():
+        with open(os.path.join(wd, name), "w") as f:
+            f.write(content)
+        args = base + ["--tfam", name]
+        r = run_oracle(oracle_bin, wd, args + ["--out", f"o_{name}"])
+        assert r.returncode != 0
+        rc = run_ours(wd, args + ["--out", f"m_{name}"])
+        assert rc != 0
+        a = read_text(os.path.join(wd, f"o_{name}.error"))
+        b = read_text(os.path.join(wd, f"m_{name}.error"))
+        assert a == b, f"{name}: {_first_diff(a, b)}"
