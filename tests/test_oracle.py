@@ -607,3 +607,39 @@ def test_tfam_validation_error_parity(oracle_bin, tmp_path):
         a = read_text(os.path.join(wd, f"o_{name}.error"))
         b = read_text(os.path.join(wd, f"m_{name}.error"))
         assert a == b, f"{name}: {_first_diff(a, b)}"
+
+
+@pytest.mark.slow
+def test_tgls_column_mismatch_error_parity(oracle_bin, tmp_path):
+    """.error parity for TGLS shape failures (readTGLSData,
+    src/garlic-data.cpp:1543-1549): a truncated file (EOF -> 0 fields)
+    and a row with an extra column both abort with the reference's
+    'Incorrect number of columns' text, byte-identical."""
+    import gzip as _gz
+
+    from .util import write_tgls
+    panel, tped, tfam = _prepare(tmp_path, nind=15, nloci_per_chr=(800,),
+                                 seed=99)
+    wd = str(tmp_path)
+    write_tgls(panel, os.path.join(wd, "p.tgls.gz"), "GQ")
+    with _gz.open(os.path.join(wd, "p.tgls.gz"), "rt") as f:
+        lines = f.read().rstrip("\n").split("\n")
+    cases = {
+        "trunc.tgls.gz": lines[:-10],
+        "extracol.tgls.gz": lines[:5] + [lines[5] + "\t0.5"] + lines[6:],
+    }
+    base = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--kde-subsample", "0", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--gl-type", "GQ"]
+    for name, ls in cases.items():
+        with _gz.open(os.path.join(wd, name), "wt") as f:
+            f.write("\n".join(ls) + "\n")
+        args = base + ["--tgls", name]
+        r = run_oracle(oracle_bin, wd, args + ["--out", f"o_{name}"])
+        assert r.returncode != 0
+        rc = run_ours(wd, args + ["--out", f"m_{name}"])
+        assert rc != 0
+        a = read_text(os.path.join(wd, f"o_{name}.error"))
+        b = read_text(os.path.join(wd, f"m_{name}.error"))
+        assert a == b, f"{name}: {_first_diff(a, b)}"
