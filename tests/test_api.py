@@ -64,3 +64,24 @@ def test_api_auto_cutoff_and_bounds(tmp_path):
     assert np.isfinite(res.cutoff)
     assert len(res.bounds) == 2
     assert res.bounds[0] < res.bounds[1]
+
+
+def test_tpu_profile_smoke(tmp_path, capfd):
+    """--tpu-profile prints a per-phase breakdown to stderr
+    (PhaseProfiler, garlic_tpu/runtime.py) without perturbing outputs."""
+    from util import run_ours
+
+    tped, tfam = _write_panel(tmp_path, nind=10, nloci_per_chr=(1200,),
+                              seed=9)
+    args = ["--tped", tped, "--tfam", tfam, "--out", str(tmp_path / "p"),
+            "--build", "hg18", "--winsize", "40", "--error", "0.001",
+            "--lod-cutoff", "1.2", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--tpu-profile"]
+    rc = run_ours(str(tmp_path), args)
+    assert rc == 0
+    err = capfd.readouterr().err
+    assert "[profile] phase breakdown:" in err
+    for phase in ("load", "phase1-lod", "phase3-assembly", "write-bed",
+                  "TOTAL"):
+        assert f"[profile]   {phase}" in err, f"missing phase {phase}"
+    assert os.path.exists(str(tmp_path / "p.roh.bed"))

@@ -43,6 +43,16 @@ def test_typed_parsing():
     assert list(a[cli.ARG_BOUND_SIZE]) == [1000.0, 2000.0, 3000.0]
 
 
+def test_scientific_notation_rejected():
+    """param_t::goodDouble (src/param_t.cpp:232-245) only admits digits,
+    one '.', and a leading '-' — '1e-8' is not a valid double there, and
+    our parser preserves the quirk (decimal notation is required)."""
+    with pytest.raises(cli.CLIError, match="1e-8 is not a valid double"):
+        parse("--mu", "1e-8")
+    a = parse("--mu", "0.00000001")
+    assert a[cli.ARG_MU] == pytest.approx(1e-8)
+
+
 def test_help_returns_none(capsys):
     assert parse("--help") is None
     assert "--winsize" in capsys.readouterr().out

@@ -610,6 +610,36 @@ def test_tfam_validation_error_parity(oracle_bin, tmp_path):
 
 
 @pytest.mark.slow
+def test_weighted_custom_mu_M_bed_identical(oracle_bin, tmp_path):
+    """Non-default --mu/--M reach the wLOD decay weights nomut/norec
+    (src/garlic-roh.cpp:134-141: e^{-2*M*mu*dppos} and e^{-2*M*dgpos});
+    every other weighted test runs the defaults (mu=1e-9, M=7), so this
+    pins the parameter plumbing end-to-end against the oracle.
+
+    NB: mu must be written in plain decimal — param_t::goodDouble
+    (src/param_t.cpp:232-245) rejects scientific notation, a quirk our
+    CLI preserves (cli.py:_good_double)."""
+    from .util import write_map_scaffold
+    panel, tped, tfam = _prepare(tmp_path, nind=20,
+                                 nloci_per_chr=(2500, 2000), seed=37)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted",
+            "--build", "hg18", "--winsize", "30", "--error", "0.002",
+            "--mu", "0.00000001", "--M", "5",
+            "--lod-cutoff", "50", "--size-bounds", "300000", "800000",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours"])
+    assert rc == 0
+    _assert_same(wd, "oracle", "ours", [".roh.bed"])
+    diffs = diff_logs(read_text(os.path.join(wd, "oracle.log")),
+                      read_text(os.path.join(wd, "ours.log")))
+    assert not diffs, diffs[:10]
+
+
 def test_tgls_column_mismatch_error_parity(oracle_bin, tmp_path):
     """.error parity for TGLS shape failures (readTGLSData,
     src/garlic-data.cpp:1543-1549): a truncated file (EOF -> 0 fields)
