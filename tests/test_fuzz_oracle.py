@@ -26,6 +26,9 @@ weighted Phase I, VPU select/slice kernels, plane/aux HBM caches, UCS4
 sidecar, split edge extractor, native freq reader): plain seeds 0:300,
 variants (now incl. --phased and phased+TGLS) 0:32, mesh 0:8, streaming
 0:8 — all green, zero divergences.
+
+Campaign extension (2026-08-19): seeds 300:380 across all spaces —
+88/88 green, zero divergences.
 """
 
 from __future__ import annotations

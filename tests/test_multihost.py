@@ -85,6 +85,30 @@ def test_two_process_bed_identical(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_weighted(tmp_path):
+    """--weighted across two processes: the psum'd LD band (pair counts
+    over the dp axis) and the halo'd wLOD scan must reproduce the
+    single-process BED when individuals are split between hosts."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, run_ours, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(3000,), seed=71)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--winsize", "30",
+            "--error", "0.001", "--lod-cutoff", "1.0", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    _run_pair(wd, base + ["--tpu-mesh", "2x4", "--out", "multi"])
+    single = open(os.path.join(wd, "single.roh.bed")).read()
+    multi0 = open(os.path.join(wd, "multi.roh.bed")).read()
+    assert multi0 == single
+
+
+@pytest.mark.slow
 def test_two_process_auto_cutoff_and_bounds(tmp_path):
     """The psum'd KDE + GMM collectives across two processes: auto cutoff
     and auto size bounds agree with the single-process run."""
