@@ -94,6 +94,34 @@ def _r2_band(geno_sub, fc_sub, freq, winsize: int):
     return jnp.stack(cols, axis=1)
 
 
+def _hbm_budget() -> float:
+    """Usable HBM bytes: GARLIC_TPU_HBM_BUDGET env override, else 90% of
+    the device's reported limit, else a 12 GB default (CPU tests)."""
+    import os
+    v = os.environ.get("GARLIC_TPU_HBM_BUDGET")
+    if v:
+        return float(v)
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and ms.get("bytes_limit"):
+            return 0.9 * float(ms["bytes_limit"])
+    except Exception:
+        pass
+    return 12.0 * 1024**3
+
+
+def _fused_peak_estimate(I: int, L2: int, winsize: int) -> float:
+    """Compile-time HBM peak of the fused weighted program, empirically
+    ~26x the [I, L2] f32 plane at W=60 (measured: 55.16 GB for
+    1000 x 524288 — the decode int32 temporaries, the nested
+    where-select score, and the unrolled window sum each hold several
+    full planes live).  A mild W term keeps large winsizes conservative:
+    over-estimating only routes to the chunked path, which computes
+    bit-identical values."""
+    return (16.0 + winsize / 5.0) * I * L2 * 4.0
+
+
 @partial(__import__("jax").jit)
 def _hom_freq_dev(g_full):
     """Per-locus homozygosity frequency of the FULL panel, on device
@@ -146,43 +174,254 @@ def ld_band_device(chrom, winsize: int, phased: bool,
     Loci are padded to a power-of-two bucket with missing genotypes
     (freq/hom-freq 0 -> pairwise LD 0 there) so one compiled program
     serves every chromosome length; rows >= nwin are never read by the
-    wLOD window sum."""
+    wLOD window sum.
+
+    Only the band's rows (the LD subsample) are ever decoded to int8 —
+    the genotypes live as 2-bit bytes and the subsample row-gather
+    happens on the packed matrix.  When even the subsample (or the
+    full-panel hom-freq marginal pass) would exceed the HBM budget,
+    pair counts accumulate over individual chunks: counts are exact
+    integers in f32, so the chunked band is bit-identical to the
+    one-shot band."""
     import jax.numpy as jnp
     from .ld import geno_hom_freq
     from .pallas_lod import _bucket
     I, L = chrom.nind, chrom.nloci
     L2 = _bucket(L, 128)
-    # genotypes come from the device-resident 2-bit cache (decoded on
-    # device; row-gather for the subsample) — the host link only carries
-    # ~I*L/4 bytes once per panel content instead of an [I_sub, L2] int8
-    # matrix per run
-    g_dev = _int8_from_packed(_device_packed(chrom), I, L, L2)
+    budget = _hbm_budget()
+    pk = _device_packed(chrom)
+    sub = None if sub_idx is None else np.asarray(sub_idx, dtype=np.int32)
+    nsub = I if sub is None else int(sub.shape[0])
+    pk_sub = pk if sub is None else pk[jnp.asarray(sub)]
+    # a [n, L2] decode + band holds ~24 n*L2 bytes of int32/f32
+    # temporaries at compile-time peak
+    small_band = 24.0 * nsub * L2 <= 0.5 * budget
     if phased:
-        if sub_idx is not None:
-            g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
-        fc = chrom.first_copy if sub_idx is None \
-            else chrom.first_copy[sub_idx]
-        nsub = fc.shape[0]
-        fcp = np.zeros((nsub, L2), dtype=bool)
-        fcp[:, :L] = fc
+        fc = chrom.first_copy if sub is None else chrom.first_copy[sub]
         fp = np.zeros(L2, dtype=np.float32)
         fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
-        P = _r2_band(g_dev, jnp.asarray(fcp), jnp.asarray(fp), winsize)
+        if small_band:
+            fcp = np.zeros((nsub, L2), dtype=bool)
+            fcp[:, :L] = fc
+            g_sub = _int8_from_packed(pk_sub, nsub, L, L2)
+            P = _r2_band(g_sub, jnp.asarray(fcp), jnp.asarray(fp), winsize)
+        else:
+            P = _r2_band_chunked(pk_sub, fc, jnp.asarray(fp), nsub, L, L2,
+                                 winsize, budget)
     else:
         if chrom.geno_is_packed_only:
-            # marginals from the full-panel decode already on device —
-            # the host int8 matrix (and, with a sidecar digest, even the
-            # filtered packed bytes) never materializes
-            hf_dev = _hom_freq_dev(g_dev)
+            if 24.0 * I * L2 <= 0.5 * budget:
+                # marginals from a full-panel decode on device — the
+                # host int8 matrix never materializes
+                hf_dev = _hom_freq_dev(_int8_from_packed(pk, I, L, L2))
+            else:
+                hf_dev = _hom_freq_chunked(pk, I, L, L2, budget)
         else:
             hf = geno_hom_freq(chrom.genotypes)   # full-panel marginals
             hp = np.zeros(L2, dtype=np.float32)
             hp[:L] = np.nan_to_num(hf)
             hf_dev = jnp.asarray(hp)
-        if sub_idx is not None:
-            g_dev = g_dev[jnp.asarray(np.asarray(sub_idx, dtype=np.int32))]
-        P = _hr2_band(g_dev, hf_dev, winsize)
+        if small_band:
+            g_sub = _int8_from_packed(pk_sub, nsub, L, L2)
+            P = _hr2_band(g_sub, hf_dev, winsize)
+        else:
+            P = _hr2_band_chunked(pk_sub, hf_dev, nsub, L, L2, winsize,
+                                  budget)
     return _assemble_band(P, winsize)
+
+
+def _row_chunks(n: int, budget: float, L2: int,
+                bytes_per_cell: float) -> int:
+    """Rows per chunk so one chunk's working set stays well under the
+    budget; multiple of 8, at least 8."""
+    c = int((0.25 * budget) // (bytes_per_cell * L2))
+    c = max(8, min(n, c - (c % 8) if c >= 8 else 8))
+    return c
+
+
+def _iter_pk_chunks(pk_rows, n: int, C: int):
+    """Yield [C, ...] packed-row blocks; the last block is padded with
+    0xFF rows (2-bit code 3 everywhere = all-missing) so one compiled
+    program serves every chunk.  Pad rows contribute nothing to counts
+    and their scores are sliced away by callers."""
+    import jax.numpy as jnp
+    for s in range(0, n, C):
+        blk = pk_rows[s:s + C]
+        if blk.shape[0] < C:
+            pad = jnp.full((C - blk.shape[0], pk_rows.shape[1]), 255,
+                           pk_rows.dtype)
+            blk = jnp.concatenate([blk, pad])
+        yield blk
+
+
+@partial(__import__("jax").jit, static_argnames=("C", "L", "L2", "winsize"))
+def _hr2_counts_chunk(pk_c, C: int, L: int, L2: int, winsize: int):
+    """Per-offset pair counts over one row chunk: (total, hom-hom) both
+    [L2, W] f32 exact integers (entries past L2-d are 0)."""
+    import jax.numpy as jnp
+    g = _int8_from_packed(pk_c, C, L, L2)
+    valid = (g != -9)
+    homv = valid & (g != 1)
+    vf = valid.astype(jnp.float32)
+    hf = homv.astype(jnp.float32)
+    zero = jnp.zeros((L2,), jnp.float32)
+    tcols, hcols = [zero], [zero]
+    for d in range(1, winsize):
+        if d >= L2:
+            tcols.append(zero)
+            hcols.append(zero)
+            continue
+        t = jnp.sum(vf[:, :-d] * vf[:, d:], axis=0)
+        h = jnp.sum(hf[:, :-d] * hf[:, d:], axis=0)
+        pad = jnp.zeros((d,), jnp.float32)
+        tcols.append(jnp.concatenate([t, pad]))
+        hcols.append(jnp.concatenate([h, pad]))
+    return jnp.stack(tcols, axis=1), jnp.stack(hcols, axis=1)
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _hr2_finalize(T, H, HA, winsize: int):
+    """HR^2 band from accumulated counts — the per-d math is the same
+    expression sequence as _hr2_band, so the result is bit-identical
+    (the count sums themselves are exact integers in f32)."""
+    import jax.numpy as jnp
+    L2 = T.shape[0]
+    ok = (HA > 0) & (HA < 1)
+    denom = HA * (1.0 - HA)
+    zero = jnp.zeros((L2,), jnp.float32)
+    cols = [zero]
+    for d in range(1, winsize):
+        if d >= L2:
+            cols.append(zero)
+            continue
+        hab = H[:-d, d] / T[:-d, d]
+        h = hab - HA[:-d] * HA[d:]
+        hr2 = (h * h) / (denom[:-d] * denom[d:])
+        hr2 = jnp.minimum(hr2, 1.0)
+        hr2 = jnp.where(ok[:-d] & ok[d:], hr2, 0.0)
+        hr2 = jnp.where(jnp.isfinite(hr2), hr2, 0.0)
+        cols.append(jnp.concatenate([hr2, jnp.zeros((d,), jnp.float32)]))
+    return jnp.stack(cols, axis=1)
+
+
+def _hr2_band_chunked(pk_rows, hf_dev, n: int, L: int, L2: int,
+                      winsize: int, budget: float):
+    C = _row_chunks(n, budget, L2, 24.0)
+    T = H = None
+    for blk in _iter_pk_chunks(pk_rows, n, C):
+        t, h = _hr2_counts_chunk(blk, C, L, L2, winsize)
+        T = t if T is None else T + t
+        H = h if H is None else H + h
+    return _hr2_finalize(T, H, hf_dev, winsize)
+
+
+@partial(__import__("jax").jit, static_argnames=("C", "L2"))
+def _bool_from_packed(pb, C: int, L2: int):
+    """[C, L2] bool from bit-packed rows (little-endian packbits)."""
+    import jax.numpy as jnp
+    d = pb.astype(jnp.int32)
+    bits = [(d >> k) & 1 for k in range(8)]
+    return jnp.stack(bits, axis=2).reshape(C, -1)[:, :L2] != 0
+
+
+@partial(__import__("jax").jit, static_argnames=("C", "L", "L2", "winsize"))
+def _r2_counts_chunk(pk_c, fcb, C: int, L: int, L2: int, winsize: int):
+    """Phased pair counts over one row chunk: (2*valid-pair count, x11
+    haplotype count) both [L2, W] f32 exact integers."""
+    import jax.numpy as jnp
+    g = _int8_from_packed(pk_c, C, L, L2)
+    fc = _bool_from_packed(fcb, C, L2)
+    valid = (g != -9)
+    g2 = (g == 2)
+    g1 = (g == 1)
+    zero = jnp.zeros((L2,), jnp.float32)
+    tcols, xcols = [zero], [zero]
+    for d in range(1, winsize):
+        if d >= L2:
+            tcols.append(zero)
+            xcols.append(zero)
+            continue
+        bv = valid[:, :-d] & valid[:, d:]
+        a2, b2 = g2[:, :-d], g2[:, d:]
+        a1, b1 = g1[:, :-d], g1[:, d:]
+        same = fc[:, :-d] == fc[:, d:]
+        x11 = (2 * (a2 & b2) + (a1 & b2) + (a2 & b1)
+               + (a1 & b1 & same)).astype(jnp.float32)
+        x11 = jnp.sum(jnp.where(bv, x11, 0.0), axis=0)
+        total = 2.0 * jnp.sum(bv.astype(jnp.float32), axis=0)
+        pad = jnp.zeros((d,), jnp.float32)
+        tcols.append(jnp.concatenate([total, pad]))
+        xcols.append(jnp.concatenate([x11, pad]))
+    return jnp.stack(tcols, axis=1), jnp.stack(xcols, axis=1)
+
+
+@partial(__import__("jax").jit, static_argnames=("winsize",))
+def _r2_finalize(T, X, p, winsize: int):
+    """r^2 band from accumulated counts (same expression sequence as
+    _r2_band -> bit-identical)."""
+    import jax.numpy as jnp
+    L2 = T.shape[0]
+    ok = (p > 0) & (p < 1)
+    denom = p * (1.0 - p)
+    zero = jnp.zeros((L2,), jnp.float32)
+    cols = [zero]
+    for d in range(1, winsize):
+        if d >= L2:
+            cols.append(zero)
+            continue
+        x11 = X[:-d, d] / T[:-d, d]
+        D = x11 - p[:-d] * p[d:]
+        r2 = (D * D) / (denom[:-d] * denom[d:])
+        r2 = jnp.minimum(r2, 1.0)
+        r2 = jnp.where(ok[:-d] & ok[d:], r2, 0.0)
+        r2 = jnp.where(jnp.isfinite(r2), r2, 0.0)
+        cols.append(jnp.concatenate([r2, jnp.zeros((d,), jnp.float32)]))
+    return jnp.stack(cols, axis=1)
+
+
+def _r2_band_chunked(pk_rows, fc, fp_dev, n: int, L: int, L2: int,
+                     winsize: int, budget: float):
+    import jax.numpy as jnp
+    C = _row_chunks(n, budget, L2, 24.0)
+    fcp = np.zeros((n, L2), dtype=bool)
+    fcp[:, :L] = fc
+    fcb = np.packbits(fcp, axis=1, bitorder="little")
+    T = X = None
+    s = 0
+    for blk in _iter_pk_chunks(pk_rows, n, C):
+        fblk = fcb[s:s + C]
+        if fblk.shape[0] < C:
+            fblk = np.concatenate(
+                [fblk, np.zeros((C - fblk.shape[0], fcb.shape[1]),
+                                fcb.dtype)])
+        t, x = _r2_counts_chunk(blk, jnp.asarray(fblk), C, L, L2, winsize)
+        T = t if T is None else T + t
+        X = x if X is None else X + x
+        s += C
+    return _r2_finalize(T, X, fp_dev, winsize)
+
+
+@partial(__import__("jax").jit, static_argnames=("C", "L", "L2"))
+def _hom_counts_chunk(pk_c, C: int, L: int, L2: int):
+    import jax.numpy as jnp
+    g = _int8_from_packed(pk_c, C, L, L2)
+    valid = (g != -9)
+    hom = valid & (g != 1)
+    return (jnp.sum(valid.astype(jnp.float32), axis=0),
+            jnp.sum(hom.astype(jnp.float32), axis=0))
+
+
+def _hom_freq_chunked(pk, I: int, L: int, L2: int, budget: float):
+    """Full-panel homozygosity marginals accumulated over row chunks
+    (exact integer counts -> identical to the one-shot _hom_freq_dev)."""
+    import jax.numpy as jnp
+    C = _row_chunks(I, budget, L2, 24.0)
+    tot = hom = None
+    for blk in _iter_pk_chunks(pk, I, C):
+        t, h = _hom_counts_chunk(blk, C, L, L2)
+        tot = t if tot is None else tot + t
+        hom = h if hom is None else hom + h
+    return jnp.where(tot > 0, hom / tot, 0.0)
 
 
 @partial(__import__("jax").jit, static_argnames=("I", "L", "L2"))
@@ -364,6 +603,17 @@ def _weighted_aux(chrom, centro, winsize: int, error, max_gap: int,
     return aux, nwin
 
 
+@partial(__import__("jax").jit,
+         static_argnames=("C", "L", "L2", "winsize"))
+def _wlod_chunk(pk_c, table4, inv_ld, missing_row, C: int, L: int, L2: int,
+                winsize: int):
+    """Score gather + weighted window sum for one row chunk — the
+    row-independent two-thirds of _fused_unphased, so chunk outputs are
+    bit-identical to the fused program's rows."""
+    score = _wlod_score_from_table(pk_c, table4, C, L, L2)
+    return _wlod_windows_dev(score, inv_ld, missing_row, winsize)
+
+
 def weighted_windows_device(chrom, centro, winsize: int, error,
                             max_gap: int, use_gl: bool, mu: float, M: int,
                             phased: bool,
@@ -372,7 +622,13 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
     """Weighted Phase I (LD band + wLOD windows) -> DeviceWin in ONE
     device dispatch + one aux upload (see _fused_unphased).  TGLS runs
     (per-(ind, locus) error) fall back to the two-step path — the [I, L]
-    score matrix genuinely has to ship."""
+    score matrix genuinely has to ship.
+
+    When the fused program's compile-time HBM peak would not fit
+    (production-scale panels: 1000 ind x 500k loci wants ~55 GB on a
+    16 GB chip), the same math runs as LD band once + per-individual-
+    chunk score/window dispatches — bit-identical rows, a few extra
+    link round trips."""
     import jax.numpy as jnp
     I, L = chrom.nind, chrom.nloci
     if use_gl or L - winsize + 1 <= 0:
@@ -382,6 +638,11 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
     from .pallas_lod import _bucket, _device_cache_get, _device_cache_put
     L2 = _bucket(L, 128)
     nwin = L - winsize + 1
+    budget = _hbm_budget()
+    if _fused_peak_estimate(I, L2, winsize) > budget:
+        return _weighted_windows_chunked(chrom, centro, winsize, error,
+                                         max_gap, mu, M, phased, sub_idx,
+                                         L2, budget)
     pk, pkkey = _device_packed_keyed(chrom)
     # content-keyed HBM cache for the aux planes: the ~2 MB/chrom aux
     # upload (plus the [I_sub, L2] first-copy plane for phased runs) is
@@ -425,6 +686,34 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
                             I, L, L2, winsize)
     else:
         win = _fused_unphased(pk, aux_dev, sub_dev, I, L, L2, winsize)
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
+
+
+def _weighted_windows_chunked(chrom, centro, winsize: int, error,
+                              max_gap: int, mu: float, M: int,
+                              phased: bool, sub_idx, L2: int,
+                              budget: float) -> DeviceWin:
+    """Large-panel scalar-error weighted Phase I: one LD band + chunked
+    score/window dispatches (see weighted_windows_device)."""
+    import jax.numpy as jnp
+    I, L = chrom.nind, chrom.nloci
+    nwin = L - winsize + 1
+    inv_ld = 1.0 / ld_band_device(chrom, winsize, phased, sub_idx)
+    aux, _ = _weighted_aux(chrom, centro, winsize, error, max_gap,
+                           mu, M, L2, phased)
+    aux_dev = jnp.asarray(aux[:5])          # table rows + missing row
+    table4 = aux_dev[:4]
+    nw2 = L2 - winsize + 1
+    missing_row = aux_dev[4:5, :nw2]
+    pk = _device_packed(chrom)
+    # per-row working set ~ the fused estimate's per-row cost; keep a
+    # chunk at ~1/4 budget so the [I, nw2] output + band fit alongside
+    C = _row_chunks(I, budget, L2, (16.0 + winsize / 5.0) * 4.0)
+    parts = [_wlod_chunk(blk, table4, inv_ld, missing_row,
+                         C, L, L2, winsize)
+             for blk in _iter_pk_chunks(pk, I, C)]
+    win = jnp.concatenate(parts, axis=0)[:I] if len(parts) > 1 \
+        else parts[0][:I]
     return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
 
 

@@ -129,3 +129,50 @@ def test_wlod_table_gather_bitwise_equals_score_ship():
             I, L, L2))
         np.testing.assert_array_equal(got[:, :L], old)
         assert np.all(got[:, L:] == 0.0)
+
+
+@pytest.mark.parametrize("phased", [False, True])
+def test_weighted_chunked_bit_identical(phased, monkeypatch):
+    """A tiny HBM budget routes weighted Phase I through the chunked
+    path (LD band from chunk-accumulated pair counts + per-individual-
+    chunk score/window dispatches); every value must be bit-identical
+    to the fused single-dispatch program (counts are exact integers in
+    f32 and the chunk rows replay the same expression sequence)."""
+    c = _chrom(I=30, L=400, seed=9)
+    centro = _Centro()
+    W = 14
+    fused = device_wlod.weighted_windows_device(
+        c, centro, W, 0.001, 200000, False, 1e-9, 7, phased, None)
+    a = fused.to_numpy()
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "2e6")
+    chunked = device_wlod.weighted_windows_device(
+        c, centro, W, 0.001, 200000, False, 1e-9, 7, phased, None)
+    b = chunked.to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_weighted_chunked_subsample_bit_identical(monkeypatch):
+    """Chunked path with an LD subsample (the production shape for
+    1000+-individual --weighted --ld-subsample runs)."""
+    c = _chrom(I=26, L=350, seed=11)
+    centro = _Centro()
+    W = 10
+    sub = np.array([1, 4, 5, 9, 12, 20, 25], dtype=np.int64)
+    fused = device_wlod.weighted_windows_device(
+        c, centro, W, 0.001, 200000, False, 1e-9, 7, False, sub)
+    a = fused.to_numpy()
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "2e6")
+    chunked = device_wlod.weighted_windows_device(
+        c, centro, W, 0.001, 200000, False, 1e-9, 7, False, sub)
+    b = chunked.to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("phased", [False, True])
+def test_ld_band_chunked_bit_identical(phased, monkeypatch):
+    c = _chrom(I=22, L=320, seed=13)
+    W = 9
+    a = np.asarray(device_wlod.ld_band_device(c, W, phased, None))
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "2e6")
+    b = np.asarray(device_wlod.ld_band_device(c, W, phased, None))
+    np.testing.assert_array_equal(a, b)
