@@ -95,20 +95,9 @@ def _r2_band(geno_sub, fc_sub, freq, winsize: int):
 
 
 def _hbm_budget() -> float:
-    """Usable HBM bytes: GARLIC_TPU_HBM_BUDGET env override, else 90% of
-    the device's reported limit, else a 12 GB default (CPU tests)."""
-    import os
-    v = os.environ.get("GARLIC_TPU_HBM_BUDGET")
-    if v:
-        return float(v)
-    try:
-        import jax
-        ms = jax.local_devices()[0].memory_stats()
-        if ms and ms.get("bytes_limit"):
-            return 0.9 * float(ms["bytes_limit"])
-    except Exception:
-        pass
-    return 12.0 * 1024**3
+    """Usable HBM bytes (shared helper: see runtime.hbm_budget)."""
+    from ..runtime import hbm_budget
+    return hbm_budget()
 
 
 def _fused_peak_estimate(I: int, L2: int, winsize: int) -> float:
@@ -644,32 +633,13 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
                                          max_gap, mu, M, phased, sub_idx,
                                          L2, budget)
     pk, pkkey = _device_packed_keyed(chrom)
-    # content-keyed HBM cache for the aux planes: the ~2 MB/chrom aux
-    # upload (plus the [I_sub, L2] first-copy plane for phased runs) is
-    # the dominant cost of a warm weighted run over the tunneled link —
-    # the kernels themselves execute in <1 ms (see BASELINE.md).  The
-    # key covers everything the planes are built from: genotype content
-    # (pkkey), freq/positions/gpos content, and the scalar parameters.
-    from ..core.digest import content_digest
-    akey = (pkkey, "waux",
-            content_digest(np.ascontiguousarray(chrom.freq)),
-            content_digest(np.ascontiguousarray(chrom.positions)),
-            content_digest(np.ascontiguousarray(chrom.gpos)),
-            winsize, float(error), int(max_gap), float(mu), int(M),
-            int(centro.start(chrom.chrom)), int(centro.end(chrom.chrom)),
-            bool(phased), L2)
-    hit = _device_cache_get(akey)
-    if hit is not None and hit[0] == "waux":
-        aux_dev = hit[1]
-    else:
-        aux, nwin = _weighted_aux(chrom, centro, winsize, error, max_gap,
-                                  mu, M, L2, phased)
-        aux_dev = jnp.asarray(aux)
-        _device_cache_put(akey, ("waux", aux_dev))
+    aux_dev = _aux_dev_cached(chrom, centro, winsize, error, max_gap,
+                              mu, M, L2, phased, pkkey)
     sub = (np.arange(I, dtype=np.int32) if sub_idx is None
            else np.asarray(sub_idx, dtype=np.int32))
     sub_dev = jnp.asarray(sub)
     if phased:
+        from ..core.digest import content_digest
         fkey = (pkkey, "wfc", content_digest(np.ascontiguousarray(sub)),
                 content_digest(np.ascontiguousarray(chrom.first_copy)), L2)
         fhit = _device_cache_get(fkey)
@@ -689,6 +659,35 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
     return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
 
 
+def _aux_dev_cached(chrom, centro, winsize: int, error, max_gap: int,
+                    mu: float, M: int, L2: int, phased: bool, pkkey):
+    """Content-keyed HBM residency for the weighted aux planes: the
+    ~2 MB/chrom aux upload is the dominant cost of a warm weighted run
+    over the tunneled link — the kernels themselves execute in <1 ms
+    (see BASELINE.md).  The key covers everything the planes are built
+    from: genotype content (pkkey), freq/positions/gpos content, and
+    the scalar parameters.  Shared by the fused and the chunked
+    (large-panel) weighted paths so both skip the upload warm."""
+    import jax.numpy as jnp
+    from .pallas_lod import _device_cache_get, _device_cache_put
+    from ..core.digest import content_digest
+    akey = (pkkey, "waux",
+            content_digest(np.ascontiguousarray(chrom.freq)),
+            content_digest(np.ascontiguousarray(chrom.positions)),
+            content_digest(np.ascontiguousarray(chrom.gpos)),
+            winsize, float(error), int(max_gap), float(mu), int(M),
+            int(centro.start(chrom.chrom)), int(centro.end(chrom.chrom)),
+            bool(phased), L2)
+    hit = _device_cache_get(akey)
+    if hit is not None and hit[0] == "waux":
+        return hit[1]
+    aux, _ = _weighted_aux(chrom, centro, winsize, error, max_gap,
+                           mu, M, L2, phased)
+    aux_dev = jnp.asarray(aux)
+    _device_cache_put(akey, ("waux", aux_dev))
+    return aux_dev
+
+
 def _weighted_windows_chunked(chrom, centro, winsize: int, error,
                               max_gap: int, mu: float, M: int,
                               phased: bool, sub_idx, L2: int,
@@ -699,13 +698,12 @@ def _weighted_windows_chunked(chrom, centro, winsize: int, error,
     I, L = chrom.nind, chrom.nloci
     nwin = L - winsize + 1
     inv_ld = 1.0 / ld_band_device(chrom, winsize, phased, sub_idx)
-    aux, _ = _weighted_aux(chrom, centro, winsize, error, max_gap,
-                           mu, M, L2, phased)
-    aux_dev = jnp.asarray(aux[:5])          # table rows + missing row
-    table4 = aux_dev[:4]
+    pk, pkkey = _device_packed_keyed(chrom)
+    aux_dev = _aux_dev_cached(chrom, centro, winsize, error, max_gap,
+                              mu, M, L2, phased, pkkey)
+    table4 = aux_dev[:4]                    # device slices, no re-upload
     nw2 = L2 - winsize + 1
     missing_row = aux_dev[4:5, :nw2]
-    pk = _device_packed(chrom)
     # per-row working set ~ the fused estimate's per-row cost; keep a
     # chunk at ~1/4 budget so the [I, nw2] output + band fit alongside
     C = _row_chunks(I, budget, L2, (16.0 + winsize / 5.0) * 4.0)

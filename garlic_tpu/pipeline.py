@@ -604,9 +604,8 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
     # (SURVEY.md hard part e).
     streaming = False
     if st.engine == "fast" and st.mesh is None:
-        import os as _os
-        budget = float(_os.environ.get("GARLIC_TPU_HBM_BUDGET",
-                                       8 * 1024**3))
+        from .runtime import hbm_budget
+        budget = hbm_budget()
         est = sum(4.0 * (-(-c.nind // 32) * 32)
                   * max(c.nloci - winsize + 1, 1) for c in ds.chroms)
         streaming = est > budget

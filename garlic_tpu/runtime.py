@@ -60,6 +60,31 @@ class PhaseProfiler:
         print(f"[profile]   {'TOTAL':<18} {total:8.3f}s", file=sys.stderr)
 
 
+DEFAULT_HBM_BUDGET = 8 * 1024 ** 3  # bytes
+
+
+def hbm_budget() -> float:
+    """Usable HBM bytes for device-resident window/score planes.
+
+    `GARLIC_TPU_HBM_BUDGET` (raw BYTES; floats like `2e9` accepted)
+    overrides; else 90% of the device's reported bytes_limit; else 8 GiB
+    (CPU test runs, where memory_stats is unavailable).  Shared by the
+    pipeline's per-chromosome streaming gate and the weighted Phase-I
+    fused-vs-chunked router so one env knob means one budget everywhere."""
+    import os
+    v = os.environ.get("GARLIC_TPU_HBM_BUDGET")
+    if v:
+        return float(v)
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and ms.get("bytes_limit"):
+            return 0.9 * float(ms["bytes_limit"])
+    except Exception:
+        pass
+    return float(DEFAULT_HBM_BUDGET)
+
+
 def enable_compile_cache() -> None:
     """Turn on JAX's persistent compilation cache (idempotent).
 
