@@ -74,8 +74,8 @@ class ChromData:
     payload already in HBM."""
 
     __slots__ = ("chrom", "positions", "gpos", "locus_names", "alleles",
-                 "_geno", "freq", "first_copy", "gl", "_geno2b",
-                 "_geno2b_thunk", "_nind", "geno2b_digest")
+                 "_geno", "freq", "first_copy", "_gl", "gl_codes", "gl_lut",
+                 "_geno2b", "_geno2b_thunk", "_nind", "geno2b_digest")
 
     def __init__(self, chrom: str, positions: np.ndarray, gpos: np.ndarray,
                  locus_names, alleles: np.ndarray,
@@ -85,7 +85,9 @@ class ChromData:
                  gl: Optional[np.ndarray] = None,
                  geno2b: Optional[np.ndarray] = None,
                  geno2b_thunk=None, nind: Optional[int] = None,
-                 geno2b_digest: Optional[bytes] = None):
+                 geno2b_digest: Optional[bytes] = None,
+                 gl_codes: Optional[np.ndarray] = None,
+                 gl_lut: Optional[np.ndarray] = None):
         self.chrom = chrom                 # chr-prefixed name
         self.positions = positions         # int64 [L] physical bp
         self.gpos = gpos                   # float64 [L] genetic position
@@ -94,12 +96,33 @@ class ChromData:
         self._geno = genotypes             # int8 [I, L] or None (packed)
         self.freq = freq                   # float64 [L]
         self.first_copy = first_copy       # bool [I, L] (phased only)
-        self.gl = gl                       # float64 [I, L] TGLS errors
+        self._gl = gl                      # float64 [I, L] TGLS errors
+        self.gl_codes = gl_codes           # u8 [I, L] TGLS dict codes
+        self.gl_lut = gl_lut               # f64 [K] converted error values
         self._geno2b = geno2b              # u8 [I, ceil(L/4)] 2-bit codes
         self._geno2b_thunk = geno2b_thunk  # 0-arg -> u8 [I, ceil(L/4)]
         self._nind = nind                  # required when both geno forms
         #                                    are lazy (thunk-only)
         self.geno2b_digest = geno2b_digest  # 16B content key or None
+
+    @property
+    def gl(self) -> Optional[np.ndarray]:
+        """TGLS per-genotype error matrix [I, L] f64.  When the native
+        TGLS reader stored the dictionary form (gl_codes + gl_lut), the
+        double matrix materializes lazily here — the fast TPU path ships
+        the codes instead and never reads this."""
+        if self._gl is None and self.gl_codes is not None:
+            self._gl = self.gl_lut[self.gl_codes]
+        return self._gl
+
+    @gl.setter
+    def gl(self, v) -> None:
+        self._gl = v
+
+    @property
+    def has_gl(self) -> bool:
+        """True when TGLS data is attached, without materializing it."""
+        return self._gl is not None or self.gl_codes is not None
 
     @property
     def genotypes(self) -> np.ndarray:
@@ -175,7 +198,9 @@ class Dataset:
                 genotypes=None if packed else c.genotypes[idx],
                 freq=c.freq,
                 first_copy=None if c.first_copy is None else c.first_copy[idx],
-                gl=None if c.gl is None else c.gl[idx],
+                gl=None if c._gl is None else c._gl[idx],
+                gl_codes=None if c.gl_codes is None else c.gl_codes[idx],
+                gl_lut=c.gl_lut,
                 geno2b=c.geno2b[idx] if packed else None,
             ))
         return out

@@ -89,7 +89,11 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         genotypes=geno,
         freq=c.freq[idx],
         first_copy=_compact(c.first_copy, keep),
-        gl=_compact(c.gl, keep),
+        # dictionary-form TGLS: compact the u8 codes, never materialize
+        # the f64 matrix (the fast TPU path ships codes directly)
+        gl=_compact(c._gl, keep) if c.gl_codes is None else None,
+        gl_codes=_compact(c.gl_codes, keep),
+        gl_lut=c.gl_lut,
         geno2b_thunk=geno2b_thunk,
         nind=c.nind,
         geno2b_digest=digest,

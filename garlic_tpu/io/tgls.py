@@ -53,9 +53,50 @@ def convert_gl(vals: np.ndarray, gl_type: str) -> np.ndarray:
     return out
 
 
+def _bad_shape(log, got: int, expected_ind: int):
+    if log is not None:
+        log.err("ERROR: Incorrect number of columns in tgls file: ",
+                got, nl=False)
+        log.err(". Expected: ", expected_ind)
+    raise TglsError("bad tgls shape")
+
+
 def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
               gl_type: str, log=None) -> None:
-    """Attach per-genotype error matrices [I, L] to each ChromData in place."""
+    """Attach per-genotype error data [I, L] to each ChromData in place.
+
+    Prefers the native reader (chunked gz + parallel tokenize): GQ/PL-
+    style files with <= 255 distinct tokens come back as a u8 code
+    matrix + converted-value lut (`gl_codes`/`gl_lut`) — 8x smaller than
+    the double matrix, shipped to the TPU verbatim — with the f64 `gl`
+    matrix materializing lazily for consumers that need it.  Falls back
+    to the pure-Python line reader when the native library is absent."""
+    from ..native import parse_tgls_native
+    r = None
+    try:
+        r = parse_tgls_native(filename, expected_ind,
+                              [c.nloci for c in chroms])
+    except Exception:
+        r = None
+    if r is None:
+        return _read_tgls_python(filename, chroms, expected_ind, gl_type,
+                                 log)
+    if "bad_cols" in r:
+        _bad_shape(log, int(r["bad_cols"]), expected_ind)
+    if r["mode"] == "codes":
+        # equal tokens parse to equal doubles, so converting the lut is
+        # bit-identical to converting every matrix element
+        lut = convert_gl(r["lut"], gl_type)
+        for c, codes in zip(chroms, r["chroms"]):
+            c.gl_codes = codes
+            c.gl_lut = lut
+    else:
+        for c, vals in zip(chroms, r["chroms"]):
+            c.gl = convert_gl(vals, gl_type)
+
+
+def _read_tgls_python(filename: str, chroms: List[ChromData],
+                      expected_ind: int, gl_type: str, log=None) -> None:
     with _open_maybe_gz(filename) as fin:
         for c in chroms:
             rows = np.empty((c.nloci, expected_ind), dtype=np.float64)
@@ -63,10 +104,6 @@ def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
                 line = fin.readline()
                 fields = line.split()
                 if len(fields) != expected_ind + 4:
-                    if log is not None:
-                        log.err("ERROR: Incorrect number of columns in tgls file: ",
-                                len(fields), nl=False)
-                        log.err(". Expected: ", expected_ind)
-                    raise TglsError("bad tgls shape")
+                    _bad_shape(log, len(fields), expected_ind)
                 rows[locus] = np.asarray(fields[4:], dtype=np.float64)
             c.gl = convert_gl(rows, gl_type).T.copy()  # [I, L]

@@ -151,12 +151,92 @@ def _load():
             ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.gt_tgls_open.restype = ctypes.c_void_p
+        lib.gt_tgls_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.gt_tgls_dict.restype = ctypes.c_int
+        lib.gt_tgls_dict.argtypes = [ctypes.c_void_p]
+        lib.gt_tgls_nrows.restype = ctypes.c_int64
+        lib.gt_tgls_nrows.argtypes = [ctypes.c_void_p]
+        lib.gt_tgls_nlut.restype = ctypes.c_int64
+        lib.gt_tgls_nlut.argtypes = [ctypes.c_void_p]
+        lib.gt_tgls_bad_row.restype = ctypes.c_int64
+        lib.gt_tgls_bad_row.argtypes = [ctypes.c_void_p]
+        lib.gt_tgls_bad_cols.restype = ctypes.c_int64
+        lib.gt_tgls_bad_cols.argtypes = [ctypes.c_void_p]
+        lib.gt_tgls_get_lut.restype = None
+        lib.gt_tgls_get_lut.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_double)]
+        lib.gt_tgls_copy_codes.restype = None
+        lib.gt_tgls_copy_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.gt_tgls_copy_vals.restype = None
+        lib.gt_tgls_copy_vals.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.gt_tgls_close.restype = None
+        lib.gt_tgls_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def parse_tgls_native(path: str, nind: int, row_counts):
+    """Parse a TGLS file via the C++ reader (chunked gz + parallel
+    tokenize + token dictionary; reference: readTGLSData,
+    src/garlic-data.cpp:1516-1586).  Returns None when the native
+    library is unavailable or the file cannot be opened (callers fall
+    back to the Python reader).  Otherwise one of:
+
+      {"bad_cols": N} — the first row the reference would read had N
+         columns instead of nind+4 (a truncated file reads as 0, like
+         the Python reader's ''.split()).
+      {"mode": "codes", "lut": f64 [K] raw token values,
+       "chroms": [u8 [nind, L] code matrices]} — dictionary mode.
+      {"mode": "vals", "chroms": [f64 [nind, L]]} — fallback (the file
+         has > 255 distinct tokens or tokens > 8 chars)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.gt_tgls_open(path.encode(), int(nind))
+    if not h:
+        return None
+    try:
+        needed = int(sum(int(x) for x in row_counts))
+        bad_row = int(lib.gt_tgls_bad_row(h))
+        nrows = int(lib.gt_tgls_nrows(h))
+        if 0 <= bad_row < needed:
+            return {"bad_cols": int(lib.gt_tgls_bad_cols(h))}
+        if nrows < needed:
+            return {"bad_cols": 0}
+        out = []
+        row0 = 0
+        if lib.gt_tgls_dict(h):
+            k = int(lib.gt_tgls_nlut(h))
+            lut = np.empty(k, dtype=np.float64)
+            lib.gt_tgls_get_lut(
+                h, lut.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            for L in row_counts:
+                codes = np.empty((int(nind), int(L)), dtype=np.uint8)
+                lib.gt_tgls_copy_codes(
+                    h, row0, int(L),
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                out.append(codes)
+                row0 += int(L)
+            return {"mode": "codes", "lut": lut, "chroms": out}
+        for L in row_counts:
+            vals = np.empty((int(nind), int(L)), dtype=np.float64)
+            lib.gt_tgls_copy_vals(
+                h, row0, int(L),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            out.append(vals)
+            row0 += int(L)
+        return {"mode": "vals", "chroms": out}
+    finally:
+        lib.gt_tgls_close(h)
 
 
 def filter_pack_2bit_native(packed: np.ndarray, L: int, keep: np.ndarray):

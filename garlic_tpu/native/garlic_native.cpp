@@ -695,6 +695,440 @@ void gt_tped_copy_2bit(void *hv, int c, int64_t *positions, double *gpos,
 
 void gt_tped_close(void *hv) { delete (TpedHandle *)hv; }
 
+}  // extern "C" (reopened below — helpers between need C++ linkage)
+
+// ---------------------------------------------------------------------------
+// TGLS genotype-likelihood reader.  Reference behavior: readTGLSData
+// (src/garlic-data.cpp:1516-1586) — one row per TPED locus, 4 leading
+// columns then one raw value per individual; a row whose column count
+// differs from nind+4 aborts the load.
+//
+// Values are stored by TOKEN DICTIONARY when the file holds <= 255
+// distinct tokens of <= 8 characters (GQ/PL phred columns in practice:
+// a handful of small integers repeated hundreds of millions of times):
+// a [rows][nind] u8 code matrix plus a parsed-once lut of raw doubles —
+// 8x smaller than the double matrix, and the codes ship to the TPU
+// verbatim where a K-way select rebuilds the error plane.  Equal tokens
+// parse to equal doubles, so mapping via tokens is bit-identical to
+// parsing every token.  Files that exceed the dictionary (arbitrary GL
+// floats) fall back to a full double matrix, converted mid-parse.
+
+namespace {
+
+struct TglsHandle {
+  int64_t nind = 0;
+  int64_t nrows = 0;        // complete rows stored
+  bool dict_mode = true;
+  std::vector<uint8_t> codes;  // [nrows][nind] (dict mode)
+  std::vector<double> vals;    // [nrows][nind] (fallback mode)
+  std::vector<double> lut;     // raw token values, code -> value
+  int64_t bad_row = -1;        // first row with a wrong column count
+  int64_t bad_cols = -1;       // its observed column count
+};
+
+// Open-addressing u64 -> u8 map for the token dictionary (<= 255 live
+// entries in 4096 slots: ~6% load, every probe an L1 hit).
+struct TokDict {
+  static const int64_t SLOTS = 4096;
+  uint64_t keys[SLOTS];
+  uint8_t codes[SLOTS];
+  int n = 0;
+  TokDict() { memset(keys, 0, sizeof(keys)); }
+  static inline int64_t slot0(uint64_t k) {
+    return (int64_t)((k * 0x9E3779B97F4A7C15ull) >> 52);
+  }
+  // read-only probe: code or -1
+  inline int find(uint64_t k) const {
+    for (int64_t s = slot0(k);; s = (s + 1) & (SLOTS - 1)) {
+      if (keys[s] == k) return codes[s];
+      if (keys[s] == 0) return -1;
+    }
+  }
+  // insert (caller guarantees absent); false when the dictionary is full
+  inline bool insert(uint64_t k, std::vector<double> &lut) {
+    if (n >= 255) return false;
+    for (int64_t s = slot0(k);; s = (s + 1) & (SLOTS - 1)) {
+      if (keys[s] == 0) {
+        keys[s] = k;
+        codes[s] = (uint8_t)n;
+        char buf[9];
+        memcpy(buf, &k, 8);
+        buf[8] = '\0';
+        lut.push_back(strtod(buf, nullptr));
+        n++;
+        return true;
+      }
+    }
+  }
+};
+
+// Tokenize one TGLS line: total field count, u64 keys for fields
+// 4..4+nind (token bytes zero-padded; tokens > 8 chars set *has_long).
+inline void tgls_line_keys(const char *p, const char *end, int64_t nind,
+                           uint64_t *keys, int64_t *nfields,
+                           bool *has_long) {
+  int64_t nf = 0;
+  bool lng = false;
+  while (p < end) {
+    while (p < end && ws_c((unsigned char)*p)) p++;
+    if (p >= end) break;
+    const char *tb = p;
+    while (p < end && !ws_c((unsigned char)*p)) p++;
+    int64_t idx = nf - 4;
+    if (idx >= 0 && idx < nind) {
+      int64_t len = p - tb;
+      if (len <= 8) {
+        uint64_t k = 0;
+        memcpy(&k, tb, (size_t)len);
+        keys[idx] = k;
+      } else {
+        lng = true;
+      }
+    }
+    nf++;
+  }
+  *nfields = nf;
+  *has_long = lng;
+}
+
+// Fallback tokenizer: parse fields 4..4+nind as doubles.
+inline void tgls_line_vals(const char *p, const char *end, int64_t nind,
+                           double *vals, int64_t *nfields) {
+  int64_t nf = 0;
+  while (p < end) {
+    while (p < end && ws_c((unsigned char)*p)) p++;
+    if (p >= end) break;
+    const char *tb = p;
+    while (p < end && !ws_c((unsigned char)*p)) p++;
+    int64_t idx = nf - 4;
+    if (idx >= 0 && idx < nind) {
+      // chunk buffers are std::string-backed: data() is NUL-terminated
+      // and tokens never touch the terminator, so strtod stops at the
+      // following whitespace
+      vals[idx] = strtod(tb, nullptr);
+    }
+    nf++;
+  }
+  *nfields = nf;
+}
+
+// Dictionary overflow / long-token fallback: expand the codes stored so
+// far into doubles via the lut and drop the code arena.
+void tgls_to_vals(TglsHandle *h) {
+  h->vals.resize(h->codes.size());
+  const double *lut = h->lut.data();
+  const uint8_t *c = h->codes.data();
+  double *v = h->vals.data();
+  int64_t n = (int64_t)h->codes.size();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t t = 0; t < n; t++) v[t] = lut[c[t]];
+  h->codes.clear();
+  h->codes.shrink_to_fit();
+  h->dict_mode = false;
+}
+
+inline double tgls_key_to_double(uint64_t k) {
+  char buf[9];
+  memcpy(buf, &k, 8);
+  buf[8] = '\0';
+  return strtod(buf, nullptr);
+}
+
+}  // namespace
+
+extern "C" {
+
+void *gt_tgls_open(const char *path, int64_t nind) {
+  const bool timing = getenv("GT_PARSE_TIMING") != nullptr;
+  double t_read = 0, t_tok = 0, t_dict = 0;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  int64_t size_hint = uncompressed_size_hint(path);
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  gzbuffer(f, 1 << 20);
+  auto *h = new TglsHandle;
+  h->nind = nind;
+  const size_t CHUNK = 64u << 20;
+
+  // producer thread: sequential gz inflation into a depth-2 queue (same
+  // overlap structure as gt_tped_open)
+  struct Q {
+    std::mutex m;
+    std::condition_variable cv;
+    std::deque<std::pair<std::string, bool>> chunks;
+    bool failed = false;
+    bool abort = false;
+  } q;
+  std::thread reader([&] {
+    for (;;) {
+      std::string c(CHUNK, '\0');
+      int got = gzread(f, &c[0], (unsigned)CHUNK);
+      if (got < 0) {
+        std::lock_guard<std::mutex> lk(q.m);
+        q.failed = true;
+        q.chunks.emplace_back(std::string(), true);
+        q.cv.notify_all();
+        return;
+      }
+      c.resize((size_t)got);
+      bool last = (size_t)got < CHUNK;
+      {
+        std::unique_lock<std::mutex> lk(q.m);
+        q.cv.wait(lk, [&] { return q.chunks.size() < 2 || q.abort; });
+        if (q.abort) return;
+        q.chunks.emplace_back(std::move(c), last);
+        q.cv.notify_all();
+      }
+      if (last) return;
+    }
+  });
+  auto abort_reader = [&] {
+    std::lock_guard<std::mutex> lk(q.m);
+    q.abort = true;
+    q.cv.notify_all();
+  };
+
+  TokDict dict;
+  std::string buf;
+  buf.reserve(CHUNK + (1u << 20));
+  std::string carry;
+  std::vector<const char *> starts;
+  std::vector<size_t> lens;
+  std::vector<uint64_t> keys_chunk;
+  std::vector<double> vals_chunk;
+  std::vector<uint8_t> codes_chunk;
+  std::vector<int64_t> nfields_chunk;
+  std::vector<uint8_t> miss_chunk;  // dict mode: line had unseen tokens
+  bool reserved = false;
+  bool failed = false;
+  bool done = false;
+  while (!done && h->bad_row < 0 && !failed) {
+    auto t0 = now();
+    std::string chunk;
+    {
+      std::unique_lock<std::mutex> lk(q.m);
+      q.cv.wait(lk, [&] { return !q.chunks.empty(); });
+      chunk = std::move(q.chunks.front().first);
+      done = q.chunks.front().second;
+      q.chunks.pop_front();
+      q.cv.notify_all();
+      if (q.failed) failed = true;
+    }
+    if (failed) break;
+    buf.assign(carry);
+    carry.clear();
+    buf += chunk;
+    t_read += secs(t0, now());
+    if (!done) {
+      size_t last_nl = buf.rfind('\n');
+      if (last_nl == std::string::npos) { carry.swap(buf); continue; }
+      carry.assign(buf, last_nl + 1, std::string::npos);
+      buf.resize(last_nl + 1);
+    }
+    if (buf.empty()) continue;
+    auto t1 = now();
+    starts.clear();
+    lens.clear();
+    const char *p = buf.data();
+    const char *bend = p + buf.size();
+    while (p < bend) {
+      const char *nl = (const char *)memchr(p, '\n', bend - p);
+      const char *e = nl ? nl : bend;
+      size_t len = e - p;
+      if (len && e[-1] == '\r') len--;
+      starts.push_back(p);
+      lens.push_back(len);
+      p = nl ? nl + 1 : bend;
+    }
+    int64_t n = (int64_t)starts.size();
+    if (n == 0) continue;
+    if (!reserved && size_hint > 0 && lens[0] > 0) {
+      int64_t est_rows = size_hint / (int64_t)(lens[0] + 1) + 16;
+      est_rows += est_rows / 32;
+      if (h->dict_mode) h->codes.reserve((size_t)(est_rows * nind));
+      reserved = true;
+    }
+    nfields_chunk.assign((size_t)n, 0);
+    bool chunk_dict = h->dict_mode;
+    if (chunk_dict) {
+      keys_chunk.assign((size_t)(n * nind), 0);
+      codes_chunk.assign((size_t)(n * nind), 0);
+      miss_chunk.assign((size_t)n, 0);
+      std::atomic<bool> any_long(false);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (int64_t i = 0; i < n; i++) {
+        bool lng = false;
+        tgls_line_keys(starts[i], starts[i] + lens[i], nind,
+                       keys_chunk.data() + i * nind, &nfields_chunk[i],
+                       &lng);
+        if (lng) any_long.store(true, std::memory_order_relaxed);
+      }
+      if (any_long.load()) {
+        // > 8-char tokens: dictionary off for the whole file
+        tgls_to_vals(h);
+        chunk_dict = false;
+      }
+    }
+    if (chunk_dict) {
+      t_tok += secs(t1, now());
+      auto t2 = now();
+      // phase 1 (parallel): probe the FROZEN dictionary; unseen tokens
+      // only flag their line.  After the first chunk this is ~all hits.
+      const TokDict &dref = dict;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (int64_t i = 0; i < n; i++) {
+        if (nfields_chunk[i] != nind + 4) continue;  // serial pass stops
+        const uint64_t *k = keys_chunk.data() + i * nind;
+        uint8_t *c = codes_chunk.data() + i * nind;
+        uint8_t miss = 0;
+        for (int64_t j = 0; j < nind; j++) {
+          int code = dref.find(k[j]);
+          if (code < 0) {
+            miss = 1;
+          } else {
+            c[j] = (uint8_t)code;
+          }
+        }
+        miss_chunk[i] = miss;
+      }
+      // phase 2 (serial, first-seen order): rows in order; flagged rows
+      // re-probe and insert.  Deterministic code assignment -> the code
+      // matrix bytes (and their content digest) are stable across runs.
+      int64_t stop = n;
+      for (int64_t i = 0; i < n; i++) {
+        if (nfields_chunk[i] != nind + 4) {
+          h->bad_row = h->nrows + i;
+          h->bad_cols = nfields_chunk[i];
+          stop = i;
+          break;
+        }
+        if (!miss_chunk[i]) continue;
+        const uint64_t *k = keys_chunk.data() + i * nind;
+        uint8_t *c = codes_chunk.data() + i * nind;
+        bool overflow = false;
+        for (int64_t j = 0; j < nind; j++) {
+          int code = dict.find(k[j]);
+          if (code < 0) {
+            if (!dict.insert(k[j], h->lut)) { overflow = true; break; }
+            code = dict.find(k[j]);
+          }
+          c[j] = (uint8_t)code;
+        }
+        if (overflow) {
+          // > 255 distinct tokens: convert history + the rows of this
+          // chunk processed so far, then finish the chunk from keys
+          h->codes.insert(h->codes.end(), codes_chunk.begin(),
+                          codes_chunk.begin() + i * nind);
+          h->nrows += i;
+          tgls_to_vals(h);
+          int64_t old = (int64_t)h->vals.size();
+          h->vals.resize((size_t)(old + (n - i) * nind));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+          for (int64_t r = i; r < n; r++) {
+            double *v = h->vals.data() + old + (r - i) * nind;
+            const uint64_t *kk = keys_chunk.data() + r * nind;
+            for (int64_t j = 0; j < nind; j++)
+              v[j] = tgls_key_to_double(kk[j]);
+          }
+          // bad rows within the remainder still abort at the right row
+          for (int64_t r = i; r < n; r++) {
+            if (nfields_chunk[r] != nind + 4) {
+              h->vals.resize((size_t)(old + (r - i) * nind));
+              h->bad_row = h->nrows + (r - i);
+              h->bad_cols = nfields_chunk[r];
+              break;
+            }
+            h->nrows++;
+          }
+          stop = -1;  // rows already appended
+          break;
+        }
+      }
+      if (stop >= 0) {
+        h->codes.insert(h->codes.end(), codes_chunk.begin(),
+                        codes_chunk.begin() + stop * nind);
+        h->nrows += stop;
+      }
+      t_dict += secs(t2, now());
+    } else {
+      // fallback: parallel strtod of every value
+      vals_chunk.assign((size_t)(n * nind), 0.0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (int64_t i = 0; i < n; i++) {
+        tgls_line_vals(starts[i], starts[i] + lens[i], nind,
+                       vals_chunk.data() + i * nind, &nfields_chunk[i]);
+      }
+      t_tok += secs(t1, now());
+      int64_t stop = n;
+      for (int64_t i = 0; i < n; i++) {
+        if (nfields_chunk[i] != nind + 4) {
+          h->bad_row = h->nrows + i;
+          h->bad_cols = nfields_chunk[i];
+          stop = i;
+          break;
+        }
+      }
+      h->vals.insert(h->vals.end(), vals_chunk.begin(),
+                     vals_chunk.begin() + stop * nind);
+      h->nrows += stop;
+    }
+    if (h->bad_row >= 0) abort_reader();
+  }
+  if (failed) abort_reader();
+  if (timing) {
+    fprintf(stderr,
+            "[gt_tgls] wait=%.2fs tok=%.2fs dict=%.2fs rows=%lld lut=%d\n",
+            t_read, t_tok, t_dict, (long long)h->nrows,
+            (int)h->lut.size());
+  }
+  reader.join();
+  gzclose(f);
+  if (failed) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+int gt_tgls_dict(void *hv) { return ((TglsHandle *)hv)->dict_mode ? 1 : 0; }
+int64_t gt_tgls_nrows(void *hv) { return ((TglsHandle *)hv)->nrows; }
+int64_t gt_tgls_nlut(void *hv) {
+  return (int64_t)((TglsHandle *)hv)->lut.size();
+}
+int64_t gt_tgls_bad_row(void *hv) { return ((TglsHandle *)hv)->bad_row; }
+int64_t gt_tgls_bad_cols(void *hv) { return ((TglsHandle *)hv)->bad_cols; }
+
+void gt_tgls_get_lut(void *hv, double *out) {
+  TglsHandle *h = (TglsHandle *)hv;
+  memcpy(out, h->lut.data(), h->lut.size() * sizeof(double));
+}
+
+// Copy rows [row0, row0+L) transposed to [nind][L].
+void gt_tgls_copy_codes(void *hv, int64_t row0, int64_t L, uint8_t *out) {
+  TglsHandle *h = (TglsHandle *)hv;
+  transpose_blocked(h->codes.data() + row0 * h->nind, out, L, h->nind);
+}
+
+void gt_tgls_copy_vals(void *hv, int64_t row0, int64_t L, double *out) {
+  TglsHandle *h = (TglsHandle *)hv;
+  transpose_blocked(h->vals.data() + row0 * h->nind, out, L, h->nind);
+}
+
+void gt_tgls_close(void *hv) { delete (TglsHandle *)hv; }
+
 // Exact rolling-window LOD: terms [I][L] f64, missing [nwin] u8 (1=missing),
 // out win [I][L] f64 pre-filled by caller or filled here with MISSING.
 void gt_lod_windows_exact(const double *terms, const uint8_t *missing,

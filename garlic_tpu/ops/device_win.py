@@ -127,6 +127,15 @@ def lod_windows_device(chrom, centro, winsize: int, error: float,
     import jax
     if use_gl:
         if jax.default_backend() == "tpu":
+            if chrom.gl_codes is not None:
+                # dictionary TGLS (native reader): 2-bit genotypes + u8
+                # code plane, both content-keyed HBM residents — 4x less
+                # cold H2D than the int8+f32 ship, zero warm
+                from .pallas_lod import lod_windows_pallas_gl_codes_raw
+                win, nwin_real = lod_windows_pallas_gl_codes_raw(
+                    chrom, missing, winsize)
+                return DeviceWin(win=win, nind=chrom.nind,
+                                 nloci=chrom.nloci, nwin=nwin_real)
             from .pallas_lod import lod_windows_pallas_gl_raw
             win, nwin_real = lod_windows_pallas_gl_raw(
                 chrom.genotypes, chrom.freq, chrom.gl, missing, winsize)

@@ -742,11 +742,35 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
     mp[0, :nwin] = missing.astype(np.int8)
     inv_ld = 1.0 / ld_dev
     if use_gl:
-        from .wlod import wlod_scores
-        score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
-        sp = np.zeros((I, L2), dtype=np.float32)
-        sp[:, :L] = score
-        score_dev = jnp.asarray(sp)
+        # TGLS: the score is genuinely per-(ind, locus), so the [I, L2]
+        # f32 plane has to ship once — but it is a pure function of the
+        # panel content + (mu, M), so it lives in the content-addressed
+        # HBM cache and warm weighted-TGLS runs (parameter sweeps, the
+        # auto-winsize loop) skip the dominant upload entirely.
+        from .pallas_lod import _device_cache_get, _device_cache_put
+        from ..core.digest import content_digest
+        gsrc = (chrom.gl_codes if chrom.gl_codes is not None
+                else np.ascontiguousarray(chrom.gl))
+        lutd = (content_digest(np.ascontiguousarray(chrom.gl_lut))
+                if chrom.gl_codes is not None else None)
+        skey = ("wglscore",
+                content_digest(np.ascontiguousarray(chrom.genotypes)),
+                content_digest(np.ascontiguousarray(gsrc)), lutd,
+                content_digest(np.ascontiguousarray(chrom.freq)),
+                content_digest(np.ascontiguousarray(chrom.positions)),
+                content_digest(np.ascontiguousarray(chrom.gpos)),
+                float(mu), int(M), L2)
+        hit = _device_cache_get(skey)
+        if hit is not None and hit[0] == "wglscore":
+            score_dev = hit[1]
+        else:
+            from .wlod import wlod_scores
+            score = wlod_scores(chrom, error, use_gl, mu,
+                                M).astype(np.float32)
+            sp = np.zeros((I, L2), dtype=np.float32)
+            sp[:, :L] = score
+            score_dev = jnp.asarray(sp)
+            _device_cache_put(skey, ("wglscore", score_dev))
     else:
         from .lod import lod_table
         nomut, norec = _decay_factors(chrom, mu, M)
@@ -756,5 +780,6 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
         tp[:, :L] = t.astype(np.float32)
         score_dev = _wlod_score_from_table(
             _device_packed(chrom), jnp.asarray(tp), I, L, L2)
-    win = _wlod_windows_dev(score_dev, inv_ld, jnp.asarray(mp), winsize)
+    from .pallas_lod import _device_plane
+    win = _wlod_windows_dev(score_dev, inv_ld, _device_plane(mp), winsize)
     return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)

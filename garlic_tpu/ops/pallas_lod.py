@@ -226,19 +226,14 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
     )(a)
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("winsize", "block_i", "block_l", "interpret"))
-def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
-              interpret: bool = False):
-    """TGLS fast path: per-genotype error terms (src/garlic-roh.cpp:68,
-    91-95 — TGLS value replaces epsilon per (ind, locus)), then the Pallas
-    window-sum core.  geno [I2, L2] int8, freq/gl padded alike."""
+def _gl_terms(g, freq, e):
+    """Per-(ind, locus) LOD terms with per-genotype error e
+    (src/garlic-roh.cpp:68,91-95 — the TGLS value replaces epsilon).
+    g int32 genotype codes (values other than 0/1/2 mean missing and
+    contribute 0), freq [L2] f32, e [I2, L2] f32."""
     import jax.numpy as jnp
 
-    g = geno.astype(jnp.int32)
     p = freq[None, :]
-    e = gl
     one_minus = 1.0 - p
     non0 = one_minus * one_minus
     aut0 = (1.0 - e) * one_minus + e * non0
@@ -252,9 +247,98 @@ def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
     a = jnp.where(g == 0, r0, jnp.where(g == 1, r1,
                   jnp.where(g == 2, r2, 0.0)))
     mono = (p <= 0.0) | (p >= 1.0)
-    a = jnp.where(mono, 0.0, a).astype(jnp.float32)
+    return jnp.where(mono, 0.0, a).astype(jnp.float32)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
+              interpret: bool = False):
+    """TGLS fast path: per-genotype error terms, then the Pallas
+    window-sum core.  geno [I2, L2] int8, freq/gl padded alike."""
+    import jax.numpy as jnp
+
+    a = _gl_terms(geno.astype(jnp.int32), freq, gl)
     return _window_sums_pallas_padded(a, winsize, block_i, block_l,
                                       interpret)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "I", "L", "I2", "L2", "block_i", "block_l",
+                     "interpret"))
+def _gl_codes_masked_entry(p2, freq, codes, lut, missing, winsize: int,
+                           I: int, L: int, I2: int, L2: int, block_i: int,
+                           block_l: int, interpret: bool = False):
+    """TGLS core from the dictionary ship: 2-bit genotypes [I, ceil(L/4)]
+    u8 + code plane [I, L] u8 + lut [K] f32 -> masked window sums
+    [I2, NW2] f32.  The error plane rebuilds on device as a K-way VPU
+    select over the codes (K <= 255 distinct TGLS values — GQ/PL files
+    in practice), so the host link carries 1.25 bytes/genotype instead
+    of the 5 (int8 geno + f32 error) the unpacked path ships — and both
+    payloads are content-keyed HBM-cache residents on warm runs."""
+    import jax.numpy as jnp
+
+    d = p2.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L]
+    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, g.dtype)], axis=1)
+    g = jnp.concatenate([g, jnp.full((I2 - I, L2), 3, g.dtype)], axis=0)
+    c = jnp.concatenate([codes, jnp.zeros((I, L2 - L), codes.dtype)],
+                        axis=1)
+    c = jnp.concatenate([c, jnp.zeros((I2 - I, L2), codes.dtype)], axis=0)
+    e = jnp.broadcast_to(lut[0], (I2, L2))
+    for k in range(1, lut.shape[0]):  # static K, unrolled selects
+        e = jnp.where(c == k, lut[k], e)
+    a = _gl_terms(g, freq, e)
+    win = _window_sums_pallas_padded(a, winsize, block_i, block_l,
+                                     interpret)
+    return jnp.where(missing != 0, jnp.float32(MISSING), win)
+
+
+def lod_windows_pallas_gl_codes_raw(chrom, missing: np.ndarray,
+                                    winsize: int, block_i: int = 32,
+                                    block_l: int = 1024,
+                                    interpret: bool = False):
+    """TGLS variant of lod_windows_pallas_prepacked_raw, fed by the
+    native reader's dictionary form (chrom.gl_codes/gl_lut): genotypes
+    ship 2-bit (shared content-keyed HBM cache with the plain path) and
+    the TGLS error plane ships as u8 dictionary codes (its own content-
+    keyed entry), decoded on device.  Returns (win [I2, NW2] f32, nwin).
+    Output is bit-identical to lod_windows_pallas_gl_raw: the decoded
+    f32 error plane equals the f32 cast of the f64 matrix elementwise."""
+    import jax.numpy as jnp
+
+    from .device_wlod import _device_packed_keyed
+    from ..core.digest import content_digest
+
+    I, L = chrom.nind, chrom.nloci
+    W = winsize
+    nwin = L - W + 1
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _bucket(max(nwin, 1), block_l)
+    L2 = NW2 + HW
+    pk, pkkey = _device_packed_keyed(chrom)
+    codes = np.ascontiguousarray(chrom.gl_codes)
+    ckey = ("glc", codes.shape, content_digest(codes))
+    hit = _device_cache_get(ckey)
+    if hit is not None and hit[0] == "glc":
+        codes_dev = hit[1]
+    else:
+        codes_dev = jnp.asarray(codes)
+        _device_cache_put(ckey, ("glc", codes_dev))
+    lut32 = np.asarray(chrom.gl_lut, dtype=np.float32)
+    fp = np.zeros(L2, dtype=np.float32)
+    fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
+    mp = np.ones((1, NW2), dtype=np.int8)
+    mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    win = _gl_codes_masked_entry(pk, _device_plane(fp), codes_dev,
+                                 jnp.asarray(lut32), _device_plane(mp),
+                                 W, I, L, I2, L2, block_i, block_l,
+                                 interpret)
+    return win, nwin
 
 
 @functools.partial(

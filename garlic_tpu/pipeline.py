@@ -658,7 +658,9 @@ def _subset_chrom(c, idx):
                      genotypes=None if packed else c.genotypes[idx],
                      freq=c.freq,
                      first_copy=None if c.first_copy is None else c.first_copy[idx],
-                     gl=None if c.gl is None else c.gl[idx],
+                     gl=None if c._gl is None else c._gl[idx],
+                     gl_codes=None if c.gl_codes is None else c.gl_codes[idx],
+                     gl_lut=c.gl_lut,
                      geno2b=c.geno2b[idx] if packed else None)
 
 

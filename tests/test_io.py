@@ -553,3 +553,112 @@ def test_tped_tfam_count_mismatch_errors(tmp_path):
         assert rc != 0
         err = open(out + ".error").read()
         assert "TPED and TFAM disagree on individual count" in err
+
+
+def _tgls_chroms(tmp_path, tag=""):
+    """Two-chromosome panel skeleton for TGLS reader tests."""
+    tp = str(tmp_path / f"t{tag}.tped")
+    _write(tp, TPED_BASIC)
+    ds, _ = _load(tp)
+    return ds.chroms
+
+
+def test_tgls_native_matches_python(tmp_path):
+    """The native TGLS reader (token dictionary / fallback modes) yields
+    the same gl matrices as the Python line reader, and the dictionary
+    form round-trips through the lazy `gl` materialization."""
+    from garlic_tpu.native import native_available, parse_tgls_native
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    cases = {
+        # GQ-style small ints -> dictionary mode
+        "dict": ("1 a 0 1 30 20 45 7\n1 b 0 2 20 20 30 30\n"
+                 "2 c 0 3 7 45 45 20\n", True),
+        # long tokens (> 8 chars) -> fallback doubles
+        "long": ("1 a 0 1 -0.00123456789 -0.5 -0.25 -1\n"
+                 "1 b 0 2 -1 -0.5 -0.00123456789 0\n"
+                 "2 c 0 3 0 0 -0.25 -1\n", False),
+    }
+    for name, (text, want_dict) in cases.items():
+        tg = str(tmp_path / f"{name}.tgls.gz")
+        _write(tg, text)
+        a = _tgls_chroms(tmp_path, name + "a")
+        tgls._read_tgls_python(tg, a, 4, "GQ" if want_dict else "GL",
+                               RunLog())
+        b = _tgls_chroms(tmp_path, name + "b")
+        tgls.read_tgls(tg, b, 4, "GQ" if want_dict else "GL", RunLog())
+        for ca, cb in zip(a, b):
+            assert (cb.gl_codes is not None) == want_dict
+            np.testing.assert_array_equal(np.asarray(cb.gl),
+                                          np.asarray(ca.gl))
+
+
+def test_tgls_native_dict_overflow(tmp_path):
+    """> 255 distinct tokens flips the native reader to the full-double
+    fallback mid-parse with values identical to the Python reader."""
+    from garlic_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from .util import make_panel, write_tped
+
+    panel = make_panel(nind=9, nloci_per_chr=(120, 80), seed=6)
+    tp = str(tmp_path / "of.tped.gz")
+    write_tped(panel, tp, str(tmp_path / "of.tfam"))
+    rng = np.random.default_rng(11)
+    rows = []
+    for ci, chrom in enumerate(panel.chrom_names):
+        for l, pos in enumerate(panel.positions[ci]):
+            vals = rng.integers(0, 3000, size=9)  # ~1500 distinct tokens
+            rows.append(f"{chrom} rs{ci}_{l} 0 {int(pos)} "
+                        + " ".join(map(str, vals)))
+    tg = str(tmp_path / "of.tgls.gz")
+    _write(tg, "\n".join(rows) + "\n")
+
+    def chroms():
+        ds, _ = tped.load_tped(tp, "0")
+        return ds.chroms
+
+    a = chroms()
+    tgls._read_tgls_python(tg, a, 9, "PL", RunLog())
+    b = chroms()
+    tgls.read_tgls(tg, b, 9, "PL", RunLog())
+    for ca, cb in zip(a, b):
+        assert cb.gl_codes is None  # overflowed out of dictionary mode
+        np.testing.assert_array_equal(np.asarray(cb.gl), np.asarray(ca.gl))
+
+
+def test_tgls_native_error_parity_with_python(tmp_path):
+    """Truncated and extra-column TGLS files produce the same logged
+    error via the native reader as via the Python reader (whose text is
+    oracle-verified in test_oracle.py)."""
+    from garlic_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    class Cap:
+        def __init__(self):
+            self.calls = []
+
+        def err(self, *a, nl=True):
+            self.calls.append((a, nl))
+
+    good = "1 a 0 1 30 20 45 7\n1 b 0 2 20 20 30 30\n2 c 0 3 7 45 45 20\n"
+    cases = {
+        "trunc.tgls": good.rsplit("\n", 2)[0] + "\n",   # one row short
+        "extra.tgls": good.replace("30 30\n", "30 30 5\n"),
+        "short.tgls": good.replace("45 45 20", "45 45"),
+    }
+    for name, text in cases.items():
+        tg = str(tmp_path / name)
+        _write(tg, text)
+        ca, cb = Cap(), Cap()
+        with pytest.raises(tgls.TglsError):
+            tgls._read_tgls_python(tg, _tgls_chroms(tmp_path, name + "a"),
+                                   4, "GQ", ca)
+        with pytest.raises(tgls.TglsError):
+            tgls.read_tgls(tg, _tgls_chroms(tmp_path, name + "b"),
+                           4, "GQ", cb)
+        assert ca.calls == cb.calls, (name, ca.calls, cb.calls)

@@ -196,3 +196,47 @@ def test_packed_filter_pipeline_stays_packed(tmp_path):
                             True, RunLog(), rng, panel_cache=False)
     chroms2, _ = filters.filter_monomorphic(ds2.chroms)
     np.testing.assert_array_equal(c.genotypes, chroms2[0].genotypes)
+
+
+def test_pallas_gl_codes_matches_gl_raw():
+    """The dictionary-ship TGLS path (2-bit genotypes + u8 codes decoded
+    on device) matches the f32-plane path on the full padded output,
+    including pad rows/lanes and the missing mask.  On the TPU backend
+    the two are bit-identical (verified on hardware); XLA *CPU* emits
+    differently-fused vectorized log10 for the two programs, so here the
+    comparison allows an ulp-level tolerance."""
+    from garlic_tpu.core.types import ChromData
+    from garlic_tpu.ops.pallas_lod import (clear_device_cache,
+                                           lod_windows_pallas_gl_codes_raw,
+                                           lod_windows_pallas_gl_raw)
+
+    rng = np.random.default_rng(9)
+    I, L, W = 7, 900, 19
+    geno = rng.integers(0, 3, (I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.04] = -9
+    freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+    lut = np.sort(np.unique(np.clip(rng.random(23), 1e-6, 0.99)))
+    codes = rng.integers(0, len(lut), (I, L)).astype(np.uint8)
+    gl = lut[codes]
+    pos = np.cumsum(rng.integers(100, 4000, L)).astype(np.int64)
+    miss = lod_ops.window_missing_mask(pos, W, 100000, pos[300], pos[330])
+    ref, nwin_a = lod_windows_pallas_gl_raw(geno, freq, gl, miss, W,
+                                            interpret=True)
+    chrom = ChromData(chrom="chr1", positions=pos, gpos=np.zeros(L),
+                      locus_names=[f"rs{i}" for i in range(L)],
+                      alleles=np.array(["A"] * L), genotypes=geno,
+                      freq=freq, gl_codes=codes, gl_lut=lut)
+    clear_device_cache()
+    got, nwin_b = lod_windows_pallas_gl_codes_raw(chrom, miss, W,
+                                                  interpret=True)
+    assert nwin_a == nwin_b
+    r, g = np.asarray(ref), np.asarray(got)
+    from garlic_tpu.ops.lod import MISSING
+    np.testing.assert_array_equal(g == MISSING, r == MISSING)
+    live = r != MISSING
+    np.testing.assert_allclose(g[live], r[live], rtol=2e-6, atol=2e-6)
+    # second call: codes + genotypes come from the device cache,
+    # bit-identical to the first
+    got2, _ = lod_windows_pallas_gl_codes_raw(chrom, miss, W,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), g)
