@@ -58,19 +58,24 @@ def load_panel(tped: str, tfam: str, tgls: Optional[str] = None,
                mapfile: Optional[str] = None, build: str = "hg19",
                centromere_file: Optional[str] = None,
                phased: bool = False,
-               seed: Optional[int] = None) -> Dataset:
+               seed: Optional[int] = None,
+               panel_cache: bool = False) -> Dataset:
     """Load and filter a panel (TPED/TFAM + optional TGLS / genetic map).
 
     Monomorphic (and, with a map, out-of-bounds) sites are dropped, and
-    genetic positions interpolated, exactly as the CLI pipeline does."""
+    genetic positions interpolated, exactly as the CLI pipeline does.
+    panel_cache=True round-trips the parses through the .gtpc/.gtlc
+    sidecars (the CLI's --tpu-panel-cache)."""
     log = RunLog()
     rng = np.random.default_rng(seed)
     centro = Centromere(build if not centromere_file else "none",
                         centromere_file or "none", "none", log)
-    ds, _ = tped_io.load_tped(tped, tped_missing, 0, phased, True, log, rng)
+    ds, _ = tped_io.load_tped(tped, tped_missing, 0, phased, True, log, rng,
+                              panel_cache=panel_cache)
     ds.ind_ids, ds.pop = tfam_io.read_tfam(tfam, log)
     if tgls:
-        tgls_io.read_tgls(tgls, ds.chroms, ds.nind, gl_type, log)
+        tgls_io.read_tgls(tgls, ds.chroms, ds.nind, gl_type, log,
+                          panel_cache=panel_cache)
         ds._use_gl = True
     else:
         ds._use_gl = False

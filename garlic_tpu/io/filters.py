@@ -41,16 +41,22 @@ def _compact(arr, keep: np.ndarray):
     """Column compaction: in-place C++ memmove of kept spans when
     possible (a fresh compacted copy costs seconds of page faults at WGS
     scale under virtualization), numpy fallback otherwise.  The result
-    may be a [:, :nkeep] view over the original buffer."""
+    may be a [:, :nkeep] view over the original buffer.
+
+    Read-only arrays (zero-copy views into a sidecar mmap, e.g. the TGLS
+    .gtlc code matrix) must NOT take the in-place path: ctypes bypasses
+    numpy's writeable flag and the store into the read-only mapping
+    segfaults — they get the copying fallback."""
     if arr is None:
         return None
-    try:
-        from ..native import filter_columns_native
-        out = filter_columns_native(arr, keep)
-        if out is not None:
-            return out
-    except ImportError:
-        pass
+    if arr.flags.writeable:
+        try:
+            from ..native import filter_columns_native
+            out = filter_columns_native(arr, keep)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     return np.ascontiguousarray(np.compress(keep, arr, axis=1))
 
 

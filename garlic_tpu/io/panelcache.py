@@ -116,6 +116,95 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         pass
 
 
+_TGLS_MAGIC = b"GTLCv1\n\0"
+
+
+def tgls_cache_path(tglsfile: str) -> str:
+    return tglsfile + ".gtlc"
+
+
+def save_tgls_cache(tglsfile: str, nind: int, row_counts, mode: str,
+                    lut_raw, mats) -> None:
+    """TGLS sidecar: skip re-parsing the likelihood file on repeated
+    runs (same container layout as the .gtpc).  Stores the RAW parsed
+    values (pre --gl-type conversion, so one sidecar serves any type):
+    dictionary mode = per-chrom u8 code matrices + the raw-value lut;
+    fallback mode = per-chrom f64 matrices.  Best effort — failures are
+    silent, the TGLS file stays the source of truth."""
+    path = tgls_cache_path(tglsfile)
+    arrays = {}
+    if mode == "codes":
+        arrays["lut"] = np.asarray(lut_raw, dtype=np.float64)
+    for i, m in enumerate(mats):
+        arrays[f"c{i}"] = np.ascontiguousarray(m)
+    meta = {"nind": int(nind), "mode": mode,
+            "row_counts": [int(x) for x in row_counts], "arrays": {}}
+    hdr_probe = dict(meta)
+    hdr_probe["arrays"] = {
+        k: {"dtype": a.dtype.str, "shape": list(a.shape), "offset": 0}
+        for k, a in arrays.items()}
+    hdr_cap = len(json.dumps(hdr_probe).encode()) + 16 * len(arrays) + 256
+    off = len(_TGLS_MAGIC) + 8 + hdr_cap
+    for k, a in arrays.items():
+        off = -(-off // _ALIGN) * _ALIGN
+        meta["arrays"][k] = {"dtype": a.dtype.str, "shape": list(a.shape),
+                             "offset": off}
+        off += a.nbytes
+    hdr = json.dumps(meta).encode()
+    if len(hdr) > hdr_cap:
+        return
+    try:
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(_TGLS_MAGIC)
+            f.write(np.uint64(hdr_cap).tobytes())
+            f.write(hdr.ljust(hdr_cap, b" "))
+            for k, a in arrays.items():
+                f.seek(meta["arrays"][k]["offset"])
+                f.write(a.data)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def load_tgls_cache(tglsfile: str, nind: int, row_counts):
+    """Load the TGLS sidecar if present, newer than the TGLS file, and
+    shaped for this panel (nind + per-chromosome row counts — a changed
+    TPED misses).  Returns the same dict shape parse_tgls_native yields
+    (with RAW values) or None.  Code/value matrices stay zero-copy
+    read-only views into the file map."""
+    path = tgls_cache_path(tglsfile)
+    try:
+        if os.path.getmtime(path) < os.path.getmtime(tglsfile):
+            return None
+        with open(path, "rb") as f:
+            if f.read(len(_TGLS_MAGIC)) != _TGLS_MAGIC:
+                return None
+            hdr_cap = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+            if hdr_cap > 1 << 28:
+                return None
+            meta = json.loads(f.read(hdr_cap).decode())
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+    except (OSError, ValueError, json.JSONDecodeError):
+        return None
+    try:
+        if int(meta["nind"]) != int(nind):
+            return None
+        if [int(x) for x in meta["row_counts"]] != \
+                [int(x) for x in row_counts]:
+            return None
+        specs = meta["arrays"]
+        mats = [_view(mm, specs[f"c{i}"])
+                for i in range(len(meta["row_counts"]))]
+        if meta["mode"] == "codes":
+            return {"mode": "codes",
+                    "lut": np.array(_view(mm, specs["lut"])),
+                    "chroms": mats}
+        return {"mode": "vals", "chroms": mats}
+    except (KeyError, ValueError, TypeError, IndexError):
+        return None
+
+
 def _view(mm: np.memmap, spec) -> np.ndarray:
     dt = np.dtype(spec["dtype"])
     shape = tuple(spec["shape"])

@@ -62,7 +62,7 @@ def _bad_shape(log, got: int, expected_ind: int):
 
 
 def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
-              gl_type: str, log=None) -> None:
+              gl_type: str, log=None, panel_cache: bool = False) -> None:
     """Attach per-genotype error data [I, L] to each ChromData in place.
 
     Prefers the native reader (chunked gz + parallel tokenize): GQ/PL-
@@ -70,19 +70,33 @@ def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
     matrix + converted-value lut (`gl_codes`/`gl_lut`) — 8x smaller than
     the double matrix, shipped to the TPU verbatim — with the f64 `gl`
     matrix materializing lazily for consumers that need it.  Falls back
-    to the pure-Python line reader when the native library is absent."""
+    to the pure-Python line reader when the native library is absent.
+
+    With panel_cache=True (--tpu-panel-cache) the parse result also
+    round-trips through a `<tgls>.gtlc` sidecar holding the RAW values
+    (pre --gl-type conversion, so one sidecar serves any type): warm
+    runs mmap it instead of re-inflating and re-tokenizing the file."""
     from ..native import parse_tgls_native
+    row_counts = [c.nloci for c in chroms]
     r = None
-    try:
-        r = parse_tgls_native(filename, expected_ind,
-                              [c.nloci for c in chroms])
-    except Exception:
-        r = None
+    if panel_cache:
+        from .panelcache import load_tgls_cache
+        r = load_tgls_cache(filename, expected_ind, row_counts)
+    fresh = r is None
+    if r is None:
+        try:
+            r = parse_tgls_native(filename, expected_ind, row_counts)
+        except Exception:
+            r = None
     if r is None:
         return _read_tgls_python(filename, chroms, expected_ind, gl_type,
                                  log)
     if "bad_cols" in r:
         _bad_shape(log, int(r["bad_cols"]), expected_ind)
+    if panel_cache and fresh:
+        from .panelcache import save_tgls_cache
+        save_tgls_cache(filename, expected_ind, row_counts, r["mode"],
+                        r.get("lut"), r["chroms"])
     if r["mode"] == "codes":
         # equal tokens parse to equal doubles, so converting the lut is
         # bit-identical to converting every matrix element

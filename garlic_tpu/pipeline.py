@@ -363,7 +363,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                 return 1
 
         if tglsfile != cli.DEFAULT_TGLS:
-            tgls.read_tgls(tglsfile, ds.chroms, num_ind, gl_type, log)
+            tgls.read_tgls(tglsfile, ds.chroms, num_ind, gl_type, log,
+                           panel_cache=bool(args[cli.ARG_PANEL_CACHE]))
             use_gl = True
 
         scaffolds = None

@@ -662,3 +662,83 @@ def test_tgls_native_error_parity_with_python(tmp_path):
             tgls.read_tgls(tg, _tgls_chroms(tmp_path, name + "b"),
                            4, "GQ", cb)
         assert ca.calls == cb.calls, (name, ca.calls, cb.calls)
+
+
+def test_tgls_sidecar_roundtrip(tmp_path):
+    """--tpu-panel-cache TGLS sidecar: identical gl data from the .gtlc
+    on warm loads, a re-written TGLS file misses (mtime), and a changed
+    panel shape misses (row counts)."""
+    from garlic_tpu.io import panelcache
+    from garlic_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    import time
+
+    tp = str(tmp_path / "s.tped")
+    _write(tp, TPED_BASIC)
+    text = "1 a 0 1 30 20 45 7\n1 b 0 2 20 20 30 30\n2 c 0 3 7 45 45 20\n"
+    tg = str(tmp_path / "s.tgls.gz")
+    _write(tg, text)
+
+    def chroms():
+        ds, _ = tped.load_tped(tp, "0")
+        return ds.chroms
+
+    a = chroms()
+    tgls.read_tgls(tg, a, 4, "GQ", RunLog(), panel_cache=True)
+    assert os.path.exists(panelcache.tgls_cache_path(tg))
+    b = chroms()
+    tgls.read_tgls(tg, b, 4, "GQ", RunLog(), panel_cache=True)
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(cb.gl_codes),
+                                      np.asarray(ca.gl_codes))
+        np.testing.assert_array_equal(np.asarray(cb.gl), np.asarray(ca.gl))
+    # one sidecar serves any --gl-type (raw values cached)
+    c = chroms()
+    tgls.read_tgls(tg, c, 4, "PL", RunLog(), panel_cache=True)
+    ref = chroms()
+    tgls._read_tgls_python(tg, ref, 4, "PL", RunLog())
+    for cc, cr in zip(c, ref):
+        np.testing.assert_array_equal(np.asarray(cc.gl), np.asarray(cr.gl))
+    # shape mismatch (different panel) -> miss, not wrong data
+    assert panelcache.load_tgls_cache(tg, 4, [2, 2]) is None
+    assert panelcache.load_tgls_cache(tg, 5, [2, 1]) is None
+    # rewritten TGLS -> stale sidecar ignored
+    time.sleep(0.02)
+    _write(tg, text.replace("30 20", "10 10"))
+    os.utime(panelcache.tgls_cache_path(tg),
+             (time.time() - 10, time.time() - 10))
+    d = chroms()
+    tgls.read_tgls(tg, d, 4, "GQ", RunLog(), panel_cache=True)
+    assert np.asarray(d[0].gl)[0, 0] == 10 ** (10 / -10)
+
+
+def test_tgls_sidecar_vals_mode(tmp_path):
+    """Fallback (full-double) TGLS parses round-trip through the sidecar
+    too."""
+    from garlic_tpu.io import panelcache
+    from garlic_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    tp = str(tmp_path / "v.tped")
+    _write(tp, TPED_BASIC)
+    text = ("1 a 0 1 -0.00123456789 -0.5 -0.25 -1\n"
+            "1 b 0 2 -1 -0.5 -0.00123456789 0\n"
+            "2 c 0 3 0 0 -0.25 -1\n")
+    tg = str(tmp_path / "v.tgls.gz")
+    _write(tg, text)
+
+    def chroms():
+        ds, _ = tped.load_tped(tp, "0")
+        return ds.chroms
+
+    a = chroms()
+    tgls.read_tgls(tg, a, 4, "GL", RunLog(), panel_cache=True)
+    assert os.path.exists(panelcache.tgls_cache_path(tg))
+    b = chroms()
+    tgls.read_tgls(tg, b, 4, "GL", RunLog(), panel_cache=True)
+    for ca, cb in zip(a, b):
+        assert cb.gl_codes is None
+        np.testing.assert_array_equal(np.asarray(cb.gl), np.asarray(ca.gl))
