@@ -722,6 +722,7 @@ struct TglsHandle {
   std::vector<uint8_t> codes;  // [nrows][nind] (dict mode)
   std::vector<double> vals;    // [nrows][nind] (fallback mode)
   std::vector<double> lut;     // raw token values, code -> value
+  int64_t est_rows = 0;        // arena reservation estimate
   int64_t bad_row = -1;        // first row with a wrong column count
   int64_t bad_cols = -1;       // its observed column count
 };
@@ -815,6 +816,10 @@ inline void tgls_line_vals(const char *p, const char *end, int64_t nind,
 // Dictionary overflow / long-token fallback: expand the codes stored so
 // far into doubles via the lut and drop the code arena.
 void tgls_to_vals(TglsHandle *h) {
+  // one arena reservation (growing-vector realloc churn costs seconds of
+  // page faults under this VM — same hazard the TPED parser avoids)
+  if (h->est_rows > 0)
+    h->vals.reserve((size_t)(h->est_rows * h->nind));
   h->vals.resize(h->codes.size());
   const double *lut = h->lut.data();
   const uint8_t *c = h->codes.data();
@@ -950,6 +955,7 @@ void *gt_tgls_open(const char *path, int64_t nind) {
     if (!reserved && size_hint > 0 && lens[0] > 0) {
       int64_t est_rows = size_hint / (int64_t)(lens[0] + 1) + 16;
       est_rows += est_rows / 32;
+      h->est_rows = est_rows;
       if (h->dict_mode) h->codes.reserve((size_t)(est_rows * nind));
       reserved = true;
     }

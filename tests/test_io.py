@@ -742,3 +742,30 @@ def test_tgls_sidecar_vals_mode(tmp_path):
     for ca, cb in zip(a, b):
         assert cb.gl_codes is None
         np.testing.assert_array_equal(np.asarray(cb.gl), np.asarray(ca.gl))
+
+
+def test_tgls_panel_cache_pipeline_identical(tmp_path):
+    """TGLS CLI runs with and without --tpu-panel-cache produce identical
+    BED (the .gtlc sidecar round-trip is output-invariant), and the warm
+    run actually loads the sidecar."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from garlic_tpu.io import panelcache
+    from util import make_panel, run_ours, write_tgls, write_tped
+    panel = make_panel(nind=15, nloci_per_chr=(2000,), seed=29)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), "GQ")
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--tgls",
+            "p.tgls.gz", "--gl-type", "GQ", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--lod-cutoff", "1.2",
+            "--size-bounds", "300000", "800000", "--kde-subsample", "0"]
+    wd = str(tmp_path)
+    assert run_ours(wd, base + ["--out", "plain"]) == 0
+    assert run_ours(wd, base + ["--tpu-panel-cache", "--out", "warm1"]) == 0
+    assert _os.path.exists(
+        panelcache.tgls_cache_path(str(tmp_path / "p.tgls.gz")))
+    assert run_ours(wd, base + ["--tpu-panel-cache", "--out", "warm2"]) == 0
+    a = open(_os.path.join(wd, "plain.roh.bed")).read()
+    assert a == open(_os.path.join(wd, "warm1.roh.bed")).read()
+    assert a == open(_os.path.join(wd, "warm2.roh.bed")).read()
