@@ -265,32 +265,45 @@ def _gl_entry(geno, freq, gl, winsize: int, block_i: int, block_l: int,
 
 
 @functools.partial(
-    __import__("jax").jit,
-    static_argnames=("winsize", "I", "L", "I2", "L2", "block_i", "block_l",
-                     "interpret"))
-def _gl_codes_masked_entry(p2, freq, codes, lut, missing, winsize: int,
-                           I: int, L: int, I2: int, L2: int, block_i: int,
-                           block_l: int, interpret: bool = False):
-    """TGLS core from the dictionary ship: 2-bit genotypes [I, ceil(L/4)]
-    u8 + code plane [I, L] u8 + lut [K] f32 -> masked window sums
-    [I2, NW2] f32.  The error plane rebuilds on device as a K-way VPU
-    select over the codes (K <= 255 distinct TGLS values — GQ/PL files
-    in practice), so the host link carries 1.25 bytes/genotype instead
-    of the 5 (int8 geno + f32 error) the unpacked path ships — and both
-    payloads are content-keyed HBM-cache residents on warm runs."""
+    __import__("jax").jit, static_argnames=("I", "L", "I2", "L2"))
+def _pad_codes_dev(codes, I: int, L: int, I2: int, L2: int):
+    """Device-side repad of the shipped [I, L] u8 code plane to the
+    bucketed [I2, L2] kernel input (pad code 0 — those lanes carry
+    genotype code 3 = missing, whose term is 0 regardless of error).
+    Cheap per-chromosome-shape compile, like _decode_2bit, so the
+    expensive entry below compiles once per bucket."""
     import jax.numpy as jnp
 
-    d = p2.astype(jnp.int32)
-    digs = [(d >> (2 * k)) & 3 for k in range(4)]
-    g = jnp.stack(digs, axis=2).reshape(I, -1)[:, :L]
-    g = jnp.concatenate([g, jnp.full((I, L2 - L), 3, g.dtype)], axis=1)
-    g = jnp.concatenate([g, jnp.full((I2 - I, L2), 3, g.dtype)], axis=0)
     c = jnp.concatenate([codes, jnp.zeros((I, L2 - L), codes.dtype)],
                         axis=1)
-    c = jnp.concatenate([c, jnp.zeros((I2 - I, L2), codes.dtype)], axis=0)
-    e = jnp.broadcast_to(lut[0], (I2, L2))
+    return jnp.concatenate([c, jnp.zeros((I2 - I, L2), codes.dtype)],
+                           axis=0)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _gl_codes_masked_entry(p2r, freq, codes_p, lut, missing, winsize: int,
+                           block_i: int, block_l: int,
+                           interpret: bool = False):
+    """TGLS core from the dictionary ship: repadded 2-bit genotypes
+    [I2, L2/4] u8 + padded code plane [I2, L2] u8 + lut [K] f32 ->
+    masked window sums [I2, NW2] f32.  The error plane rebuilds on
+    device as a K-way VPU select over the codes (K <= 255 distinct TGLS
+    values — GQ/PL files in practice), so the host link carries 1.25
+    bytes/genotype instead of the 5 (int8 geno + f32 error) the
+    unpacked path ships — and both payloads are content-keyed HBM-cache
+    residents on warm runs.  All inputs are bucket-shaped: ONE compile
+    per (I2, L2, winsize, K) serves every chromosome."""
+    import jax.numpy as jnp
+
+    I2 = p2r.shape[0]
+    d = p2r.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I2, -1)  # [I2, L2]; pad code 3
+    e = jnp.broadcast_to(lut[0], g.shape)
     for k in range(1, lut.shape[0]):  # static K, unrolled selects
-        e = jnp.where(c == k, lut[k], e)
+        e = jnp.where(codes_p == k, lut[k], e)
     a = _gl_terms(g, freq, e)
     win = _window_sums_pallas_padded(a, winsize, block_i, block_l,
                                      interpret)
@@ -320,24 +333,26 @@ def lod_windows_pallas_gl_codes_raw(chrom, missing: np.ndarray,
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _bucket(max(nwin, 1), block_l)
     L2 = NW2 + HW
-    pk, pkkey = _device_packed_keyed(chrom)
+    pk, _ = _device_packed_keyed(chrom)
+    geno_dev = _decode_2bit(pk, I, L, I2, L2)  # shared with the plain path
     codes = np.ascontiguousarray(chrom.gl_codes)
-    ckey = ("glc", codes.shape, content_digest(codes))
+    # the PADDED plane is what's cached: cold runs ship the unpadded
+    # bytes (zero-copy from a .gtlc mmap) and pad on device once
+    ckey = ("glc", codes.shape, content_digest(codes), I2, L2)
     hit = _device_cache_get(ckey)
     if hit is not None and hit[0] == "glc":
         codes_dev = hit[1]
     else:
-        codes_dev = jnp.asarray(codes)
+        codes_dev = _pad_codes_dev(jnp.asarray(codes), I, L, I2, L2)
         _device_cache_put(ckey, ("glc", codes_dev))
     lut32 = np.asarray(chrom.gl_lut, dtype=np.float32)
     fp = np.zeros(L2, dtype=np.float32)
     fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
     mp = np.ones((1, NW2), dtype=np.int8)
     mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
-    win = _gl_codes_masked_entry(pk, _device_plane(fp), codes_dev,
+    win = _gl_codes_masked_entry(geno_dev, _device_plane(fp), codes_dev,
                                  jnp.asarray(lut32), _device_plane(mp),
-                                 W, I, L, I2, L2, block_i, block_l,
-                                 interpret)
+                                 W, block_i, block_l, interpret)
     return win, nwin
 
 

@@ -240,3 +240,29 @@ def test_pallas_gl_codes_matches_gl_raw():
     got2, _ = lod_windows_pallas_gl_codes_raw(chrom, miss, W,
                                               interpret=True)
     np.testing.assert_array_equal(np.asarray(got2), g)
+
+
+def test_pallas_gl_codes_single_expensive_compile():
+    """Chromosomes of different lengths share one _gl_codes_masked_entry
+    compilation (bucketed inputs): only the cheap pad/decode jits are
+    per-shape, like the plain prepacked path."""
+    from garlic_tpu.core.types import ChromData
+    from garlic_tpu.ops import pallas_lod as pl_mod
+
+    rng = np.random.default_rng(4)
+    before = pl_mod._gl_codes_masked_entry._cache_size()
+    for L in (900, 700, 800):
+        I, W = 5, 19
+        geno = rng.integers(0, 3, (I, L)).astype(np.int8)
+        freq = np.clip(rng.beta(1, 1, L), 0.02, 0.98)
+        lut = np.array([0.001, 0.01, 0.1])
+        codes = rng.integers(0, 3, (I, L)).astype(np.uint8)
+        pos = np.cumsum(rng.integers(100, 1000, L)).astype(np.int64)
+        miss = lod_ops.window_missing_mask(pos, W, 100000, 0, 0)
+        chrom = ChromData(chrom="chr1", positions=pos, gpos=np.zeros(L),
+                          locus_names=[f"r{i}" for i in range(L)],
+                          alleles=np.array(["A"] * L), genotypes=geno,
+                          freq=freq, gl_codes=codes, gl_lut=lut)
+        pl_mod.lod_windows_pallas_gl_codes_raw(chrom, miss, W,
+                                               interpret=True)
+    assert pl_mod._gl_codes_masked_entry._cache_size() - before == 1
