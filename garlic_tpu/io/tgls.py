@@ -33,23 +33,28 @@ class TglsError(GarlicDataError):
 
 
 def convert_gl(vals: np.ndarray, gl_type: str) -> np.ndarray:
-    """Vectorized GL conversion, matching the scalar reference ops exactly."""
+    """Vectorized GL conversion, matching the scalar reference ops exactly.
+
+    Overflow (a huge positive GL token -> 10**x = inf -> 1-inf = -inf) is
+    intentional and matches the reference's C pow(): the <= 0 clamp below
+    turns it into 1e-16 either way, so numpy's warning is suppressed."""
     v = vals.astype(np.float64)
-    if gl_type == "GQ":
-        e = v / -10.0
-        e = np.maximum(e, -10.0)
-        out = 10.0 ** e
-    elif gl_type == "GL":
-        e = np.maximum(v, -10.0)
-        out = 1.0 - 10.0 ** e
-    elif gl_type == "PL":
-        e = v / -10.0
-        e = np.maximum(e, -10.0)
-        out = 1.0 - 10.0 ** e
-    else:
-        raise TglsError(f"unknown GL type {gl_type}")
-    out = np.where(out <= 0, 1e-16, out)
-    out = np.where(out > 1, 1.0, out)
+    with np.errstate(over="ignore"):
+        if gl_type == "GQ":
+            e = v / -10.0
+            e = np.maximum(e, -10.0)
+            out = 10.0 ** e
+        elif gl_type == "GL":
+            e = np.maximum(v, -10.0)
+            out = 1.0 - 10.0 ** e
+        elif gl_type == "PL":
+            e = v / -10.0
+            e = np.maximum(e, -10.0)
+            out = 1.0 - 10.0 ** e
+        else:
+            raise TglsError(f"unknown GL type {gl_type}")
+        out = np.where(out <= 0, 1e-16, out)
+        out = np.where(out > 1, 1.0, out)
     return out
 
 

@@ -769,3 +769,59 @@ def test_tgls_panel_cache_pipeline_identical(tmp_path):
     a = open(_os.path.join(wd, "plain.roh.bed")).read()
     assert a == open(_os.path.join(wd, "warm1.roh.bed")).read()
     assert a == open(_os.path.join(wd, "warm2.roh.bed")).read()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_tgls_parser_fuzz_native_vs_python(tmp_path, seed):
+    """Randomized TGLS content (mixed separators, CRLF, token universes
+    spanning dictionary / long-token / overflow regimes, scientific
+    notation): native and Python readers must agree exactly."""
+    from garlic_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed + 500)
+    nind = int(rng.integers(1, 10))
+    nloci = (int(rng.integers(3, 30)), int(rng.integers(2, 20)))
+    # token universe regime per seed
+    regime = seed % 3
+    if regime == 0:     # small ints (dictionary mode)
+        universe = [str(v) for v in rng.integers(0, 99, size=12)]
+    elif regime == 1:   # long/scientific tokens (fallback mode)
+        universe = [f"{rng.random():.12f}", "1e-3", "2.5E-2", "-0.125",
+                    f"-{rng.random():.10f}", "0"]
+    else:               # wide int universe (overflow regime at scale)
+        universe = [str(v) for v in rng.integers(0, 5000, size=40)]
+    # build a TPED skeleton with the same per-chromosome row counts
+    tped_lines, tgls_lines = [], []
+    for ci, chrom in enumerate(["1", "2"]):
+        for l in range(nloci[ci]):
+            pos = 1000 + l * 777
+            g = " ".join(str(a) for i in range(nind)
+                         for a in rng.choice(["A", "C", "0"], size=2))
+            tped_lines.append(f"{chrom} rs{ci}_{l} 0 {pos} {g}")
+            seps = [" ", "\t", "  "]
+            row = ""
+            for t in [chrom, f"rs{ci}_{l}", "0", str(pos)] + \
+                    [str(rng.choice(universe)) for _ in range(nind)]:
+                row += t + str(rng.choice(seps))
+            tgls_lines.append(row.rstrip())
+    tp = str(tmp_path / "f.tped")
+    _write(tp, "\n".join(tped_lines) + "\n")
+    tg = str(tmp_path / "f.tgls")
+    text = "\n".join(tgls_lines)
+    if rng.random() < 0.3:
+        text = text.replace("\n", "\r\n")
+    _write(tg, text + ("\n" if rng.random() < 0.5 else ""))
+    gl_type = ["GQ", "PL", "GL"][seed % 3]
+
+    def chroms():
+        ds, _ = tped.load_tped(tp, "0")
+        return ds.chroms
+
+    a = chroms()
+    tgls._read_tgls_python(tg, a, nind, gl_type, RunLog())
+    b = chroms()
+    tgls.read_tgls(tg, b, nind, gl_type, RunLog())
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(cb.gl), np.asarray(ca.gl))
