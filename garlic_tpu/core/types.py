@@ -120,11 +120,6 @@ class ChromData:
         self._gl = v
 
     @property
-    def has_gl(self) -> bool:
-        """True when TGLS data is attached, without materializing it."""
-        return self._gl is not None or self.gl_codes is not None
-
-    @property
     def genotypes(self) -> np.ndarray:
         if self._geno is None:
             self._geno = _unpack_geno2b(self.geno2b, self.nloci)

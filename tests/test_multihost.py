@@ -127,3 +127,28 @@ def test_two_process_auto_cutoff_and_bounds(tmp_path):
     single = open(os.path.join(wd, "single.roh.bed")).read()
     multi0 = open(os.path.join(wd, "multi.roh.bed")).read()
     assert multi0 == single
+
+
+@pytest.mark.slow
+def test_two_process_tgls(tmp_path):
+    """TGLS across two processes: each host reads the full TGLS file but
+    feeds only its own dp-row block; the sharded GL Phase I reproduces
+    the single-process BED (the native dictionary reader feeds both)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, run_ours, write_tgls, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(3000, 2000), seed=83)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_tgls(panel, str(tmp_path / "p.tgls.gz"), "GQ")
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--tgls",
+            "p.tgls.gz", "--gl-type", "GQ", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.0", "--size-bounds", "300000", "800000",
+            "--tpu-engine", "fast"]
+
+    assert run_ours(wd, base + ["--out", "single"]) == 0
+    _run_pair(wd, base + ["--tpu-mesh", "2x4", "--out", "multi"])
+    single = open(os.path.join(wd, "single.roh.bed")).read()
+    multi0 = open(os.path.join(wd, "multi.roh.bed")).read()
+    assert multi0 == single
