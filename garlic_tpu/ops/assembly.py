@@ -157,9 +157,50 @@ def coverage_counts_batch(above: np.ndarray, winsize: int) -> np.ndarray:
     return counts
 
 
+def _repair_rows(packed: np.ndarray, sus, susw, chrom, exact_cover,
+                 exact_window, ci: int) -> None:
+    """Tie patrol: the device compares f32 window sums against the f32
+    cutoff; windows further than the error band from the cutoff provably
+    decide identically to f64, and the rare in-band ones are verified on
+    the host — making the fast engine's BED identical to the oracle's by
+    construction instead of 'identical in practice'.
+
+    Two stages: with window detail (susw = (rows, wins, f32_above) from
+    the edges transfer) each suspect window's decision is re-derived as
+    a ~winsize-term f64 sum (exact_window) — only rows where a decision
+    actually FLIPS (essentially none in practice) pay the full exact
+    rolling-engine recomputation (exact_cover) of their coverage bits.
+    Without detail (bitmap path / cap overflow) every flagged row is
+    recomputed."""
+    if exact_cover is None or sus is None:
+        return
+    nind = chrom.nind
+    rows = np.flatnonzero(sus[:nind])
+    if rows.size == 0:
+        return
+    if susw is not None and exact_window is not None:
+        si, sw, sside = susw
+        live = si < nind  # bucket pad rows can sit in the band
+        si, sw, sside = si[live], sw[live], sside[live]
+        if si.size:
+            flip = exact_window(ci, si, sw, sside)
+            rows = np.unique(si[flip])
+        else:
+            rows = si
+        if rows.size == 0:
+            return
+    fixed = exact_cover(ci, rows)          # bool [k, nloci]
+    fb = np.packbits(fixed, axis=1, bitorder="little")
+    packed[rows, :fb.shape[1]] = fb
+    # the device matrix may carry live-looking bits past nloci (bucket
+    # padding); the native scan reads exactly nloci bits, so only the
+    # repaired prefix matters.
+
+
 def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
                        cstart: int, cend: int, threshold: float, cm: bool,
-                       handle=None):
+                       handle=None, tie_delta: float = 0.0,
+                       exact_cover=None, exact_window=None, ci: int = 0):
     """(ind, start, stop, size) arrays for one chromosome via the C++
     extractor, or None to fall back to Python.  handle: a pre-dispatched
     covered_dispatch result (assemble_roh enqueues every chromosome's
@@ -167,13 +208,16 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
     from ..native import assemble_runs_native
     from .device_win import (covered_fetch, covered_packed, is_device_win,
                              is_lazy_win)
+    sus = susw = None
     if handle is not None:
-        packed = covered_fetch(handle)
+        packed, sus, susw = covered_fetch(handle)
     elif is_lazy_win(win):
         # streaming mode: materialize, extract coverage bits, drop
-        packed = covered_packed(win.make(), cutoff, winsize, threshold)
+        packed, sus, susw = covered_packed(win.make(), cutoff, winsize,
+                                           threshold, tie_delta)
     elif is_device_win(win):
-        packed = covered_packed(win, cutoff, winsize, threshold)
+        packed, sus, susw = covered_packed(win, cutoff, winsize, threshold,
+                                           tie_delta)
     else:
         from ..native import covered_pack_native
         packed = covered_pack_native(win, winsize, cutoff, threshold)
@@ -181,6 +225,11 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
             above = win >= cutoff
             covered = coverage_counts_batch(above, winsize) >= threshold
             packed = np.packbits(covered, axis=1, bitorder="little")
+    if sus is not None and exact_cover is not None:
+        if not packed.flags.writeable:
+            packed = np.array(packed)
+        _repair_rows(packed, sus, susw, chrom, exact_cover, exact_window,
+                     ci)
     br = pair_breaks(chrom.positions, max_gap, cstart, cend)
     return assemble_runs_native(packed, br, chrom.positions, chrom.gpos,
                                 threshold, cm)
@@ -188,7 +237,9 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
 
 def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
                  centro, cutoff: float, winsize: int, max_gap: int,
-                 overlap_frac: float, cm: bool):
+                 overlap_frac: float, cm: bool,
+                 tie_delta: float = 0.0, exact_cover=None,
+                 exact_window=None):
     """Full assembleROHWindows: returns (per-individual ROH, pooled lengths
     in the reference's (ind, chr, position) order).
 
@@ -196,16 +247,20 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
     engine) or DeviceWin handles (fast engine: coverage counting runs on
     device, only bit-packed masks cross the host link).  Run extraction
     runs in the C++ scan (a verbatim transliteration of the reference state
-    machine) with a pure-Python fallback."""
-    from .device_win import (covered_dispatch, covered_mask, is_device_win,
-                             is_lazy_win)
+    machine) with a pure-Python fallback.
+
+    tie_delta/exact_cover/exact_window: the fast engine's tie patrol
+    (_repair_rows).  exact_cover(ci, rows) -> bool [len(rows), nloci]
+    exact coverage; exact_window(ci, rows, wins, sides) -> bool flip
+    mask (f64 decision differs from the device's f32 one)."""
+    from .device_win import covered_dispatch, is_device_win, is_lazy_win
     threshold = overlap_threshold(overlap_frac, winsize)
     nind = len(ind_ids)
     # enqueue every resident chromosome's coverage kernels up front so
     # chromosome N+1's device compute overlaps chromosome N's host-side
     # fetch + run scan (LazyWin stays sequential: it rematerializes to
     # bound HBM)
-    handles = [covered_dispatch(w, cutoff, winsize, threshold)
+    handles = [covered_dispatch(w, cutoff, winsize, threshold, tie_delta)
                if is_device_win(w) else None for w in win_by_chr]
     per_chrom = []
     for ci, chrom in enumerate(chroms):
@@ -213,13 +268,24 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
         cend = centro.end(chrom.chrom)
         runs = _chrom_runs_native(win_by_chr[ci], chrom, cutoff, winsize,
                                   max_gap, cstart, cend, threshold, cm,
-                                  handle=handles[ci])
+                                  handle=handles[ci], tie_delta=tie_delta,
+                                  exact_cover=exact_cover,
+                                  exact_window=exact_window, ci=ci)
         if runs is None:
             w = win_by_chr[ci]
             if is_lazy_win(w):
                 w = w.make()
-            covered = covered_mask(w, cutoff, winsize, threshold) \
-                if is_device_win(w) else None
+            covered = None
+            if is_device_win(w):
+                from .device_win import covered_packed
+                packed, sus, _ = covered_packed(w, cutoff, winsize,
+                                                threshold, tie_delta)
+                bits = np.unpackbits(packed, axis=1, bitorder="little")
+                covered = bits[:, :w.nloci].astype(bool)
+                if exact_cover is not None and sus is not None:
+                    rows = np.flatnonzero(sus[:nind])
+                    if rows.size:
+                        covered[rows] = exact_cover(ci, rows)[:, :w.nloci]
             calls_by_ind = []
             for i in range(nind):
                 if covered is not None:

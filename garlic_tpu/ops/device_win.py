@@ -213,7 +213,7 @@ def _covered_kernel_factory():
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("winsize",))
-    def _covered(win, cutoff, threshold, winsize: int):
+    def _covered(win, cutoff, threshold, delta, winsize: int):
         from .lod import window_sums_exact
 
         # win columns are window-start slots (possibly only nwin + bucket
@@ -224,6 +224,7 @@ def _covered_kernel_factory():
         # TPU conv lowering accumulates in bf16 on the MXU, which loses
         # integer exactness for winsize > 256).
         above = (win >= cutoff).astype(jnp.float32)
+        sus = jnp.any(jnp.abs(win - cutoff) < delta, axis=1)  # tie patrol
         I, N = above.shape
         z = jnp.zeros((I, winsize - 1), jnp.float32)
         padded = jnp.concatenate([z, above, z], axis=1)
@@ -234,7 +235,10 @@ def _covered_kernel_factory():
         pad = (-outw) % 8
         cp = jnp.concatenate(
             [covered, jnp.zeros((I, pad), bool)], axis=1) if pad else covered
-        return jnp.packbits(cp, axis=1, bitorder="little")
+        # suspect flags ride the same transfer as a trailing byte column
+        return jnp.concatenate(
+            [jnp.packbits(cp, axis=1, bitorder="little"),
+             sus[:, None].astype(jnp.uint8)], axis=1)
 
     return _covered
 
@@ -251,6 +255,10 @@ _EDGE_IDX_CAP = 1 << 16  # final-tier edge cap before bitmap fallback
 # escalates to the final tier (one extra small round trip), then bitmap.
 _EDGE_T1_CAP = 1 << 13
 _EDGE_T1_IDX_CAP = 1 << 13
+# Tie-patrol suspect-window caps: ~100 windows per WGS chromosome in
+# practice even with a pinned (non-density-minimum) cutoff.
+_SUS_BLK_CAP = 512
+_SUS_IDX_CAP = 1024
 
 
 def _edge_tiers():
@@ -275,19 +283,26 @@ def _cov_kernel_factory():
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("winsize", "outw2"))
-    def _cov(win, cutoff, threshold, winsize: int, outw2: int):
+    def _cov(win, cutoff, threshold, delta, winsize: int, outw2: int):
         from .lod import window_sums_exact
 
-        above = (win >= cutoff).astype(jnp.float32)
-        I, N = above.shape
+        above = win >= cutoff
+        # tie patrol: windows within delta of the cutoff (the f32 error
+        # band) get their decision re-derived in f64 on the host — see
+        # assemble_roh's exact_window/exact_cover.  MISSING slots are
+        # -9999, far outside any band.  delta 0 flags nothing.
+        susw = jnp.abs(win - cutoff) < delta
+        sus = jnp.any(susw, axis=1)
+        abf = above.astype(jnp.float32)
+        I, N = abf.shape
         z = jnp.zeros((I, winsize - 1), jnp.float32)
-        padded = jnp.concatenate([z, above, z], axis=1)
+        padded = jnp.concatenate([z, abf, z], axis=1)
         covered = window_sums_exact(padded, winsize) >= threshold
         outw = N + winsize - 1
         if outw2 > outw:
             covered = jnp.concatenate(
                 [covered, jnp.zeros((I, outw2 - outw), bool)], axis=1)
-        return covered
+        return covered, sus, susw, above
 
     return _cov
 
@@ -312,7 +327,8 @@ def _edges_kernel_factory():
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("cap", "block", "ecap"))
-    def _edges(covered, outw, cap: int, block: int, ecap: int):
+    def _edges(covered, sus, susw, above, outw, cap: int, block: int,
+               ecap: int):
         # optimization_barrier between the dense stages and each sparse
         # compaction: without them XLA fuses the dense producers into
         # the nonzero/gather consumer loops, which lower to the scalar
@@ -348,9 +364,44 @@ def _edges_kernel_factory():
             (bid // nb) * outw + (bid % nb) * block + loc % block,
             -1).astype(jnp.int32)
         last = jax.lax.dynamic_slice(covered, (0, outw - 1), (I, 1))[:, 0]
+        # suspect-window extraction (tie patrol): same two-stage
+        # block-sparse compaction as the edges, much sparser in practice
+        # (the cutoff sits at or near a window-value density minimum).
+        # Ships exact flat indices + the f32 side of each, so the host
+        # can verify ~100 decisions in f64 instead of recomputing whole
+        # rows.  Overflow (> _SUS_IDX_CAP) degrades to row-level repair.
+        IN, NW = susw.shape
+        NWp = -(-NW // block) * block
+        if NWp != NW:  # tests feed unbucketed widths; pipeline pads
+            susw = jnp.concatenate(
+                [susw, jnp.zeros((IN, NWp - NW), bool)], axis=1)
+        nbs = NWp // block
+        sb = susw.reshape(IN * nbs, block)
+        ssum = jnp.any(sb, axis=1)
+        nsusw = jnp.sum(sb).astype(jnp.int32)
+        sb, ssum = jax.lax.optimization_barrier((sb, ssum))
+        sbidx = jnp.nonzero(ssum, size=_SUS_BLK_CAP,
+                            fill_value=-1)[0].astype(jnp.int32)
+        sgb = sb[jnp.maximum(sbidx, 0)] & (sbidx >= 0)[:, None]
+        sgb = jax.lax.optimization_barrier(sgb)
+        sloc = jnp.nonzero(sgb.reshape(-1), size=_SUS_IDX_CAP,
+                           fill_value=-1)[0].astype(jnp.int32)
+        sbid = sbidx[jnp.maximum(sloc // block, 0)]
+        # flat indices in the UNPADDED [I, NW] space (pad cols are never
+        # suspect, so every real hit's column is < NW)
+        sgidx = jnp.where(
+            sloc >= 0,
+            (sbid // nbs) * NW + (sbid % nbs) * block + sloc % block,
+            -1).astype(jnp.int32)
+        sside = jnp.where(
+            sgidx >= 0, above.reshape(-1)[jnp.maximum(sgidx, 0)],
+            False).astype(jnp.int32)
         out = jnp.concatenate([
-            jnp.stack([nblk, nedge]),
+            jnp.stack([nblk, nedge, nsusw]),
             last.astype(jnp.int32),
+            sus.astype(jnp.int32),
+            sgidx,
+            sside,
             gidx])
         return out
 
@@ -395,12 +446,16 @@ def _edges_to_packed(idx: np.ndarray, last: np.ndarray, I: int,
 
 
 def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
-                     threshold: float):
+                     threshold: float, tie_delta: float = 0.0):
     """Enqueue the coverage extraction on device and return a handle for
     covered_fetch.  Dispatch/fetch are split so the assembly driver can
     enqueue EVERY chromosome's kernels before the first blocking fetch —
     chromosome N+1's device compute then overlaps chromosome N's host-side
-    reconstruction and run scan."""
+    reconstruction and run scan.
+
+    tie_delta > 0 additionally flags rows holding any window within
+    tie_delta of the cutoff (the f32 error band); the flags ride the
+    same D2H payload and covered_fetch returns them alongside the bits."""
     global _covered_jit, _edges_jit
     import os
 
@@ -412,17 +467,19 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
     if I * outw >= 2**31:
         mode = "bitmap"  # flat i32 edge indices would overflow
     if mode != "bitmap":
-        return _dispatch_edges(dwin, cutoff, winsize, threshold, 0)
+        return _dispatch_edges(dwin, cutoff, winsize, threshold, tie_delta,
+                               0)
     if _covered_jit is None:
         _covered_jit = _covered_kernel_factory()
     packed = _covered_jit(dwin.win, jnp.float32(cutoff),
-                          jnp.float32(threshold), winsize)
+                          jnp.float32(threshold), jnp.float32(tie_delta),
+                          winsize)
     _start_host_copy(packed)
-    return ("bitmap", dwin, cutoff, winsize, threshold, packed)
+    return ("bitmap", dwin, cutoff, winsize, threshold, tie_delta, packed)
 
 
 def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
-                    threshold: float, tier: int):
+                    threshold: float, tie_delta: float, tier: int):
     global _cov_jit, _edges_jit
     import jax.numpy as jnp
 
@@ -434,12 +491,15 @@ def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
     I, N = dwin.win.shape
     outw = N + winsize - 1
     outw2 = -(-outw // _COV_BUCKET) * _COV_BUCKET
-    covered = _cov_jit(dwin.win, jnp.float32(cutoff),
-                       jnp.float32(threshold), winsize, outw2)
-    fused = _edges_jit(covered, jnp.int32(outw), cap, _EDGE_BLOCK, icap)
+    covered, sus, susw, above = _cov_jit(dwin.win, jnp.float32(cutoff),
+                                         jnp.float32(threshold),
+                                         jnp.float32(tie_delta), winsize,
+                                         outw2)
+    fused = _edges_jit(covered, sus, susw, above, jnp.int32(outw), cap,
+                       _EDGE_BLOCK, icap)
     _start_host_copy(fused)
-    return ("edges", dwin, cutoff, winsize, threshold,
-            (fused, I, outw, tier))
+    return ("edges", dwin, cutoff, winsize, threshold, tie_delta,
+            (fused, I, N, outw, tier))
 
 
 def _start_host_copy(arr) -> None:
@@ -457,40 +517,59 @@ def _start_host_copy(arr) -> None:
         pass  # non-jax array (tests) or backend without async copies
 
 
-def covered_fetch(handle) -> np.ndarray:
-    """Transfer + reconstruct the packed coverage bits for a handle from
-    covered_dispatch (falls back to the bitmap when the block-sparse edge
-    extraction overflowed a cap).  The edges path is ONE D2H transfer:
-    [nblk, nedge, last(I), gidx(ecap)] i32."""
+def covered_fetch(handle):
+    """Transfer + reconstruct (packed coverage bits, suspect-row flags,
+    suspect-window detail) for a handle from covered_dispatch (falls back
+    to the bitmap when the block-sparse edge extraction overflowed a
+    cap).  The edges path is ONE D2H transfer:
+    [nblk, nedge, nsusw, last(I), sus(I), sgidx(SCAP), sside(SCAP),
+    gidx(ecap)] i32; the bitmap path carries the row flags as a trailing
+    byte column (no window detail: row-level repair applies there).
+
+    The window detail is (rows, wins, f32_above) arrays or None when the
+    suspect count overflowed _SUS_IDX_CAP."""
     global _covered_jit
     import jax.numpy as jnp
 
     from ..parallel.multihost import to_host
 
-    kind, dwin, cutoff, winsize, threshold, data = handle
+    kind, dwin, cutoff, winsize, threshold, tie_delta, data = handle
     if kind == "edges":
-        fused, I, outw, tier = data
+        fused, I, N, outw, tier = data
         m = to_host(fused)
         tiers = _edge_tiers()
         cap, icap = tiers[tier]
-        nblk, nedge = int(m[0]), int(m[1])
+        nblk, nedge, nsusw = int(m[0]), int(m[1]), int(m[2])
         if nblk <= cap and nedge <= icap:
-            last = m[2:2 + I].astype(bool)
-            idx = m[2 + I:2 + I + nedge].astype(np.int64)
-            return _edges_to_packed(idx, last, I, outw)
+            o = 3
+            last = m[o:o + I].astype(bool)
+            sus = m[o + I:o + 2 * I].astype(bool)
+            o += 2 * I
+            susw = None
+            if nsusw <= _SUS_IDX_CAP:
+                sgidx = m[o:o + nsusw].astype(np.int64)
+                sside = m[o + _SUS_IDX_CAP:
+                          o + _SUS_IDX_CAP + nsusw].astype(bool)
+                susw = (sgidx // N, sgidx % N, sside)
+            o += 2 * _SUS_IDX_CAP
+            idx = m[o:o + nedge].astype(np.int64)
+            return _edges_to_packed(idx, last, I, outw), sus, susw
         if tier + 1 < len(tiers):  # escalate: one extra small round trip
             return covered_fetch(_dispatch_edges(
-                dwin, cutoff, winsize, threshold, tier + 1))
+                dwin, cutoff, winsize, threshold, tie_delta, tier + 1))
         if _covered_jit is None:
             _covered_jit = _covered_kernel_factory()
         data = _covered_jit(dwin.win, jnp.float32(cutoff),
-                            jnp.float32(threshold), winsize)
-    return to_host(data)
+                            jnp.float32(threshold), jnp.float32(tie_delta),
+                            winsize)
+    m = to_host(data)
+    return np.ascontiguousarray(m[:, :-1]), m[:, -1].astype(bool), None
 
 
 def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
-                   threshold: float) -> np.ndarray:
-    """uint8 [I, ceil(L/8)] little-endian bit-packed coverage flags.
+                   threshold: float, tie_delta: float = 0.0):
+    """(uint8 [I, ceil(L/8)] little-endian bit-packed coverage flags,
+    bool [I] tie-suspect row flags, suspect-window detail or None).
 
     bit w = coverage_counts >= threshold at SNP w; MISSING window slots
     score -9999 < cutoff, so they never count — same comparison the
@@ -503,12 +582,13 @@ def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,
     and ~20x cheaper than a full-length nonzero.  Falls back to the
     bitmap when a pathological panel overflows the block cap
     (GARLIC_TPU_COVERED=bitmap forces the old path)."""
-    return covered_fetch(covered_dispatch(dwin, cutoff, winsize, threshold))
+    return covered_fetch(covered_dispatch(dwin, cutoff, winsize, threshold,
+                                          tie_delta))
 
 
 def covered_mask(dwin: DeviceWin, cutoff: float, winsize: int,
                  threshold: float) -> np.ndarray:
     """bool [I, L] unpacked coverage flags (see covered_packed)."""
-    host = covered_packed(dwin, cutoff, winsize, threshold)
+    host, _, _ = covered_packed(dwin, cutoff, winsize, threshold)
     bits = np.unpackbits(host, axis=1, bitorder="little")
     return bits[:, :dwin.nloci].astype(bool)

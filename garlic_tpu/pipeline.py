@@ -553,9 +553,39 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
     # ---------------- Phase III: assembly ----------------
     print("Assembling ROH windows")
+    # Tie patrol (plain/TGLS fast engine, single process): rows holding a
+    # window inside the f32 error band around the cutoff get their
+    # coverage recomputed with the exact f64 engine, making the fast
+    # BED identical to the oracle's by construction.  Multi-host runs
+    # skip it (each process holds only its own individual rows, but the
+    # gathered coverage indexes global rows).
+    tie_delta, exact_cover, exact_window = 0.0, None, None
+    if st.engine == "fast" and not weighted:
+        import jax
+        if jax.process_count() == 1:
+            tie_delta = _tie_band(ds.chroms, winsize, error, use_gl)
+
+            def exact_cover(ci, rows):
+                from .ops.assembly import (coverage_counts_batch,
+                                           overlap_threshold)
+                sub = _subset_chrom(ds.chroms[ci],
+                                    np.asarray(rows, dtype=np.int64))
+                w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
+                                             max_gap, use_gl,
+                                             engine="exact")
+                thr = overlap_threshold(overlap_frac, winsize)
+                return coverage_counts_batch(w >= lod_cutoff,
+                                             winsize) >= thr
+
+            def exact_window(ci, rows, wins, sides):
+                return _exact_window_flips(
+                    ds.chroms[ci], rows, wins, sides, winsize, error,
+                    use_gl, lod_cutoff)
+
     roh_by_ind, lengths = assembly.assemble_roh(
         win_by_chr, ds.chroms, ds.ind_ids, centro, lod_cutoff, winsize,
-        max_gap, overlap_frac, cm)
+        max_gap, overlap_frac, cm, tie_delta=tie_delta,
+        exact_cover=exact_cover, exact_window=exact_window)
     prof.mark("phase3-assembly", float(lengths.size), "ROH")
 
     # ---------------- Phase IV: size classes ----------------
@@ -649,6 +679,90 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
                 engine=st.engine, bar=bar))
         bar.finalize()
     return out
+
+
+def _tie_band(chroms, winsize: int, error: float, use_gl: bool) -> float:
+    """Suspect half-width for the fast engine's tie patrol: a bound on
+    |win_f32 - win_f64| for one window sum.
+
+    Hardware-calibrated: across W = 60/120/300 on real WGS panels the
+    observed max deviation is <= 19 * eps32 * W * tmax (tmax = the
+    largest |per-locus LOD term|), for both the unrolled (W <= 64) and
+    the block-cumsum (W > 64) Pallas paths AND for the TGLS path (its
+    f32-log10 terms land in the same error class as the plain path's
+    f64-table casts: measured 16x on a 200x200k GQ panel); 256x leaves
+    a >13x margin.
+
+    tmax comes from corner evaluation (O(L) min/max instead of a full
+    f64 table build): every term is monotone in p ((1-e)/(1-p) + e and
+    its mirror) and the heterozygote term is exactly log10(e), so the
+    extremes sit at (min/max freq) x (min/max error); the plain path is
+    the e = error degenerate case of the same formulas."""
+    eps = 2.0 ** -23
+    tmax = 1.0
+    for c in chroms:
+        f = np.asarray(c.freq, dtype=np.float64)
+        live = (f > 0) & (f < 1)
+        if not live.any():
+            continue
+        if not use_gl:
+            es = (float(error),)
+        elif c.gl_codes is not None:
+            es = (float(np.min(c.gl_lut)), float(np.max(c.gl_lut)))
+        else:
+            es = (float(np.min(c.gl)), float(np.max(c.gl)))
+        for p in (float(f[live].min()), float(f[live].max())):
+            for e in es:
+                for v in ((1.0 - e) / (1.0 - p) + e, e,
+                          (1.0 - e) / p + e):
+                    tmax = max(tmax, abs(float(np.log10(v))))
+    return 256.0 * eps * winsize * tmax
+
+
+def _geno_row_slice(c, i: int, w: int, W: int) -> np.ndarray:
+    """int8 genotype codes [W] for individual i, loci [w, w+W) — decoded
+    from the 2-bit form when the chromosome is packed-only, so the tie
+    patrol never materializes the full int8 matrix."""
+    if not c.geno_is_packed_only:
+        return np.asarray(c.genotypes[i, w:w + W])
+    b = c.geno2b[i, w // 4:-(-(w + W) // 4)]
+    codes = np.stack([(b >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=-1).reshape(-1)
+    g = codes[w % 4:w % 4 + W]
+    return np.where(g == 3, -9, g).astype(np.int8)
+
+
+def _exact_window_flips(c, rows, wins, sides, winsize: int, error: float,
+                        use_gl: bool, cutoff: float) -> np.ndarray:
+    """Per suspect (row, window): does the f64 'window >= cutoff'
+    decision FLIP versus the device's f32 one (`sides`)?  The tie
+    patrol's cheap verification stage — ~winsize-term fresh f64 sums,
+    microseconds per window.
+
+    The oracle accumulates most windows by the ROLLING subtract/add
+    recurrence, whose value can differ from a fresh left-to-right sum in
+    the last few ulps; a suspect whose fresh sum lands within 1e-9 of
+    the cutoff is conservatively reported as flipped, which routes its
+    row to the full exact rolling recomputation (exact_cover)."""
+    from .ops.lod import lod_terms
+    flips = np.empty(len(rows), dtype=bool)
+    for k in range(len(rows)):
+        i, w = int(rows[k]), int(wins[k])
+        g = _geno_row_slice(c, i, w, winsize)
+        if use_gl and c.gl_codes is not None:
+            e = c.gl_lut[c.gl_codes[i, w:w + winsize]][None, :]
+        elif use_gl:
+            e = np.asarray(c.gl[i, w:w + winsize],
+                           dtype=np.float64)[None, :]
+        else:
+            e = error
+        terms = lod_terms(g[None, :], c.freq[w:w + winsize], e)[0]
+        s = float(np.cumsum(terms)[-1])  # sequential left-to-right f64
+        if abs(s - cutoff) < 1e-9:
+            flips[k] = True  # unsure: full exact row recompute
+            continue
+        flips[k] = (s >= cutoff) != bool(sides[k])
+    return flips
 
 
 def _subset_chrom(c, idx):

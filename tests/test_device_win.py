@@ -88,3 +88,62 @@ def test_assembly_equivalent():
     for x, y in zip(ra, rb):
         assert [(c.start, c.stop, c.size) for c in x.calls] == \
                [(c.start, c.stop, c.size) for c in y.calls]
+
+
+def test_tie_patrol_flags_and_repair():
+    """covered_dispatch(tie_delta) flags exactly the rows holding a
+    window inside the band, and assemble-side repair replaces those
+    rows' coverage bits with the exact_cover result."""
+    import jax.numpy as jnp
+    from garlic_tpu.ops.device_win import DeviceWin, covered_packed
+
+    I, N, W = 6, 400, 10
+    cutoff = 1.0
+    win = np.full((I, N), -5.0, np.float32)
+    win[1, 100] = cutoff + 5e-4        # inside a 1e-3 band
+    win[2, 200] = cutoff + 0.5         # far above: covered, not suspect
+    win[3, 300] = cutoff - 5e-4        # inside the band from below
+    dw = DeviceWin(win=jnp.asarray(win), nind=I, nloci=N)
+    packed, sus, susw = covered_packed(dw, cutoff, W, 1.0,
+                                       tie_delta=1e-3)
+    np.testing.assert_array_equal(sus[:I], [False, True, False, True,
+                                            False, False])
+    # window detail: exact flat positions + the f32 side of each
+    assert susw is not None
+    si, sw, sside = susw
+    assert set(zip(si.tolist(), sw.tolist(), sside.tolist())) == \
+        {(1, 100, True), (3, 300, False)}
+    # without a band nothing is flagged
+    _, sus0, _ = covered_packed(dw, cutoff, W, 1.0)
+    assert not sus0[:I].any()
+
+    # repair path: exact_cover says row 1's window was NOT above (the f64
+    # truth for a window sitting 5e-4 above the f32 cutoff could go
+    # either way; here we force 'below') -> its run disappears
+    from garlic_tpu.ops import assembly
+
+    class _C:
+        nind = I
+        nloci = N
+        positions = np.arange(1, N + 1, dtype=np.int64) * 1000
+        gpos = np.zeros(N)
+        chrom = "chr1"
+
+    def exact_cover(ci, rows):
+        assert ci == 0 and list(rows) == [1, 3]
+        return np.zeros((len(rows), N), dtype=bool)
+
+    class _Centro:
+        def start(self, c):
+            return 0
+
+        def end(self, c):
+            return 0
+
+    runs = assembly._chrom_runs_native(
+        dw, _C(), cutoff, W, 10**9, 0, 0, 1.0, False,
+        handle=None, tie_delta=1e-3, exact_cover=exact_cover, ci=0)
+    if runs is not None:  # native lib present
+        ind_arr = runs[0]
+        assert 1 not in ind_arr and 3 not in ind_arr  # repaired away
+        assert 2 in ind_arr                           # untouched row kept

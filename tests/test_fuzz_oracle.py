@@ -271,3 +271,34 @@ def test_fuzz_mesh_identical_to_single(tmp_path, seed):
     a = read_text(os.path.join(wd, "single.roh.bed"))
     b = read_text(os.path.join(wd, "meshed.roh.bed"))
     assert a == b, ("mesh BED differs from single-device", mesh, args)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", _seed_range("GARLIC_FUZZ_TIE_SEEDS", "0:4"))
+def test_fuzz_fast_equals_exact(tmp_path, seed):
+    """The f32 fast engine must produce BED identical to the exact f64
+    engine on the SAME inputs: any window sum inside the f32 error band
+    around the cutoff is caught by the tie patrol and its row recomputed
+    exactly (pipeline._tie_band / assembly._repair_rows).  Random panels
+    + winsizes spanning both Pallas window-sum regimes."""
+    rng = np.random.default_rng(77_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    # span the unrolled (<= 64) and cumsum (> 64) kernel paths
+    wi = args.index("--winsize")
+    args[wi + 1] = str(int(rng.choice([31, 60, 90, 130])))
+    if "--lod-cutoff" not in args:
+        # pin the cutoff: the engines' KDE grids can legitimately argmin
+        # one point apart; this test is strictly about Phase-I ties
+        args += ["--lod-cutoff", f"{rng.uniform(0.2, 2.0):.4f}"]
+    panel = make_panel(**panel_kw)
+    write_tped(panel, str(tmp_path / "f.tped.gz"), str(tmp_path / "f.tfam"))
+    wd = str(tmp_path)
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
+    rce = run_ours(wd, args + ["--tpu-engine", "exact", "--out", "ex"])
+    rcf = run_ours(wd, args + ["--tpu-engine", "fast", "--out", "fa"])
+    assert rce == rcf
+    if rce != 0:
+        return  # degenerate GMM/cutoff: both engines must agree on failure
+    a = open(os.path.join(wd, "ex.roh.bed")).read()
+    b = open(os.path.join(wd, "fa.roh.bed")).read()
+    assert a == b

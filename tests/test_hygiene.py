@@ -107,24 +107,26 @@ def test_covered_edges_equivalent(monkeypatch):
         win = rng.standard_normal((I, N)).astype(np.float32) * 2
         win[rng.random((I, N)) < 0.1] = -9999.0
         dw = DeviceWin(win=jnp.asarray(win), nind=I, nloci=N)
-        got = covered_packed(dw, cutoff, W, 3.0)
+        got, sus, _ = covered_packed(dw, cutoff, W, 3.0)
         want = np.asarray(cov(jnp.asarray(win), jnp.float32(cutoff),
-                              jnp.float32(3.0), W))
+                              jnp.float32(3.0), jnp.float32(0.0),
+                              W))[:, :-1]
         np.testing.assert_array_equal(got, want)
+        assert not sus.any()
     # tier escalation: tier-1 overflow retries at the final edge tier
     monkeypatch.setattr(device_win, "_EDGE_T1_CAP", 4)
     monkeypatch.setattr(device_win, "_EDGE_T1_IDX_CAP", 4)
     rng = np.random.default_rng(3)
     win = rng.standard_normal((9, 500)).astype(np.float32) * 2
     dw = DeviceWin(win=jnp.asarray(win), nind=9, nloci=500)
-    got = covered_packed(dw, 0.0, 12, 3.0)
+    got, _, _ = covered_packed(dw, 0.0, 12, 3.0)
     want = np.asarray(cov(jnp.asarray(win), jnp.float32(0.0),
-                          jnp.float32(3.0), 12))
+                          jnp.float32(3.0), jnp.float32(0.0), 12))[:, :-1]
     np.testing.assert_array_equal(got, want)
     # bitmap fallback: every edge tier overflows
     monkeypatch.setattr(device_win, "_EDGE_CAP", 4)
     monkeypatch.setattr(device_win, "_EDGE_IDX_CAP", 4)
-    got = covered_packed(dw, 0.0, 12, 3.0)
+    got, _, _ = covered_packed(dw, 0.0, 12, 3.0)
     np.testing.assert_array_equal(got, want)
 
 
