@@ -39,6 +39,10 @@ class DeviceWin:
     nind: int
     nloci: int
     nwin: int = -1   # -1: win already spans nloci columns
+    # tie-patrol band scale: f32 device scalar = max finite |window term|
+    # (weighted paths, where 1/LD amplification makes a static bound
+    # useless).  None = interpret assemble_roh's tie_delta as absolute.
+    tie_scale: object = None
 
     @property
     def shape(self):
@@ -455,12 +459,16 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
 
     tie_delta > 0 additionally flags rows holding any window within
     tie_delta of the cutoff (the f32 error band); the flags ride the
-    same D2H payload and covered_fetch returns them alongside the bits."""
+    same D2H payload and covered_fetch returns them alongside the bits.
+    When the DeviceWin carries a tie_scale (weighted paths), tie_delta
+    is a FACTOR multiplied by that device scalar — no host sync."""
     global _covered_jit, _edges_jit
     import os
 
     import jax.numpy as jnp
 
+    if tie_delta and getattr(dwin, "tie_scale", None) is not None:
+        tie_delta = jnp.float32(tie_delta) * dwin.tie_scale
     I, N = dwin.win.shape
     outw = N + winsize - 1
     mode = os.environ.get("GARLIC_TPU_COVERED", "auto")

@@ -511,15 +511,21 @@ def _decay_factors(chrom, mu: float, M: int):
 
 @partial(__import__("jax").jit, static_argnames=("winsize",))
 def _wlod_windows_dev(score, inv_ld, missing, winsize: int):
-    """win [I, NW2] f32 (padded window-start layout): for each start l,
-    Σ_j score[:, l+j] * inv_ld[l, j], masked by missing [1, NW2] int8."""
+    """(win [I, NW2] f32 (padded window-start layout): for each start l,
+    Σ_j score[:, l+j] * inv_ld[l, j], masked by missing [1, NW2] int8;
+    tie_scale f32 scalar = max finite |term| — the data-driven scale of
+    the tie-patrol band, since 1/LD can amplify terms arbitrarily)."""
     import jax.numpy as jnp
     I, L2 = score.shape
     nw2 = L2 - winsize + 1
     acc = jnp.zeros((I, nw2), jnp.float32)
+    tmax = jnp.float32(0.0)
     for j in range(winsize):
-        acc = acc + score[:, j:j + nw2] * inv_ld[:nw2, j][None, :]
-    return jnp.where(missing != 0, jnp.float32(MISSING), acc)
+        t = score[:, j:j + nw2] * inv_ld[:nw2, j][None, :]
+        acc = acc + t
+        tmax = jnp.maximum(
+            tmax, jnp.max(jnp.where(jnp.isfinite(t), jnp.abs(t), 0.0)))
+    return jnp.where(missing != 0, jnp.float32(MISSING), acc), tmax
 
 
 @partial(__import__("jax").jit,
@@ -566,6 +572,7 @@ def _fused_phased(pk, aux, sub_idx, fcp_sub, I: int, L: int, L2: int,
     score = _wlod_score_from_table(pk, aux[:4], I, L, L2)
     nw2 = L2 - winsize + 1
     return _wlod_windows_dev(score, inv_ld, aux[4:5, :nw2], winsize)
+    # (both fused programs return (win, tie_scale) via _wlod_windows_dev)
 
 
 def _weighted_aux(chrom, centro, winsize: int, error, max_gap: int,
@@ -652,11 +659,11 @@ def weighted_windows_device(chrom, centro, winsize: int, error,
             fcp[:, :L] = fc
             fcp_dev = jnp.asarray(fcp)
             _device_cache_put(fkey, ("wfc", fcp_dev))
-        win = _fused_phased(pk, aux_dev, sub_dev, fcp_dev,
-                            I, L, L2, winsize)
+        win, tsc = _fused_phased(pk, aux_dev, sub_dev, fcp_dev,
+                                 I, L, L2, winsize)
     else:
-        win = _fused_unphased(pk, aux_dev, sub_dev, I, L, L2, winsize)
-    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
+        win, tsc = _fused_unphased(pk, aux_dev, sub_dev, I, L, L2, winsize)
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin, tie_scale=tsc)
 
 
 def _aux_dev_cached(chrom, centro, winsize: int, error, max_gap: int,
@@ -710,9 +717,13 @@ def _weighted_windows_chunked(chrom, centro, winsize: int, error,
     parts = [_wlod_chunk(blk, table4, inv_ld, missing_row,
                          C, L, L2, winsize)
              for blk in _iter_pk_chunks(pk, I, C)]
-    win = jnp.concatenate(parts, axis=0)[:I] if len(parts) > 1 \
-        else parts[0][:I]
-    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
+    wins = [w for w, _ in parts]
+    tsc = parts[0][1]
+    for _, t in parts[1:]:
+        tsc = jnp.maximum(tsc, t)
+    win = jnp.concatenate(wins, axis=0)[:I] if len(wins) > 1 \
+        else wins[0][:I]
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin, tie_scale=tsc)
 
 
 def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
@@ -781,5 +792,6 @@ def wlod_windows_device(chrom, centro, ld_dev, winsize: int, error,
         score_dev = _wlod_score_from_table(
             _device_packed(chrom), jnp.asarray(tp), I, L, L2)
     from .pallas_lod import _device_plane
-    win = _wlod_windows_dev(score_dev, inv_ld, _device_plane(mp), winsize)
-    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin)
+    win, tsc = _wlod_windows_dev(score_dev, inv_ld, _device_plane(mp),
+                                 winsize)
+    return DeviceWin(win=win, nind=I, nloci=L, nwin=nwin, tie_scale=tsc)

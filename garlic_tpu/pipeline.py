@@ -560,27 +560,58 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # skip it (each process holds only its own individual rows, but the
     # gathered coverage indexes global rows).
     tie_delta, exact_cover, exact_window = 0.0, None, None
-    if st.engine == "fast" and not weighted:
+    if st.engine == "fast":
         import jax
-        if jax.process_count() == 1:
-            tie_delta = _tie_band(ds.chroms, winsize, error, use_gl)
+        single = jax.process_count() == 1
+    else:
+        single = False
+    if single and not weighted:
+        tie_delta = _tie_band(ds.chroms, winsize, error, use_gl)
 
-            def exact_cover(ci, rows):
-                from .ops.assembly import (coverage_counts_batch,
-                                           overlap_threshold)
-                sub = _subset_chrom(ds.chroms[ci],
-                                    np.asarray(rows, dtype=np.int64))
-                w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
-                                             max_gap, use_gl,
-                                             engine="exact")
-                thr = overlap_threshold(overlap_frac, winsize)
-                return coverage_counts_batch(w >= lod_cutoff,
-                                             winsize) >= thr
+        def exact_cover(ci, rows):
+            from .ops.assembly import (coverage_counts_batch,
+                                       overlap_threshold)
+            sub = _subset_chrom(ds.chroms[ci],
+                                np.asarray(rows, dtype=np.int64))
+            w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
+                                         max_gap, use_gl, engine="exact")
+            thr = overlap_threshold(overlap_frac, winsize)
+            return coverage_counts_batch(w >= lod_cutoff, winsize) >= thr
 
-            def exact_window(ci, rows, wins, sides):
-                return _exact_window_flips(
-                    ds.chroms[ci], rows, wins, sides, winsize, error,
-                    use_gl, lod_cutoff)
+        def exact_window(ci, rows, wins, sides):
+            return _exact_window_flips(
+                ds.chroms[ci], rows, wins, sides, winsize, error,
+                use_gl, lod_cutoff)
+    elif single and weighted and st.mesh is None:
+        # weighted: 1/LD can amplify terms arbitrarily, so the band scale
+        # rides each DeviceWin as a device scalar (max finite |term|) and
+        # tie_delta here is only the 256*eps*W FACTOR (same calibrated
+        # margin class as _tie_band; the reference's wLOD windows are
+        # fresh sums, so the per-window f64 verification is its exact
+        # value).  Mesh weighted runs keep their measured-identical
+        # status (sharded windows carry no tie_scale).
+        tie_delta = 256.0 * 2.0 ** -23 * winsize
+        _wband_cache = {}
+
+        def exact_cover(ci, rows):
+            from .ops.assembly import (coverage_counts_batch,
+                                       overlap_threshold)
+            if ci not in _wband_cache:
+                _wband_cache[ci] = ld_ops.calc_ld(
+                    ds.chroms[ci], winsize, phased, sub_idx,
+                    engine="exact")
+            sub = _subset_chrom(ds.chroms[ci],
+                                np.asarray(rows, dtype=np.int64))
+            w = wlod_ops.wlod_windows(sub, centro, _wband_cache[ci],
+                                      winsize, error, max_gap, use_gl,
+                                      mu, M)
+            thr = overlap_threshold(overlap_frac, winsize)
+            return coverage_counts_batch(w >= lod_cutoff, winsize) >= thr
+
+        def exact_window(ci, rows, wins, sides):
+            return _exact_wlod_window_flips(
+                ds.chroms[ci], rows, wins, sides, winsize, error, use_gl,
+                mu, M, phased, sub_idx, lod_cutoff)
 
     roh_by_ind, lengths = assembly.assemble_roh(
         win_by_chr, ds.chroms, ds.ind_ids, centro, lod_cutoff, winsize,
@@ -717,6 +748,85 @@ def _tie_band(chroms, winsize: int, error: float, use_gl: bool) -> float:
                           (1.0 - e) / p + e):
                     tmax = max(tmax, abs(float(np.log10(v))))
     return 256.0 * eps * winsize * tmax
+
+
+def _geno_cols_slice(c, w: int, W: int) -> np.ndarray:
+    """int8 genotype codes [I, W] for loci [w, w+W) — decoded from the
+    2-bit form when the chromosome is packed-only."""
+    if not c.geno_is_packed_only:
+        return np.asarray(c.genotypes[:, w:w + W])
+    b = c.geno2b[:, w // 4:-(-(w + W) // 4)]
+    codes = np.stack([(b >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=-1).reshape(b.shape[0], -1)
+    g = codes[:, w % 4:w % 4 + W]
+    return np.where(g == 3, -9, g).astype(np.int8)
+
+
+def _wlod_score_slice(c, i: int, w: int, W: int, error, use_gl: bool,
+                      mu: float, M: int) -> np.ndarray:
+    """f64 weighted per-locus scores for individual i, loci [w, w+W) —
+    exactly wlod_scores' values/order ((lod * nomut) * norec,
+    src/garlic-roh.cpp:249) without materializing the [I, L] matrix."""
+    from .ops.lod import lod_terms
+    g = _geno_row_slice(c, i, w, W)
+    if use_gl and c.gl_codes is not None:
+        e = c.gl_lut[c.gl_codes[i, w:w + W]][None, :]
+    elif use_gl:
+        e = np.asarray(c.gl[i, w:w + W], dtype=np.float64)[None, :]
+    else:
+        e = error
+    base = lod_terms(g[None, :], c.freq[w:w + W], e)[0]
+    pos = c.positions.astype(np.float64)
+    gpos = c.gpos.astype(np.float64)
+    dpos = np.empty(W)
+    dg = np.empty(W)
+    dpos[0] = pos[w] if w == 0 else pos[w] - pos[w - 1]
+    dg[0] = gpos[w] if w == 0 else gpos[w] - gpos[w - 1]
+    dpos[1:] = pos[w + 1:w + W] - pos[w:w + W - 1]
+    dg[1:] = gpos[w + 1:w + W] - gpos[w:w + W - 1]
+    nomut = np.exp(-2.0 * M * mu * dpos)
+    norec = np.exp(-2.0 * M * 1.0 * dg)
+    return (base * nomut) * norec
+
+
+def _exact_wlod_window_flips(c, rows, wins, sides, winsize: int, error,
+                             use_gl: bool, mu: float, M: int, phased: bool,
+                             sub_idx, cutoff: float) -> np.ndarray:
+    """Weighted tie-patrol verification: per suspect (row, window), does
+    the f64 decision flip versus the device's f32 one?
+
+    The reference's wLOD has NO rolling update — every window is a fresh
+    left-to-right sum (src/garlic-roh.cpp:259-272) — so this f64
+    recomputation is the oracle's exact value, not an approximation: the
+    window's LD row comes from the locus slice [w, w+W) alone (the band
+    entries only involve in-window pairs) through the same pair formulas
+    and per-entry summation order as ops/ld.py's exact engine."""
+    from .ops import ld as ld_ops
+    flips = np.empty(len(rows), dtype=bool)
+    band_rows = {}
+    for k in range(len(rows)):
+        i, w = int(rows[k]), int(wins[k])
+        if w not in band_rows:
+            gsl = _geno_cols_slice(c, w, winsize)
+            if phased:
+                P = ld_ops.pair_ld_r2(gsl, c.first_copy[:, w:w + winsize],
+                                      c.freq[w:w + winsize], winsize,
+                                      sub_idx)
+            else:
+                hf = ld_ops.geno_hom_freq(gsl)
+                P = ld_ops.pair_ld_hr2(gsl, hf, winsize, sub_idx)
+            band_rows[w] = ld_ops.assemble_ld_exact(P, winsize)[0]
+        score = _wlod_score_slice(c, i, w, winsize, error, use_gl, mu, M)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # a zero band entry divides to inf exactly as the reference's
+            # score/LD does; non-finite sums escalate below
+            terms = score * (1.0 / band_rows[w])
+            s = float(np.cumsum(terms)[-1])  # the reference's i-loop order
+        if not np.isfinite(s):
+            flips[k] = True  # inf/nan band: escalate to the exact row
+            continue
+        flips[k] = (s >= cutoff) != bool(sides[k])
+    return flips
 
 
 def _geno_row_slice(c, i: int, w: int, W: int) -> np.ndarray:

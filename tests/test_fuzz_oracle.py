@@ -302,3 +302,39 @@ def test_fuzz_fast_equals_exact(tmp_path, seed):
     a = open(os.path.join(wd, "ex.roh.bed")).read()
     b = open(os.path.join(wd, "fa.roh.bed")).read()
     assert a == b
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed",
+                         _seed_range("GARLIC_FUZZ_TIE_W_SEEDS", "0:4"))
+def test_fuzz_weighted_fast_equals_exact(tmp_path, seed):
+    """Weighted tie patrol: the f32 fast engine's BED equals the exact
+    f64 engine's on the same weighted inputs — the band scale rides each
+    DeviceWin as a device scalar (max |window term|), suspect windows
+    re-derive their fresh-sum f64 value (the reference's wLOD has no
+    rolling update, so that IS the oracle value)."""
+    rng = np.random.default_rng(88_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    wi = args.index("--winsize")
+    args[wi + 1] = str(int(rng.choice([25, 40, 70])))
+    if "--lod-cutoff" not in args:
+        args += ["--lod-cutoff", f"{rng.uniform(0.2, 2.0):.4f}"]
+    args += ["--map", "f.map.gz", "--weighted",
+             "--tpu-seed", str(seed)]  # same LD subsample both engines
+    if rng.random() < 0.5:
+        args += ["--ld-subsample", str(int(rng.integers(10, 25)))]
+    if rng.random() < 0.3:
+        args += ["--phased"]
+    panel = make_panel(**panel_kw)
+    write_tped(panel, str(tmp_path / "f.tped.gz"), str(tmp_path / "f.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "f.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
+    rce = run_ours(wd, args + ["--tpu-engine", "exact", "--out", "ex"])
+    rcf = run_ours(wd, args + ["--tpu-engine", "fast", "--out", "fa"])
+    assert rce == rcf
+    if rce != 0:
+        return
+    a = open(os.path.join(wd, "ex.roh.bed")).read()
+    b = open(os.path.join(wd, "fa.roh.bed")).read()
+    assert a == b
