@@ -563,7 +563,8 @@ def _fused_unphased(pk, aux, sub_idx, I: int, L: int, L2: int,
 def _fused_phased(pk, aux, sub_idx, fcp_sub, I: int, L: int, L2: int,
                   winsize: int):
     """_fused_unphased for phased panels: r^2 from the subsample's
-    first-copy bits + full-panel allele freqs (aux row 5)."""
+    first-copy bits + full-panel allele freqs (aux row 5).  Like
+    _fused_unphased, returns (win, tie_scale) via _wlod_windows_dev."""
     import jax.numpy as jnp
     g_full = _int8_from_packed(pk, I, L, L2)
     gsub = g_full[sub_idx]
@@ -572,7 +573,6 @@ def _fused_phased(pk, aux, sub_idx, fcp_sub, I: int, L: int, L2: int,
     score = _wlod_score_from_table(pk, aux[:4], I, L, L2)
     nw2 = L2 - winsize + 1
     return _wlod_windows_dev(score, inv_ld, aux[4:5, :nw2], winsize)
-    # (both fused programs return (win, tie_scale) via _wlod_windows_dev)
 
 
 def _weighted_aux(chrom, centro, winsize: int, error, max_gap: int,
