@@ -147,3 +147,21 @@ def test_tie_patrol_flags_and_repair():
         ind_arr = runs[0]
         assert 1 not in ind_arr and 3 not in ind_arr  # repaired away
         assert 2 in ind_arr                           # untouched row kept
+
+
+def test_tie_patrol_window_cap_overflow_degrades_to_rows():
+    """> _SUS_IDX_CAP suspect windows: the window detail comes back None
+    and the repair degrades to row-level exact recomputation of every
+    flagged row (correct, just slower)."""
+    import jax.numpy as jnp
+    from garlic_tpu.ops import device_win as dwm
+    from garlic_tpu.ops.device_win import DeviceWin, covered_packed
+
+    I, N, W = 8, 2048, 10
+    cutoff = 1.0
+    win = np.full((I, N), cutoff + 1e-5, np.float32)  # everything in-band
+    dw = DeviceWin(win=jnp.asarray(win), nind=I, nloci=N)
+    packed, sus, susw = covered_packed(dw, cutoff, W, 1.0, tie_delta=1e-3)
+    assert sus[:I].all()
+    assert susw is None  # I * N = 16384 > _SUS_IDX_CAP
+    assert I * N > dwm._SUS_IDX_CAP
