@@ -469,6 +469,11 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
 
     if tie_delta and getattr(dwin, "tie_scale", None) is not None:
         tie_delta = jnp.float32(tie_delta) * dwin.tie_scale
+    # coverage counts are exact integers, so `count >= threshold` over
+    # f64 equals `count >= ceil(threshold)` — which is f32-exact, unlike
+    # a cast of e.g. 0.33*60 whose f32 rounding could straddle an integer
+    import math
+    threshold = float(math.ceil(threshold))
     I, N = dwin.win.shape
     outw = N + winsize - 1
     mode = os.environ.get("GARLIC_TPU_COVERED", "auto")
