@@ -169,3 +169,35 @@ def test_gl_error_overrides_scalar():
     t_gl = lod_ops.lod_terms(geno, freq, gl)
     t_sc = lod_ops.lod_terms(geno, freq, 0.2)
     np.testing.assert_array_equal(t_gl, t_sc)
+
+
+@pytest.mark.parametrize("seed,W", [(0, 31), (1, 60), (2, 90), (3, 130)])
+def test_tie_band_bounds_fast_engine_error(seed, W):
+    """The tie-patrol band (pipeline._tie_band) must upper-bound the
+    fast engine's actual |f32 - f64| window deviation with margin — on
+    hardware the calibrated headroom is >13x (BASELINE.md); here the
+    CPU conv path must stay within half the band."""
+    from garlic_tpu.core.types import ChromData
+    from garlic_tpu.pipeline import _tie_band
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    I, L = 12, 4000
+    geno = rng.integers(0, 3, (I, L)).astype(np.int8)
+    geno[rng.random((I, L)) < 0.02] = -9
+    freq = np.clip(rng.beta(1.2, 1.2, L), 0.005, 0.995)
+    err = 0.001
+    table64 = lod_ops.lod_table(freq, err)
+    miss = np.zeros(L - W + 1, dtype=bool)
+    f32 = np.asarray(lod_ops.lod_windows_fast_jax(
+        jnp.asarray(geno), jnp.asarray(table64.astype(np.float32)),
+        jnp.asarray(miss), W)).astype(np.float64)[:, :L - W + 1]
+    terms = lod_ops.lod_terms(geno, freq, err)
+    ex = lod_ops.lod_windows_exact(terms, miss, W)[:, :L - W + 1]
+    live = (ex > -9000) & (f32 > -9000)
+    d = np.abs(f32 - ex)[live].max()
+    chrom = ChromData(chrom="chr1", positions=np.arange(L, dtype=np.int64),
+                      gpos=np.zeros(L), locus_names=None, alleles=None,
+                      genotypes=geno, freq=freq)
+    band = _tie_band([chrom], W, err, False)
+    assert d < band / 2, (d, band)
