@@ -10,6 +10,13 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") +
     " --xla_force_host_platform_device_count=8").strip()
+# No persistent XLA compile cache under pytest: writing a cache entry
+# calls PJRT executable.serialize(), which segfaults the CPU backend
+# after ~30 large in-process compilations (observed in long fuzz
+# campaigns; crash stack ends in jax compilation_cache
+# put_executable_and_time).  The cache only helps cross-process TPU
+# startup; in-process jit caching is unaffected.
+os.environ.setdefault("GARLIC_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 

@@ -39,7 +39,8 @@ import numpy as np
 import pytest
 
 from .util import (make_panel, read_text, run_oracle, run_ours,
-                   write_map_scaffold, write_tgls, write_tped)
+                   run_ours_subprocess, write_map_scaffold, write_tgls,
+                   write_tped)
 
 
 def _seed_range(env="GARLIC_FUZZ_SEEDS", default="0:4"):
@@ -294,8 +295,12 @@ def test_fuzz_fast_equals_exact(tmp_path, seed):
     write_tped(panel, str(tmp_path / "f.tped.gz"), str(tmp_path / "f.tfam"))
     wd = str(tmp_path)
     args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
-    rce = run_ours(wd, args + ["--tpu-engine", "exact", "--out", "ex"])
-    rcf = run_ours(wd, args + ["--tpu-engine", "fast", "--out", "fa"])
+    # fresh subprocesses: long in-process campaigns segfault XLA's CPU
+    # compiler after ~30 large compilations (see util.run_ours_subprocess)
+    rce = run_ours_subprocess(wd, args + ["--tpu-engine", "exact",
+                                          "--out", "ex"])
+    rcf = run_ours_subprocess(wd, args + ["--tpu-engine", "fast",
+                                          "--out", "fa"])
     assert rce == rcf
     if rce != 0:
         return  # degenerate GMM/cutoff: both engines must agree on failure
@@ -330,8 +335,12 @@ def test_fuzz_weighted_fast_equals_exact(tmp_path, seed):
     write_map_scaffold(panel, str(tmp_path / "f.map.gz"))
     wd = str(tmp_path)
     args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
-    rce = run_ours(wd, args + ["--tpu-engine", "exact", "--out", "ex"])
-    rcf = run_ours(wd, args + ["--tpu-engine", "fast", "--out", "fa"])
+    # fresh subprocesses: long in-process campaigns segfault XLA's CPU
+    # compiler after ~30 large compilations (see util.run_ours_subprocess)
+    rce = run_ours_subprocess(wd, args + ["--tpu-engine", "exact",
+                                          "--out", "ex"])
+    rcf = run_ours_subprocess(wd, args + ["--tpu-engine", "fast",
+                                          "--out", "fa"])
     assert rce == rcf
     if rce != 0:
         return

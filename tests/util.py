@@ -186,3 +186,26 @@ def diff_logs(log_a: str, log_b: str, base_a: str = "oracle",
     if len(a) != len(b):
         diffs.append(f"length {len(a)} != {len(b)}")
     return diffs
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_ours_subprocess(workdir: str, args: List[str]) -> int:
+    """Run our pipeline as a fresh CPU subprocess.
+
+    Long in-process campaigns eventually segfault inside XLA's CPU
+    compiler/serializer after ~30 large compilations (LLVM JIT state —
+    observed in fuzz runs; not reachable from a single pipeline run), so
+    campaign-style tests isolate each invocation.  The axon TPU plugin
+    ignores the JAX_PLATFORMS env var, hence the -c driver."""
+    import sys as _sys
+    driver = ("import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+              "sys.path.insert(0, %r); "
+              "from garlic_tpu.pipeline import run_main; "
+              "sys.exit(run_main(sys.argv[1:], prog='garlic'))" % REPO)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([_sys.executable, "-c", driver] + args, cwd=workdir,
+                       env=env, capture_output=True, text=True, timeout=900)
+    return r.returncode
