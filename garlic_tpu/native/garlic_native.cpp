@@ -727,34 +727,45 @@ struct TglsHandle {
   int64_t bad_cols = -1;       // its observed column count
 };
 
-// Open-addressing u64 -> u8 map for the token dictionary (<= 255 live
-// entries in 4096 slots: ~6% load, every probe an L1 hit).
+// Open-addressing 128-bit-token -> u8 map for the token dictionary
+// (<= 255 live entries in 4096 slots: ~6% load, every probe an L1 hit).
+// Keys are the token's raw bytes zero-padded into two u64 lanes, so
+// tokens up to 16 chars (GQ/PL phred ints AND typical GL log10 floats)
+// dictionary-compress; longer tokens fall back to the double matrix.
 struct TokDict {
   static const int64_t SLOTS = 4096;
-  uint64_t keys[SLOTS];
+  uint64_t klo[SLOTS];
+  uint64_t khi[SLOTS];
   uint8_t codes[SLOTS];
   int n = 0;
-  TokDict() { memset(keys, 0, sizeof(keys)); }
-  static inline int64_t slot0(uint64_t k) {
-    return (int64_t)((k * 0x9E3779B97F4A7C15ull) >> 52);
+  TokDict() {
+    memset(klo, 0, sizeof(klo));
+    memset(khi, 0, sizeof(khi));
   }
-  // read-only probe: code or -1
-  inline int find(uint64_t k) const {
-    for (int64_t s = slot0(k);; s = (s + 1) & (SLOTS - 1)) {
-      if (keys[s] == k) return codes[s];
-      if (keys[s] == 0) return -1;
+  static inline int64_t slot0(uint64_t lo, uint64_t hi) {
+    return (int64_t)(((lo ^ (hi * 0xC2B2AE3D27D4EB4Full))
+                      * 0x9E3779B97F4A7C15ull) >> 52);
+  }
+  // read-only probe: code or -1 (empty slot = both lanes 0; a real
+  // token's first byte is non-NUL, so lo != 0 for every live key)
+  inline int find(uint64_t lo, uint64_t hi) const {
+    for (int64_t s = slot0(lo, hi);; s = (s + 1) & (SLOTS - 1)) {
+      if (klo[s] == lo && khi[s] == hi) return codes[s];
+      if (klo[s] == 0 && khi[s] == 0) return -1;
     }
   }
   // insert (caller guarantees absent); false when the dictionary is full
-  inline bool insert(uint64_t k, std::vector<double> &lut) {
+  inline bool insert(uint64_t lo, uint64_t hi, std::vector<double> &lut) {
     if (n >= 255) return false;
-    for (int64_t s = slot0(k);; s = (s + 1) & (SLOTS - 1)) {
-      if (keys[s] == 0) {
-        keys[s] = k;
+    for (int64_t s = slot0(lo, hi);; s = (s + 1) & (SLOTS - 1)) {
+      if (klo[s] == 0 && khi[s] == 0) {
+        klo[s] = lo;
+        khi[s] = hi;
         codes[s] = (uint8_t)n;
-        char buf[9];
-        memcpy(buf, &k, 8);
-        buf[8] = '\0';
+        char buf[17];
+        memcpy(buf, &lo, 8);
+        memcpy(buf + 8, &hi, 8);
+        buf[16] = '\0';
         lut.push_back(strtod(buf, nullptr));
         n++;
         return true;
@@ -763,8 +774,9 @@ struct TokDict {
   }
 };
 
-// Tokenize one TGLS line: total field count, u64 keys for fields
-// 4..4+nind (token bytes zero-padded; tokens > 8 chars set *has_long).
+// Tokenize one TGLS line: total field count, (lo, hi) u64 key pairs for
+// fields 4..4+nind (token bytes zero-padded; tokens > 16 chars set
+// *has_long).
 inline void tgls_line_keys(const char *p, const char *end, int64_t nind,
                            uint64_t *keys, int64_t *nfields,
                            bool *has_long) {
@@ -778,10 +790,16 @@ inline void tgls_line_keys(const char *p, const char *end, int64_t nind,
     int64_t idx = nf - 4;
     if (idx >= 0 && idx < nind) {
       int64_t len = p - tb;
-      if (len <= 8) {
-        uint64_t k = 0;
-        memcpy(&k, tb, (size_t)len);
-        keys[idx] = k;
+      if (len <= 16) {
+        uint64_t lo = 0, hi = 0;
+        if (len > 8) {
+          memcpy(&lo, tb, 8);
+          memcpy(&hi, tb + 8, (size_t)(len - 8));
+        } else {
+          memcpy(&lo, tb, (size_t)len);
+        }
+        keys[2 * idx] = lo;
+        keys[2 * idx + 1] = hi;
       } else {
         lng = true;
       }
@@ -834,10 +852,11 @@ void tgls_to_vals(TglsHandle *h) {
   h->dict_mode = false;
 }
 
-inline double tgls_key_to_double(uint64_t k) {
-  char buf[9];
-  memcpy(buf, &k, 8);
-  buf[8] = '\0';
+inline double tgls_key_to_double(uint64_t lo, uint64_t hi) {
+  char buf[17];
+  memcpy(buf, &lo, 8);
+  memcpy(buf + 8, &hi, 8);
+  buf[16] = '\0';
   return strtod(buf, nullptr);
 }
 
@@ -962,7 +981,7 @@ void *gt_tgls_open(const char *path, int64_t nind) {
     nfields_chunk.assign((size_t)n, 0);
     bool chunk_dict = h->dict_mode;
     if (chunk_dict) {
-      keys_chunk.assign((size_t)(n * nind), 0);
+      keys_chunk.assign((size_t)(2 * n * nind), 0);
       codes_chunk.assign((size_t)(n * nind), 0);
       miss_chunk.assign((size_t)n, 0);
       std::atomic<bool> any_long(false);
@@ -972,12 +991,12 @@ void *gt_tgls_open(const char *path, int64_t nind) {
       for (int64_t i = 0; i < n; i++) {
         bool lng = false;
         tgls_line_keys(starts[i], starts[i] + lens[i], nind,
-                       keys_chunk.data() + i * nind, &nfields_chunk[i],
-                       &lng);
+                       keys_chunk.data() + 2 * i * nind,
+                       &nfields_chunk[i], &lng);
         if (lng) any_long.store(true, std::memory_order_relaxed);
       }
       if (any_long.load()) {
-        // > 8-char tokens: dictionary off for the whole file
+        // > 16-char tokens: dictionary off for the whole file
         tgls_to_vals(h);
         chunk_dict = false;
       }
@@ -993,11 +1012,11 @@ void *gt_tgls_open(const char *path, int64_t nind) {
 #endif
       for (int64_t i = 0; i < n; i++) {
         if (nfields_chunk[i] != nind + 4) continue;  // serial pass stops
-        const uint64_t *k = keys_chunk.data() + i * nind;
+        const uint64_t *k = keys_chunk.data() + 2 * i * nind;
         uint8_t *c = codes_chunk.data() + i * nind;
         uint8_t miss = 0;
         for (int64_t j = 0; j < nind; j++) {
-          int code = dref.find(k[j]);
+          int code = dref.find(k[2 * j], k[2 * j + 1]);
           if (code < 0) {
             miss = 1;
           } else {
@@ -1018,14 +1037,17 @@ void *gt_tgls_open(const char *path, int64_t nind) {
           break;
         }
         if (!miss_chunk[i]) continue;
-        const uint64_t *k = keys_chunk.data() + i * nind;
+        const uint64_t *k = keys_chunk.data() + 2 * i * nind;
         uint8_t *c = codes_chunk.data() + i * nind;
         bool overflow = false;
         for (int64_t j = 0; j < nind; j++) {
-          int code = dict.find(k[j]);
+          int code = dict.find(k[2 * j], k[2 * j + 1]);
           if (code < 0) {
-            if (!dict.insert(k[j], h->lut)) { overflow = true; break; }
-            code = dict.find(k[j]);
+            if (!dict.insert(k[2 * j], k[2 * j + 1], h->lut)) {
+              overflow = true;
+              break;
+            }
+            code = dict.find(k[2 * j], k[2 * j + 1]);
           }
           c[j] = (uint8_t)code;
         }
@@ -1043,9 +1065,9 @@ void *gt_tgls_open(const char *path, int64_t nind) {
 #endif
           for (int64_t r = i; r < n; r++) {
             double *v = h->vals.data() + old + (r - i) * nind;
-            const uint64_t *kk = keys_chunk.data() + r * nind;
+            const uint64_t *kk = keys_chunk.data() + 2 * r * nind;
             for (int64_t j = 0; j < nind; j++)
-              v[j] = tgls_key_to_double(kk[j]);
+              v[j] = tgls_key_to_double(kk[2 * j], kk[2 * j + 1]);
           }
           // bad rows within the remainder still abort at the right row
           for (int64_t r = i; r < n; r++) {

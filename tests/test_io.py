@@ -575,9 +575,13 @@ def test_tgls_native_matches_python(tmp_path):
         # GQ-style small ints -> dictionary mode
         "dict": ("1 a 0 1 30 20 45 7\n1 b 0 2 20 20 30 30\n"
                  "2 c 0 3 7 45 45 20\n", True),
-        # long tokens (> 8 chars) -> fallback doubles
-        "long": ("1 a 0 1 -0.00123456789 -0.5 -0.25 -1\n"
-                 "1 b 0 2 -1 -0.5 -0.00123456789 0\n"
+        # 9-16 char tokens (typical GL floats) still dictionary-compress
+        "midlen": ("1 a 0 1 -0.00123456789 -0.5 -0.25 -1\n"
+                   "1 b 0 2 -1 -0.5 -0.00123456789 0\n"
+                   "2 c 0 3 0 0 -0.25 -1\n", True),
+        # > 16-char tokens -> fallback doubles
+        "long": ("1 a 0 1 -0.001234567890123456 -0.5 -0.25 -1\n"
+                 "1 b 0 2 -1 -0.5 -0.001234567890123456 0\n"
                  "2 c 0 3 0 0 -0.25 -1\n", False),
     }
     for name, (text, want_dict) in cases.items():
@@ -724,8 +728,8 @@ def test_tgls_sidecar_vals_mode(tmp_path):
         pytest.skip("native library unavailable")
     tp = str(tmp_path / "v.tped")
     _write(tp, TPED_BASIC)
-    text = ("1 a 0 1 -0.00123456789 -0.5 -0.25 -1\n"
-            "1 b 0 2 -1 -0.5 -0.00123456789 0\n"
+    text = ("1 a 0 1 -0.001234567890123456 -0.5 -0.25 -1\n"
+            "1 b 0 2 -1 -0.5 -0.001234567890123456 0\n"
             "2 c 0 3 0 0 -0.25 -1\n")
     tg = str(tmp_path / "v.tgls.gz")
     _write(tg, text)
