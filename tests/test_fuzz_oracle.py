@@ -29,6 +29,15 @@ variants (now incl. --phased and phased+TGLS) 0:32, mesh 0:8, streaming
 
 Campaign extension (2026-08-19): seeds 300:380 across all spaces —
 88/88 green, zero divergences.
+
+Round-3 campaigns (2026-08-19, tie-patrol engine + native TGLS reader):
+- combined: plain 380:420, variants 64:112, fast==exact ties 24:56,
+  weighted ties 32:48, streaming 8:16, mesh 6:12 — 150/150 green;
+- variants 112:144 re-run on the 16-char-dictionary TGLS reader —
+  32/32 green.  Zero divergences anywhere.
+Campaign hygiene: the fast==exact tie classes run each engine in a
+fresh subprocess — XLA's CPU backend segfaults after ~30 large
+in-process compilations (see util.run_ours_subprocess).
 """
 
 from __future__ import annotations
