@@ -259,15 +259,29 @@ _EDGE_IDX_CAP = 1 << 16  # final-tier edge cap before bitmap fallback
 # escalates to the final tier (one extra small round trip), then bitmap.
 _EDGE_T1_CAP = 1 << 13
 _EDGE_T1_IDX_CAP = 1 << 13
-# Tie-patrol suspect-window caps: ~100 windows per WGS chromosome in
-# practice even with a pinned (non-density-minimum) cutoff.
-_SUS_BLK_CAP = 512
-_SUS_IDX_CAP = 1024
+# Tie-patrol suspect-window caps: ~100 windows per 200-individual WGS
+# chromosome in practice even with a pinned (non-density-minimum)
+# cutoff; 1000-individual panels reach a few thousand.  Overflow falls
+# back to row-level repair, whose [rows, L] exact recomputation is FAR
+# costlier than the 64 KB of extra payload these caps ship.
+_SUS_BLK_CAP = 4096
+_SUS_IDX_CAP = 8192
 
 
-def _edge_tiers():
-    t1 = (min(_EDGE_T1_CAP, _EDGE_CAP), min(_EDGE_T1_IDX_CAP, _EDGE_IDX_CAP))
-    t2 = (_EDGE_CAP, _EDGE_IDX_CAP)
+def _edge_tiers(I: int = 256):
+    """Edge-payload tiers, scaled by the row count: real panels produce
+    ~25 edges/row, so caps tuned for ~200 rows make EVERY chromosome of
+    a 1000-individual panel overflow — tier 1 into an escalation that
+    re-executes the whole coverage program, and the FINAL tier into the
+    bitmap fallback, whose I x outw/8 payload is a ~134 MB / 4.5 s D2H
+    per chromosome on this link (measured) versus the ~10 ms these
+    scaled caps ship.  Upper bounds keep the gathered block matrix and
+    index payload a few MB; panels beyond them genuinely belong on the
+    bitmap path."""
+    t2 = (min(max(_EDGE_CAP, 64 * I), 1 << 20),
+          min(max(_EDGE_IDX_CAP, 256 * I), 1 << 20))
+    t1 = (min(max(_EDGE_T1_CAP, 32 * I), t2[0]),
+          min(max(_EDGE_T1_IDX_CAP, 64 * I), t2[1]))
     return (t1, t2) if t1 != t2 else (t2,)
 
 
@@ -500,8 +514,8 @@ def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
         _cov_jit = _cov_kernel_factory()
     if _edges_jit is None:
         _edges_jit = _edges_kernel_factory()
-    cap, icap = _edge_tiers()[tier]
     I, N = dwin.win.shape
+    cap, icap = _edge_tiers(I)[tier]
     outw = N + winsize - 1
     outw2 = -(-outw // _COV_BUCKET) * _COV_BUCKET
     covered, sus, susw, above = _cov_jit(dwin.win, jnp.float32(cutoff),
@@ -550,7 +564,7 @@ def covered_fetch(handle):
     if kind == "edges":
         fused, I, N, outw, tier = data
         m = to_host(fused)
-        tiers = _edge_tiers()
+        tiers = _edge_tiers(I)
         cap, icap = tiers[tier]
         nblk, nedge, nsusw = int(m[0]), int(m[1]), int(m[2])
         if nblk <= cap and nedge <= icap:

@@ -571,12 +571,19 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         def exact_cover(ci, rows):
             from .ops.assembly import (coverage_counts_batch,
                                        overlap_threshold)
-            sub = _subset_chrom(ds.chroms[ci],
-                                np.asarray(rows, dtype=np.int64))
-            w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
-                                         max_gap, use_gl, engine="exact")
             thr = overlap_threshold(overlap_frac, winsize)
-            return coverage_counts_batch(w >= lod_cutoff, winsize) >= thr
+            rows = np.asarray(rows, dtype=np.int64)
+            out = []
+            # row blocks bound the [k, L] f64/int64 temporaries: fresh
+            # multi-GB allocations page-fault for seconds under this VM
+            for s in range(0, rows.size, 64):
+                sub = _subset_chrom(ds.chroms[ci], rows[s:s + 64])
+                w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
+                                             max_gap, use_gl,
+                                             engine="exact")
+                out.append(coverage_counts_batch(w >= lod_cutoff,
+                                                 winsize) >= thr)
+            return np.concatenate(out, axis=0)
 
         def exact_window(ci, rows, wins, sides):
             return _exact_window_flips(
@@ -600,13 +607,17 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                 _wband_cache[ci] = ld_ops.calc_ld(
                     ds.chroms[ci], winsize, phased, sub_idx,
                     engine="exact")
-            sub = _subset_chrom(ds.chroms[ci],
-                                np.asarray(rows, dtype=np.int64))
-            w = wlod_ops.wlod_windows(sub, centro, _wband_cache[ci],
-                                      winsize, error, max_gap, use_gl,
-                                      mu, M)
             thr = overlap_threshold(overlap_frac, winsize)
-            return coverage_counts_batch(w >= lod_cutoff, winsize) >= thr
+            rows = np.asarray(rows, dtype=np.int64)
+            out = []
+            for s in range(0, rows.size, 64):  # bound [k, L] temporaries
+                sub = _subset_chrom(ds.chroms[ci], rows[s:s + 64])
+                w = wlod_ops.wlod_windows(sub, centro, _wband_cache[ci],
+                                          winsize, error, max_gap, use_gl,
+                                          mu, M)
+                out.append(coverage_counts_batch(w >= lod_cutoff,
+                                                 winsize) >= thr)
+            return np.concatenate(out, axis=0)
 
         def exact_window(ci, rows, wins, sides):
             return _exact_wlod_window_flips(
@@ -667,7 +678,12 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
     streaming = False
     if st.engine == "fast" and st.mesh is None:
         from .runtime import hbm_budget
-        budget = hbm_budget()
+        # half the usable budget: the resident window matrices must
+        # coexist with the coverage program's own [I, L]-sized
+        # temporaries, the genotype cache, and XLA scratch — an 8.6 GB
+        # window set on a 16 GB chip OOMs during assembly if gated at
+        # 0.9x (measured: 1000 x 1M panel)
+        budget = 0.5 * hbm_budget()
         est = sum(4.0 * (-(-c.nind // 32) * 32)
                   * max(c.nloci - winsize + 1, 1) for c in ds.chroms)
         streaming = est > budget
