@@ -38,6 +38,10 @@ Round-3 campaigns (2026-08-19, tie-patrol engine + native TGLS reader):
 Campaign hygiene: the fast==exact tie classes run each engine in a
 fresh subprocess — XLA's CPU backend segfaults after ~30 large
 in-process compilations (see util.run_ours_subprocess).
+
+Final-HEAD batch (2026-08-19, after the edge-cap scaling / 1000x1M
+fix): plain 420:450, variants 144:168, ties 56:72, weighted ties 48:60,
+streaming 16:22, mesh 12:16 — 92/92 green, zero divergences.
 """
 
 from __future__ import annotations
