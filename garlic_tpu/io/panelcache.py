@@ -28,6 +28,24 @@ _MAGIC = b"GTPCv3\n\0"
 _ALIGN = 64
 
 
+def _src_probe(path: str) -> str:
+    """Cheap content digest of a source file: size + blake2b of its
+    first and last MiB.  mtime alone misses a file swapped with a
+    preserved/older timestamp (cp -p, archive restore); this catches it
+    without re-reading multi-GB inputs, matching the .freq.gz sidecar's
+    content-validation convention."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    st = os.stat(path)
+    h.update(str(st.st_size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(1 << 20))
+        if st.st_size > 2 << 20:
+            f.seek(st.st_size - (1 << 20))
+            h.update(f.read(1 << 20))
+    return h.hexdigest()
+
+
 def cache_path(tpedfile: str) -> str:
     return tpedfile + ".gtpc"
 
@@ -82,8 +100,12 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
     from ..core.digest import content_digest
     digests = [content_digest(arrays[f"c{i}_geno2b"]).hex()
                for i in range(len(chroms))]
+    try:
+        probe = _src_probe(tpedfile)
+    except OSError:
+        return
     meta = {"nind": int(nind), "nchrom": len(chroms),
-            "missing": str(tped_missing),
+            "missing": str(tped_missing), "src_probe": probe,
             "chrom_names": [str(c["chrom"]) for c in chroms],
             "geno2b_digest": digests, "arrays": {}}
     # lay out sections after a fixed-size header slot
@@ -137,7 +159,11 @@ def save_tgls_cache(tglsfile: str, nind: int, row_counts, mode: str,
         arrays["lut"] = np.asarray(lut_raw, dtype=np.float64)
     for i, m in enumerate(mats):
         arrays[f"c{i}"] = np.ascontiguousarray(m)
-    meta = {"nind": int(nind), "mode": mode,
+    try:
+        probe = _src_probe(tglsfile)
+    except OSError:
+        return
+    meta = {"nind": int(nind), "mode": mode, "src_probe": probe,
             "row_counts": [int(x) for x in row_counts], "arrays": {}}
     hdr_probe = dict(meta)
     hdr_probe["arrays"] = {
@@ -190,6 +216,8 @@ def load_tgls_cache(tglsfile: str, nind: int, row_counts):
     try:
         if int(meta["nind"]) != int(nind):
             return None
+        if meta.get("src_probe") != _src_probe(tglsfile):
+            return None  # TGLS content changed under a preserved mtime
         if [int(x) for x in meta["row_counts"]] != \
                 [int(x) for x in row_counts]:
             return None
@@ -243,6 +271,8 @@ def load_cache(tpedfile: str, want_fc: bool,
     try:
         if str(meta.get("missing")) != str(tped_missing):
             return None  # cached parse used a different missing code
+        if meta.get("src_probe") != _src_probe(tpedfile):
+            return None  # TPED content changed under a preserved mtime
         nchrom = int(meta["nchrom"])
         specs = meta["arrays"]
         digs = meta.get("geno2b_digest") or [None] * nchrom

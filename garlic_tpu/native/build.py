@@ -197,7 +197,7 @@ def parse_tgls_native(path: str, nind: int, row_counts):
       {"mode": "codes", "lut": f64 [K] raw token values,
        "chroms": [u8 [nind, L] code matrices]} — dictionary mode.
       {"mode": "vals", "chroms": [f64 [nind, L]]} — fallback (the file
-         has > 255 distinct tokens or tokens > 8 chars)."""
+         has > 255 distinct tokens or tokens > 16 chars)."""
     lib = _load()
     if lib is None:
         return None

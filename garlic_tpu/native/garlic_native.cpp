@@ -1073,7 +1073,10 @@ void *gt_tgls_open(const char *path, int64_t nind) {
           for (int64_t r = i; r < n; r++) {
             if (nfields_chunk[r] != nind + 4) {
               h->vals.resize((size_t)(old + (r - i) * nind));
-              h->bad_row = h->nrows + (r - i);
+              // nrows was already advanced once per good row above, so
+              // it equals the failing global row index here — adding
+              // (r - i) again would double-count (round-3 advisor)
+              h->bad_row = h->nrows;
               h->bad_cols = nfields_chunk[r];
               break;
             }

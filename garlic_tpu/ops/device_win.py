@@ -397,6 +397,11 @@ def _edges_kernel_factory():
         sb = susw.reshape(IN * nbs, block)
         ssum = jnp.any(sb, axis=1)
         nsusw = jnp.sum(sb).astype(jnp.int32)
+        # nonempty suspect BLOCK count: when it exceeds _SUS_BLK_CAP the
+        # bidx gather drops blocks, so sgidx would hold -1 fills inside
+        # its first nsusw entries even though nsusw <= _SUS_IDX_CAP —
+        # the host must see the overflow to degrade to row-level repair
+        nsblk = jnp.sum(ssum).astype(jnp.int32)
         sb, ssum = jax.lax.optimization_barrier((sb, ssum))
         sbidx = jnp.nonzero(ssum, size=_SUS_BLK_CAP,
                             fill_value=-1)[0].astype(jnp.int32)
@@ -415,7 +420,7 @@ def _edges_kernel_factory():
             sgidx >= 0, above.reshape(-1)[jnp.maximum(sgidx, 0)],
             False).astype(jnp.int32)
         out = jnp.concatenate([
-            jnp.stack([nblk, nedge, nsusw]),
+            jnp.stack([nblk, nedge, nsusw, nsblk]),
             last.astype(jnp.int32),
             sus.astype(jnp.int32),
             sgidx,
@@ -549,12 +554,14 @@ def covered_fetch(handle):
     suspect-window detail) for a handle from covered_dispatch (falls back
     to the bitmap when the block-sparse edge extraction overflowed a
     cap).  The edges path is ONE D2H transfer:
-    [nblk, nedge, nsusw, last(I), sus(I), sgidx(SCAP), sside(SCAP),
+    [nblk, nedge, nsusw, nsblk, last(I), sus(I), sgidx(SCAP), sside(SCAP),
     gidx(ecap)] i32; the bitmap path carries the row flags as a trailing
     byte column (no window detail: row-level repair applies there).
 
     The window detail is (rows, wins, f32_above) arrays or None when the
-    suspect count overflowed _SUS_IDX_CAP."""
+    suspect count overflowed _SUS_IDX_CAP or the nonempty suspect block
+    count overflowed _SUS_BLK_CAP (blocks past the cap are dropped by the
+    gather, so their suspects would silently never be re-derived)."""
     global _covered_jit
     import jax.numpy as jnp
 
@@ -566,18 +573,22 @@ def covered_fetch(handle):
         m = to_host(fused)
         tiers = _edge_tiers(I)
         cap, icap = tiers[tier]
-        nblk, nedge, nsusw = int(m[0]), int(m[1]), int(m[2])
+        nblk, nedge = int(m[0]), int(m[1])
+        nsusw, nsblk = int(m[2]), int(m[3])
         if nblk <= cap and nedge <= icap:
-            o = 3
+            o = 4
             last = m[o:o + I].astype(bool)
             sus = m[o + I:o + 2 * I].astype(bool)
             o += 2 * I
             susw = None
-            if nsusw <= _SUS_IDX_CAP:
+            if nsusw <= _SUS_IDX_CAP and nsblk <= _SUS_BLK_CAP:
                 sgidx = m[o:o + nsusw].astype(np.int64)
                 sside = m[o + _SUS_IDX_CAP:
                           o + _SUS_IDX_CAP + nsusw].astype(bool)
-                susw = (sgidx // N, sgidx % N, sside)
+                if (sgidx >= 0).all():
+                    susw = (sgidx // N, sgidx % N, sside)
+                # else: defensive — a -1 fill inside the first nsusw
+                # entries means dropped suspects; degrade to row repair
             o += 2 * _SUS_IDX_CAP
             idx = m[o:o + nedge].astype(np.int64)
             return _edges_to_packed(idx, last, I, outw), sus, susw

@@ -748,22 +748,31 @@ def _tie_band(chroms, winsize: int, error: float, use_gl: bool) -> float:
     eps = 2.0 ** -23
     tmax = 1.0
     for c in chroms:
-        f = np.asarray(c.freq, dtype=np.float64)
-        live = (f > 0) & (f < 1)
-        if not live.any():
-            continue
-        if not use_gl:
-            es = (float(error),)
-        elif c.gl_codes is not None:
-            es = (float(np.min(c.gl_lut)), float(np.max(c.gl_lut)))
-        else:
-            es = (float(np.min(c.gl)), float(np.max(c.gl)))
-        for p in (float(f[live].min()), float(f[live].max())):
-            for e in es:
-                for v in ((1.0 - e) / (1.0 - p) + e, e,
-                          (1.0 - e) / p + e):
-                    tmax = max(tmax, abs(float(np.log10(v))))
+        tmax = max(tmax, _corner_tmax(c, error, use_gl))
     return 256.0 * eps * winsize * tmax
+
+
+def _corner_tmax(c, error: float, use_gl: bool) -> float:
+    """max |per-locus LOD term| bound for one chromosome by corner
+    evaluation (see _tie_band: terms are monotone in p, extremes at
+    (min/max freq) x (min/max error))."""
+    tmax = 1.0
+    f = np.asarray(c.freq, dtype=np.float64)
+    live = (f > 0) & (f < 1)
+    if not live.any():
+        return tmax
+    if not use_gl:
+        es = (float(error),)
+    elif c.gl_codes is not None:
+        es = (float(np.min(c.gl_lut)), float(np.max(c.gl_lut)))
+    else:
+        es = (float(np.min(c.gl)), float(np.max(c.gl)))
+    for p in (float(f[live].min()), float(f[live].max())):
+        for e in es:
+            for v in ((1.0 - e) / (1.0 - p) + e, e,
+                      (1.0 - e) / p + e):
+                tmax = max(tmax, abs(float(np.log10(v))))
+    return tmax
 
 
 def _geno_cols_slice(c, w: int, W: int) -> np.ndarray:
@@ -866,11 +875,18 @@ def _exact_window_flips(c, rows, wins, sides, winsize: int, error: float,
     microseconds per window.
 
     The oracle accumulates most windows by the ROLLING subtract/add
-    recurrence, whose value can differ from a fresh left-to-right sum in
-    the last few ulps; a suspect whose fresh sum lands within 1e-9 of
-    the cutoff is conservatively reported as flipped, which routes its
-    row to the full exact rolling recomputation (exact_cover)."""
+    recurrence, whose value can differ from a fresh left-to-right sum by
+    up to ~n_updates rounding errors; a suspect whose fresh sum lands
+    within the drift bound of the cutoff is conservatively reported as
+    flipped, which routes its row to the full exact rolling
+    recomputation (exact_cover).  The bound scales with the rolling
+    update count (<= nwin; 2 f64 ops each, intermediates <= (W+1)*tmax)
+    instead of a fixed 1e-9, which a 1M-window chromosome's worst-case
+    drift (~1e-8) could exceed (round-3 advisor)."""
     from .ops.lod import lod_terms
+    nwin = max(c.positions.shape[0] - winsize + 1, 1)
+    tmax = _corner_tmax(c, error, use_gl)
+    esc = max(1e-9, 4.0 * nwin * 2.0 ** -52 * (winsize + 1) * tmax)
     flips = np.empty(len(rows), dtype=bool)
     for k in range(len(rows)):
         i, w = int(rows[k]), int(wins[k])
@@ -884,7 +900,7 @@ def _exact_window_flips(c, rows, wins, sides, winsize: int, error: float,
             e = error
         terms = lod_terms(g[None, :], c.freq[w:w + winsize], e)[0]
         s = float(np.cumsum(terms)[-1])  # sequential left-to-right f64
-        if abs(s - cutoff) < 1e-9:
+        if abs(s - cutoff) < esc:
             flips[k] = True  # unsure: full exact row recompute
             continue
         flips[k] = (s >= cutoff) != bool(sides[k])

@@ -165,3 +165,26 @@ def test_tie_patrol_window_cap_overflow_degrades_to_rows():
     assert sus[:I].all()
     assert susw is None  # I * N = 16384 > _SUS_IDX_CAP
     assert I * N > dwm._SUS_IDX_CAP
+
+
+def test_tie_patrol_block_cap_overflow_degrades_to_rows():
+    """> _SUS_BLK_CAP nonempty suspect blocks with nsusw <= _SUS_IDX_CAP:
+    the block gather drops blocks past the cap, so the window detail MUST
+    come back None (row-level repair) — returning a detail list with -1
+    fills inside it would silently skip the dropped blocks' suspects and
+    verify a bogus (row -1, col N-1) window (round-3 advisor finding)."""
+    import jax.numpy as jnp
+    from garlic_tpu.ops import device_win as dwm
+    from garlic_tpu.ops.device_win import DeviceWin, covered_packed
+
+    I, N, W = 34, 16384, 10
+    cutoff = 1.0
+    blk = dwm._EDGE_BLOCK
+    nsblk = I * (N // blk)
+    assert nsblk > dwm._SUS_BLK_CAP and nsblk <= dwm._SUS_IDX_CAP
+    win = np.full((I, N), -5.0, np.float32)
+    win[:, ::blk] = cutoff + 1e-5  # one suspect per 128-window block
+    dw = DeviceWin(win=jnp.asarray(win), nind=I, nloci=N)
+    packed, sus, susw = covered_packed(dw, cutoff, W, 1.0, tie_delta=1e-3)
+    assert sus[:I].all()
+    assert susw is None  # block cap overflow -> row-level repair
