@@ -10,6 +10,7 @@ from .build import (  # noqa: F401
     covered_pack_native,
     filter_columns_native,
     filter_pack_2bit_native,
+    gsl_sd_native,
     hash128_native,
     get_native_max_threads,
     lod_windows_exact_native,

@@ -76,6 +76,10 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
             ctypes.c_char_p]
+        lib.gt_gsl_sd.restype = ctypes.c_double
+        lib.gt_gsl_sd.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
         lib.gt_lod_windows_exact.restype = None
         lib.gt_lod_windows_exact.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
@@ -314,6 +318,19 @@ def unpack_2bit_native(packed: np.ndarray, L: int):
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), I, L, rb,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return out
+
+
+def gsl_sd_native(x: np.ndarray) -> Optional[float]:
+    """gsl_stats_sd with GSL's exact FP semantics (80-bit x87 running-mean
+    recurrences; see gt_gsl_sd) — the reference's nrd0 bandwidth input
+    (src/garlic-kde.cpp:130-140).  None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    if x.shape[0] < 2:
+        return 0.0
+    return float(lib.gt_gsl_sd(x, x.shape[0]))
 
 
 def set_native_threads(n: int) -> None:

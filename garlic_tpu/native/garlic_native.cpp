@@ -21,6 +21,7 @@
 
 #include <atomic>
 #include <cctype>
+#include <cmath>
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
@@ -122,6 +123,31 @@ int gt_get_max_threads(void) {
 #else
   return 1;
 #endif
+}
+
+// gsl_stats_sd, bit-for-bit (used by the reference's nrd0 bandwidth,
+// src/garlic-kde.cpp:130-140).  GSL accumulates BOTH running-mean
+// recurrences in x87 80-bit extended precision (verified by
+// disassembling the oracle binary's gsl_stats_mean / variance_m: fld /
+// fsubrl / fildll / fdivrp / faddp chains), with the mean truncated to
+// f64 between the two passes and delta formed by an SSE f64 subtract.
+// The KDE grid origin is min - 3h, so any sd difference shifts every
+// .kde x value — this must match to the last bit for .kde x-column
+// parity.  long double on x86-64 g++ is the same 80-bit x87 format.
+double gt_gsl_sd(const double *x, int64_t n) {
+  long double mean = 0.0L;
+  for (int64_t i = 0; i < n; i++)
+    mean += ((long double)x[i] - mean) / (long double)(i + 1);
+  const double mean_d = (double)mean;
+  long double variance = 0.0L;
+  for (int64_t i = 0; i < n; i++) {
+    const double delta = x[i] - mean_d;  // f64 subtract, like the oracle
+    variance +=
+        ((long double)delta * (long double)delta - variance) /
+        (long double)(i + 1);
+  }
+  const double var_d = (double)variance;
+  return sqrt(((double)n / (double)(n - 1)) * var_d);
 }
 
 // Column compaction of a 2-bit-packed genotype matrix: keep[l] selects

@@ -117,6 +117,45 @@ def get_min_btw_modes(x: np.ndarray, y: np.ndarray, wsize: int) -> float:
     return 0.0
 
 
+def cutoff_tie_probe(x: np.ndarray, y: np.ndarray, wsize: int,
+                     rel: float = 0.1, K: int = 24) -> list:
+    """Alternative cutoffs the ORACLE could select on this density.
+
+    The reference evaluates the KDE with FIGTree, whose k-center
+    clustering seeds rand() with time(NULL) inside Cluster() (verified by
+    disassembling the oracle binary: KCenterClustering::Cluster calls
+    time->srand->rand) — its Phase II is randomized run-to-run by design,
+    with observed |y_figtree - y_exact| up to ~9% relative in low-density
+    regions (measured; see BASELINE.md round-4 notes).  Our y is the
+    exact transform (the fixed point FIGTree approximates), so when two
+    valley/mode candidates sit within FIGTree's error of each other the
+    oracle's draw decides, and no deterministic implementation can match
+    every draw.
+
+    This probe re-runs the quirk-faithful finder on K seeded
+    multiplicative perturbations y * (1 + rel * u), u ~ U(-1, 1)
+    (deterministic: fixed rng), and returns the sorted list of cutoffs
+    that differ from the unperturbed one — empty means the selection is
+    stable at the FIGTree error scale and a BED diff vs the oracle is a
+    real bug, non-empty means the run sits in the documented
+    randomized-oracle class."""
+    try:
+        base = get_min_btw_modes(x, y, wsize)
+    except CutoffError:
+        return []
+    rng = np.random.default_rng(0)
+    alts = set()
+    for _ in range(K):
+        yp = y * (1.0 + rel * rng.uniform(-1.0, 1.0, size=y.shape[0]))
+        try:
+            c = get_min_btw_modes(x, yp, wsize)
+        except CutoffError:
+            continue
+        if c != base:
+            alts.add(float(c))
+    return sorted(alts)
+
+
 def _arg_max_window(y: np.ndarray, start: int, winsize: int) -> int:
     """Windowed get_arg_max on y[start:start+winsize].  Uses numpy argmax on
     the common path (some value > DBL_MIN) and the faithful scalar scan on

@@ -61,15 +61,48 @@ class KDEResult:
 def nrd0(data: np.ndarray) -> float:
     """Silverman's rule-of-thumb bandwidth (src/garlic-kde.cpp:130-140):
     0.9 * min(sd, IQR/1.34) * N^(-1/5), with GSL's linear-interpolated
-    quantiles on sorted data."""
+    quantiles on sorted data.
+
+    The sd must be BIT-identical to gsl_stats_sd: the KDE grid origin is
+    min - 3h, so the sd feeds every .kde x value (a declared comparison
+    artifact).  GSL accumulates both running-mean recurrences in 80-bit
+    x87 extended precision (verified by disassembling the oracle binary);
+    np.std's pairwise f64 summation differs in the last ulps, which the
+    %g-printed grid exposes.  Native gt_gsl_sd replicates the exact op
+    sequence; the fallback runs the same recurrence via np.longdouble."""
     x = np.sort(np.asarray(data, dtype=np.float64))
     n = x.shape[0]
-    hi = np.std(x, ddof=1)
+    hi = _gsl_sd_sorted(x)
     q75 = _gsl_quantile_sorted(x, 0.75)
     q25 = _gsl_quantile_sorted(x, 0.25)
     iqr = q75 - q25
     lo = min(hi, iqr / 1.34)
     return 0.9 * lo * float(n) ** -0.2
+
+
+def _gsl_sd_sorted(x: np.ndarray) -> float:
+    """gsl_stats_sd on (already sorted) f64 data — see nrd0."""
+    from ..native import gsl_sd_native
+    s = gsl_sd_native(x)
+    if s is not None:
+        return s
+    n = x.shape[0]
+    if n < 2:
+        return 0.0
+    # Pure-Python mirror of gt_gsl_sd: np.longdouble is the same 80-bit
+    # x87 format on x86-64 Linux.  O(n) Python-loop fallback — the native
+    # path is the production one.
+    mean = np.longdouble(0.0)
+    for i in range(n):
+        mean += (np.longdouble(x[i]) - mean) / np.longdouble(i + 1)
+    mean_d = np.float64(mean)
+    var = np.longdouble(0.0)
+    for i in range(n):
+        delta = np.float64(x[i] - mean_d)
+        var += (np.longdouble(delta) * np.longdouble(delta) - var) \
+            / np.longdouble(i + 1)
+    var_d = np.float64(var)
+    return float(np.sqrt(np.float64(n) / np.float64(n - 1) * var_d))
 
 
 def _gsl_quantile_sorted(x: np.ndarray, f: float) -> float:

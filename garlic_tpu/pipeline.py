@@ -40,6 +40,11 @@ class PipelineState:
     engine: str
     rng: np.random.Generator
     mesh: object = None  # jax.sharding.Mesh for the fast engine (--tpu-mesh)
+    # (winsize, step, rows) -> exact f64 pooled Phase-II samples; set on
+    # unweighted fast-engine runs so the KDE bandwidth/grid (and the .kde
+    # x column, a compared artifact) are bit-identical to the oracle's
+    # instead of derived from f32 device window scores.
+    exact_sampler: object = None
 
 
 def _resolve_mesh(spec: str, log):
@@ -447,6 +452,16 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         log.err(str(e))
         return -1
     st = PipelineState(log=log, args=args, engine=engine, rng=rng, mesh=mesh)
+    if engine == "fast" and not weighted:
+        import jax
+        if jax.process_count() == 1:
+            # Phase II reads oracle-exact f64 rolling window samples (the
+            # device f32 scores would shift the nrd0 bandwidth and with it
+            # every .kde x value); assembly keeps the device matrices +
+            # tie patrol.  Weighted runs would need the full exact host
+            # LD rebuild — they keep the f32-sample KDE (documented).
+            st.exact_sampler = lambda wq, step, rows: _exact_thinned_samples(
+                ds.chroms, centro, wq, error, max_gap, use_gl, step, rows)
 
     # ---------------- Winsize resolution ----------------
     kde_result = None
@@ -928,11 +943,48 @@ def _ld_subsample_idx(nind: int, ld_subsample: int,
     return np.sort(rng.choice(nind, size=ld_subsample, replace=False))
 
 
+def _exact_thinned_samples(chroms, centro, winsize: int, error: float,
+                           max_gap: int, use_gl: bool, step: int,
+                           rows) -> np.ndarray:
+    """Oracle-exact pooled Phase-II samples: per chromosome, the f64
+    ROLLING window sequence (the thinned values depend on the full
+    rolling history, src/garlic-roh.cpp:76-103) for the requested rows,
+    thinned by `step` and MISSING-filtered exactly like
+    convertWinData2DoubleData (src/garlic-data.cpp:2026-2150).  Row
+    chunks bound the [k, L] f64 temporaries (fresh multi-GB allocations
+    page-fault for seconds under this VM)."""
+    from .core.types import MISSING
+    parts = []
+    for c in chroms:
+        r = np.arange(c.nind) if rows is None \
+            else np.asarray(rows, dtype=np.int64)
+        for s in range(0, r.size, 64):
+            sub = _subset_chrom(c, r[s:s + 64])
+            w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
+                                         max_gap, use_gl, engine="exact")
+            flat = w[:, ::step].reshape(-1)
+            m = (flat != MISSING) & ~np.isnan(flat)
+            parts.append(flat[m])
+    return np.concatenate(parts) if parts else np.zeros(0)
+
+
 def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
-                     log):
+                     log, exact=None):
     """Phase-II dispatch: device-resident KDE when the fast engine holds
     the window matrices on device (sample pooling + bandwidth + transform
-    in one jit, ~8 KB over the link), host/mesh path otherwise."""
+    in one jit, ~8 KB over the link), host/mesh path otherwise.
+
+    exact=(winsize, rows): on runs with an exact_sampler (unweighted fast
+    engine), pool oracle-exact f64 samples on the host instead of reading
+    the f32 device matrices — bandwidth, grid, and the .kde x column then
+    match the oracle bit-for-bit; only the O(N x 512) transform stays on
+    device."""
+    if exact is not None and st.exact_sampler is not None:
+        wq, rows = exact
+        samples = st.exact_sampler(wq, step, rows)
+        return kde_ops.compute_kde(samples, log,
+                                   device=(st.engine == "fast"),
+                                   mesh=st.mesh)
     if st.engine == "fast" and st.mesh is None:
         try:
             kr = kde_ops.compute_kde_wins(win_by_chr, step, ind_idx=ind_idx,
@@ -962,25 +1014,48 @@ def _select_lod_cutoff(st: PipelineState, win_by_chr, ds: Dataset,
             log.logn(" ")
         log.logn("\n")
     print("Estimating distribution of raw LOD score windows:", file=sys.stderr)
-    kr = _compute_kde_for(st, win_by_chr, step, idx, log)
+    kr = _compute_kde_for(st, win_by_chr, step, idx, log,
+                          exact=(wsize, idx))
     try:
         kdefile.write_kde(kr, kdeoutfile, log)
     except Exception:
         return -1.0
     try:
-        return cutoff_ops.get_min_btw_modes(kr.x, kr.y, wsize)
+        c = cutoff_ops.get_min_btw_modes(kr.x, kr.y, wsize)
     except Exception:
         log.err("ERROR: Failed to find the minimum between modes in the LOD score density.")
         log.err("\tResults from density estimation have been written to file for inspection.")
         log.err("\tA cutoff can be manually specified on the command line with",
                 cli.ARG_LOD_CUTOFF)
         return -1.0
+    _report_cutoff_rivals(kr, wsize, c)
+    return c
+
+
+def _report_cutoff_rivals(kr, wsize: int, cutoff: float) -> None:
+    """stderr-only note when the auto-KDE cutoff has FIGTree-error-scale
+    rivals: the reference's Phase II is randomized run-to-run (time-seeded
+    FIGTree clustering — see ops.cutoff.cutoff_tie_probe), so on such
+    densities the oracle itself selects different cutoffs on different
+    runs.  Never written to .log (a compared artifact)."""
+    try:
+        alts = cutoff_ops.cutoff_tie_probe(kr.x, kr.y, wsize)
+    except Exception:
+        return
+    if alts:
+        print("[garlic-tpu] note: auto-KDE cutoff %g has FIGTree-error-"
+              "scale rival(s) %s; the reference's randomized Phase II "
+              "(time-seeded FIGTree) may pick any of these on a given run"
+              % (cutoff, ", ".join("%g" % a for a in alts)),
+              file=sys.stderr)
 
 
 def _cutoff_from_kde(st: PipelineState, kde_result, wsize: int) -> float:
     """selectLODCutoff(KDEResult*) (src/garlic-roh.cpp:652-664)."""
     try:
-        return cutoff_ops.get_min_btw_modes(kde_result.x, kde_result.y, wsize)
+        c = cutoff_ops.get_min_btw_modes(kde_result.x, kde_result.y, wsize)
+        _report_cutoff_rivals(kde_result, wsize, c)
+        return c
     except Exception:
         st.log.err("ERROR: Failed to find the minimum between modes in the LOD score density.")
         st.log.err("\tResults from density estimation have been written to file for inspection.")
@@ -1010,7 +1085,8 @@ def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
     while True:
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                              exact=(wq, ind_idx))
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -1034,7 +1110,8 @@ def _select_winsize_from_list(st: PipelineState, ds: Dataset, centro,
     for i, wq in enumerate(multi):
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
                                        use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                              exact=(wq, ind_idx))
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
         log.log("\t", mse)
@@ -1091,5 +1168,6 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
         else:
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
                                            max_gap, use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                              exact=(wq, ind_idx) if not weighted else None)
         kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)

@@ -56,6 +56,10 @@ def test_device_kde_single_compile():
 
     rng = np.random.default_rng(0)
     tgt = np.linspace(-1.0, 3.0, 512)
+    # other tests in the same process share this jit cache (the exact
+    # Phase-II sampler routes fast-engine KDEs through it too), so assert
+    # on GROWTH, not absolute size
+    before = kde._device_gauss_block()._cache_size()
     for i, (n, h) in enumerate([(1000, 0.1), (1500, 0.2), (2000, 0.15),
                                 (3000, 0.3), (2500, 0.12)]):
         src = rng.standard_normal(n)
@@ -64,7 +68,7 @@ def test_device_kde_single_compile():
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
     block = kde._device_gauss_block()
     # power-of-two bucketing: 1000/1500 -> 1024/2048, 2000/2500/3000 -> 2048/4096
-    assert block._cache_size() <= 3
+    assert block._cache_size() - before <= 3
 
 
 def test_pbar_ticks_and_output():

@@ -24,6 +24,45 @@ def test_nrd0_matches_r_bw_nrd0():
     assert kde_ops.nrd0(x) == pytest.approx(expect, rel=1e-12)
 
 
+def test_gsl_sd_native_matches_longdouble_fallback():
+    """gt_gsl_sd (C++ 80-bit x87 running-mean recurrences, GSL's exact op
+    sequence from the oracle disassembly) must agree BIT-for-bit with the
+    np.longdouble Python fallback, and generally differs from np.std's
+    pairwise summation in the last ulps — the difference that shifted the
+    .kde x grid pre-round-4."""
+    from garlic_tpu.native import gsl_sd_native, native_available
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    any_ulp_diff = False
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(100, 50000))
+        x = np.sort(rng.normal(rng.uniform(-5, 5),
+                               rng.uniform(0.1, 30), size=n))
+        nat = gsl_sd_native(x)
+        assert nat == _longdouble_sd(x), (seed, nat)
+        if nat != np.std(x, ddof=1):
+            any_ulp_diff = True
+    assert any_ulp_diff  # np.std is NOT the GSL recurrence
+
+
+def _longdouble_sd(x: np.ndarray) -> float:
+    """The fallback recurrence, inlined (same code path as
+    kde._gsl_sd_sorted when the native lib is absent)."""
+    n = x.shape[0]
+    mean = np.longdouble(0.0)
+    for i in range(n):
+        mean += (np.longdouble(x[i]) - mean) / np.longdouble(i + 1)
+    mean_d = np.float64(mean)
+    var = np.longdouble(0.0)
+    for i in range(n):
+        delta = np.float64(x[i] - mean_d)
+        var += (np.longdouble(delta) * np.longdouble(delta) - var) \
+            / np.longdouble(i + 1)
+    var_d = np.float64(var)
+    return float(np.sqrt(np.float64(n) / np.float64(n - 1) * var_d))
+
+
 def test_kde_grid_and_normalization():
     rng = np.random.default_rng(1)
     x = np.concatenate([rng.normal(-2, 0.5, 3000), rng.normal(3, 1.0, 2000)])

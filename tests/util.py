@@ -188,6 +188,85 @@ def diff_logs(log_a: str, log_b: str, base_a: str = "oracle",
     return diffs
 
 
+def assert_bed_same_or_oracle_random(oracle_bin: str, wd: str,
+                                     args: List[str], oracle_out: str,
+                                     ours_out: str, winsize: int) -> None:
+    """Assert ours.roh.bed == oracle.roh.bed, accepting ONLY the
+    documented randomized-oracle class when they differ.
+
+    The reference's auto-KDE Phase II is randomized run-to-run: FIGTree's
+    KCenterClustering::Cluster seeds rand() with time(NULL) (verified by
+    disassembly), so on densities with near-tie valleys the ORACLE ITSELF
+    selects different cutoffs on different runs — no deterministic
+    implementation can match every draw.  A BED mismatch is accepted only
+    when ALL of:
+
+      1. the .kde x columns are byte-identical (our bandwidth/grid math
+         is bit-exact; only the FIGTree-approximated y differs);
+      2. our quirk-faithful tie probe flags the oracle's selected cutoff
+         as reachable at the FIGTree error scale (or the cutoffs agree
+         and the diff came from near-cutoff y wobble on equal cutoffs —
+         rejected: equal cutoffs must give equal BEDs);
+      3. re-running the oracle with OUR cutoff pinned via --lod-cutoff
+         reproduces our BED byte-for-byte (everything downstream of the
+         randomized selection is exact).
+    """
+    import re
+
+    a = read_text(os.path.join(wd, oracle_out + ".roh.bed"))
+    b = read_text(os.path.join(wd, ours_out + ".roh.bed"))
+    if a == b:
+        return
+    kde_sfx = f".{winsize}SNPs.kde"
+    ka = read_text(os.path.join(wd, oracle_out + kde_sfx))
+    kb = read_text(os.path.join(wd, ours_out + kde_sfx))
+    xa = [line.split()[0] for line in ka.splitlines() if line.strip()]
+    xb = [line.split()[0] for line in kb.splitlines() if line.strip()]
+    assert xa == xb, ".roh.bed differs AND the .kde x columns differ — " \
+        "not the randomized-oracle class; a real bug"
+    log_a = read_text(os.path.join(wd, oracle_out + ".log"))
+    log_b = read_text(os.path.join(wd, ours_out + ".log"))
+    pat = re.compile(r"Selected LOD score cutoff: (\S+)")
+    ca, cb = pat.search(log_a), pat.search(log_b)
+    assert ca and cb, "BED differs on a non-auto-cutoff run"
+    assert ca.group(1) != cb.group(1), \
+        ".roh.bed differs with EQUAL cutoffs %s — not the randomized-" \
+        "oracle class; a real bug" % ca.group(1)
+    # the oracle's draw must be reachable at the FIGTree error scale
+    import numpy as np
+    from garlic_tpu.ops.cutoff import cutoff_tie_probe
+    kde = np.loadtxt(os.path.join(wd, ours_out + kde_sfx))
+    alts = cutoff_tie_probe(kde[:, 0], kde[:, 1], winsize)
+    assert any("%g" % alt == ca.group(1) for alt in alts), \
+        "oracle cutoff %s not among FIGTree-scale rivals %s of ours %s" \
+        % (ca.group(1), alts, cb.group(1))
+    # with our cutoff (and winsize: the auto search is randomized too)
+    # pinned, the oracle must reproduce our BED exactly
+    pinned, i = [], 0
+    while i < len(args):
+        tok = args[i]
+        if tok in ("--winsize", "--auto-winsize-step"):
+            i += 2
+            continue
+        if tok == "--auto-winsize":
+            i += 1
+            continue
+        if tok == "--winsize-multi":  # swallow the integer list
+            i += 1
+            while i < len(args) and args[i].isdigit():
+                i += 1
+            continue
+        pinned.append(tok)
+        i += 1
+    pinned += ["--winsize", str(winsize),
+               "--lod-cutoff", cb.group(1), "--out", oracle_out + "_pin"]
+    r = run_oracle(oracle_bin, wd, pinned)
+    assert r.returncode == 0, r.stderr[-2000:]
+    pb = read_text(os.path.join(wd, oracle_out + "_pin.roh.bed"))
+    assert pb == b, "oracle(pinned to our cutoff) BED still differs — " \
+        "a real bug beyond the randomized cutoff selection"
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
