@@ -118,7 +118,8 @@ def get_min_btw_modes(x: np.ndarray, y: np.ndarray, wsize: int) -> float:
 
 
 def cutoff_tie_probe(x: np.ndarray, y: np.ndarray, wsize: int,
-                     rel: float = 0.1, K: int = 24) -> list:
+                     rel: float = 0.1, abs_rel: float = 3e-3,
+                     K: int = 32) -> list:
     """Alternative cutoffs the ORACLE could select on this density.
 
     The reference evaluates the KDE with FIGTree, whose k-center
@@ -133,20 +134,26 @@ def cutoff_tie_probe(x: np.ndarray, y: np.ndarray, wsize: int,
     every draw.
 
     This probe re-runs the quirk-faithful finder on K seeded
-    multiplicative perturbations y * (1 + rel * u), u ~ U(-1, 1)
+    perturbations y*(1 + rel*u1) + ymax*abs_rel*u2, u ~ U(-1, 1)
     (deterministic: fixed rng), and returns the sorted list of cutoffs
     that differ from the unperturbed one — empty means the selection is
     stable at the FIGTree error scale and a BED diff vs the oracle is a
     real bug, non-empty means the run sits in the documented
-    randomized-oracle class."""
+    randomized-oracle class.  Both noise terms are measured bounds:
+    FIGTree's error is ABSOLUTE (<= ~2.5e-3*ymax observed across draws),
+    which in low-density tails dwarfs the values themselves — on
+    degenerate (unimodal/shifted) densities the min-between-modes scan
+    walks regions where the oracle's y ordering is effectively random."""
     try:
         base = get_min_btw_modes(x, y, wsize)
     except CutoffError:
         return []
     rng = np.random.default_rng(0)
+    ymax = float(np.max(y)) if y.size else 0.0
     alts = set()
     for _ in range(K):
-        yp = y * (1.0 + rel * rng.uniform(-1.0, 1.0, size=y.shape[0]))
+        yp = y * (1.0 + rel * rng.uniform(-1.0, 1.0, size=y.shape[0])) \
+            + ymax * abs_rel * rng.uniform(-1.0, 1.0, size=y.shape[0])
         try:
             c = get_min_btw_modes(x, yp, wsize)
         except CutoffError:

@@ -335,7 +335,21 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     log.log("Use thinning for KDE estimation:", thin)
 
     seed = args[cli.ARG_SEED]
-    rng = np.random.default_rng(None if seed < 0 else seed)
+    eff_seed = None if seed < 0 else seed
+    if eff_seed is None and _nproc > 1:
+        # Derive the run seed on process 0 and broadcast it: every
+        # cooperating process must draw the SAME --kde-subsample /
+        # --ld-subsample indices and --resample binomials, or the psum'd
+        # sharded stages would silently mix different subsets
+        # (SURVEY.md:105; the reference's time(NULL) seeding is preserved
+        # in spirit — still time-derived, just cluster-consistent).
+        import jax
+        from jax.experimental import multihost_utils
+        local = np.zeros(1, dtype=np.int64)
+        if jax.process_index() == 0:
+            local[0] = np.random.default_rng().integers(0, 2 ** 62)
+        eff_seed = int(multihost_utils.broadcast_one_to_all(local)[0])
+    rng = np.random.default_rng(eff_seed)
     engine = _resolve_engine(args[cli.ARG_ENGINE])
     if engine == "fast":
         from .runtime import start_link_warmup

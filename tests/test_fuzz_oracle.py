@@ -42,6 +42,18 @@ in-process compilations (see util.run_ours_subprocess).
 Final-HEAD batch (2026-08-19, after the edge-cap scaling / 1000x1M
 fix): plain 420:450, variants 144:168, ties 56:72, weighted ties 48:60,
 streaming 16:22, mesh 12:16 — 92/92 green, zero divergences.
+
+Round-4 campaign (2026-08-20, exact Phase-II sampler + gt_gsl_sd +
+randomized-oracle acceptance): plain 450:700 (250 seeds) — 250/250
+green.  Of the ~97 auto-cutoff draws: 70 cutoffs matched the oracle's
+exactly, 27 hit the randomized-oracle class and EVERY one passed the
+strict three-part verification (.kde x byte-identical + oracle draw
+FIGTree-reachable + pinned-cutoff oracle BED byte-identical).  The old
+"waiver" (grids within eps) is gone — divergences are now machine-
+verified as the oracle's own randomness (BASELINE.md round 4: FIGTree
+k-center clustering is time(NULL)-seeded inside the oracle binary).
+Variants 168:200, ties 72:80, weighted ties 60:66, streaming 22:28,
+mesh 16:20 — 56/56 green.  Zero unexplained divergences.
 """
 
 from __future__ import annotations
@@ -103,26 +115,49 @@ def _selected_cutoff(logtext: str):
     return None
 
 
-def _kde_within_figtree_eps(wd) -> bool:
-    """True when both engines' 512-point KDE grids agree within the
-    oracle's FIGTree eps=1e-2 (relative to the peak density).  When they
-    do but the selected cutoffs still differ, the divergence is the
-    documented tail sensitivity: the min-between-modes scan walks density
-    regions of ~1e-300 where the approximation error is orders of
-    magnitude *relative* while tiny *absolute* — the argmin valley flips
-    on degenerate (unimodal/shifted) LOD distributions.  Ours is the
-    exact transform; the reference binary would disagree with an exact
-    implementation of its own math here."""
+def _assert_randomized_oracle_class(wd, oracle_bin, args, ca, cb,
+                                    ours_rc) -> None:
+    """A cutoff divergence is accepted ONLY as the documented
+    randomized-oracle class (BASELINE.md round 4: FIGTree's k-center
+    clustering is time(NULL)-seeded inside the oracle, so its Phase II —
+    and on near-tie densities its cutoff — varies run-to-run).  Requires:
+
+      1. byte-identical .kde x columns (our bandwidth/grid math is
+         bit-exact; only FIGTree's approximated y differs);
+      2. the oracle's draw among our cutoff_tie_probe rivals (the flip is
+         reachable at the FIGTree error scale);
+      3. when our run completed, the oracle re-run with OUR cutoff pinned
+         reproduces our BED byte-for-byte (everything downstream of the
+         randomized selection is exact)."""
     import glob
+
+    from .util import oracle_cutoff_reachable
+
     ka = sorted(glob.glob(os.path.join(wd, "oracle.*.kde")))
     kb = sorted(glob.glob(os.path.join(wd, "ours.*.kde")))
-    if len(ka) != 1 or len(kb) != 1:
-        return False
-    a = np.loadtxt(ka[0])
-    b = np.loadtxt(kb[0])
-    if a.shape != b.shape or not np.array_equal(a[:, 0], b[:, 0]):
-        return False
-    return np.abs(a[:, 1] - b[:, 1]).max() <= 2e-2 * b[:, 1].max()
+    assert len(ka) == 1 and len(kb) == 1, ("cutoffs differ without a "
+                                           "single KDE pair", ca, cb, args)
+    xa = [line.split()[0] for line in read_text(ka[0]).splitlines()
+          if line.strip()]
+    xb = [line.split()[0] for line in read_text(kb[0]).splitlines()
+          if line.strip()]
+    assert xa == xb, ("cutoffs differ AND .kde x columns differ — a real "
+                      "bug", ca, cb, args)
+    kde = np.loadtxt(kb[0])
+    wsize = int(args[args.index("--winsize") + 1])
+    assert oracle_cutoff_reachable(kde, wsize, ca, cb), \
+        ("oracle cutoff not FIGTree-reachable from ours", ca, cb, args)
+    if ours_rc != 0:
+        return  # our exact cutoff left e.g. too few ROH for the GMM
+    pinned = args + ["--lod-cutoff", cb, "--out", "oracle_pin"]
+    r = run_oracle(oracle_bin, wd, pinned)
+    if r.returncode != 0 and "gsl" in r.stderr.lower():
+        return  # oracle GSL abort at our cutoff; nothing to compare
+    assert r.returncode == 0, (pinned, r.stderr[-1500:])
+    pa = read_text(os.path.join(wd, "oracle_pin.roh.bed"))
+    pb = read_text(os.path.join(wd, "ours.roh.bed"))
+    assert pa == pb, ("oracle(pinned to our cutoff) BED differs — a real "
+                      "bug beyond the randomized selection", ca, cb, args)
 
 
 @pytest.mark.slow
@@ -150,14 +185,17 @@ def test_fuzz_config_bed_identical(oracle_bin, tmp_path, seed):
     ca = _selected_cutoff(read_text(os.path.join(wd, "oracle.log")))
     cb = _selected_cutoff(read_text(os.path.join(wd, "ours.log")))
     if ca != cb and ca is not None and cb is not None:
-        # auto-cutoff diverged: waived ONLY for FIGTree tail sensitivity —
-        # the KDE grids themselves must still agree within the oracle's
-        # eps.  Everything downstream of a flipped cutoff is incomparable,
-        # including a clean exit-1 when OUR (exact) cutoff leaves too few
-        # ROH for the GMM while the oracle's approximate one does not.
-        assert _kde_within_figtree_eps(wd), \
-            ("cutoffs differ beyond FIGTree eps", ca, cb, args)
+        # auto-cutoff diverged: accepted ONLY as the verified
+        # randomized-oracle class (strict three-part criterion)
+        _assert_randomized_oracle_class(wd, oracle_bin, args, ca, cb, rc)
+        stats = os.environ.get("GARLIC_FUZZ_STATS")
+        if stats:  # campaign bookkeeping: measure the class rate
+            with open(stats, "a") as f:
+                f.write(f"flip seed={seed} oracle={ca} ours={cb}\n")
         return
+    if ca is not None and os.environ.get("GARLIC_FUZZ_STATS"):
+        with open(os.environ["GARLIC_FUZZ_STATS"], "a") as f:
+            f.write(f"auto-equal seed={seed} cutoff={cb}\n")
     assert rc == 0, args
     a = read_text(os.path.join(wd, "oracle.roh.bed"))
     b = read_text(os.path.join(wd, "ours.roh.bed"))
