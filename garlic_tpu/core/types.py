@@ -75,7 +75,8 @@ class ChromData:
 
     __slots__ = ("chrom", "positions", "gpos", "locus_names", "alleles",
                  "_geno", "freq", "first_copy", "_gl", "gl_codes", "gl_lut",
-                 "_geno2b", "_geno2b_thunk", "_nind", "geno2b_digest")
+                 "_geno2b", "_geno2b_thunk", "_nind", "geno2b_digest",
+                 "nind_total", "row0", "freq_num", "freq_den")
 
     def __init__(self, chrom: str, positions: np.ndarray, gpos: np.ndarray,
                  locus_names, alleles: np.ndarray,
@@ -87,7 +88,10 @@ class ChromData:
                  geno2b_thunk=None, nind: Optional[int] = None,
                  geno2b_digest: Optional[bytes] = None,
                  gl_codes: Optional[np.ndarray] = None,
-                 gl_lut: Optional[np.ndarray] = None):
+                 gl_lut: Optional[np.ndarray] = None,
+                 nind_total: Optional[int] = None, row0: int = 0,
+                 freq_num: Optional[np.ndarray] = None,
+                 freq_den: Optional[np.ndarray] = None):
         self.chrom = chrom                 # chr-prefixed name
         self.positions = positions         # int64 [L] physical bp
         self.gpos = gpos                   # float64 [L] genetic position
@@ -104,6 +108,15 @@ class ChromData:
         self._nind = nind                  # required when both geno forms
         #                                    are lazy (thunk-only)
         self.geno2b_digest = geno2b_digest  # 16B content key or None
+        # Per-host sharded input (multi-process column-range loads): the
+        # genotype rows here are the global individual rows
+        # [row0, row0 + nind); nind_total is the full panel width and
+        # freq_num/freq_den are this host's partial '1'-allele /
+        # observed-allele count planes (psum -> global freq).
+        self.nind_total = nind_total       # None: rows ARE the full panel
+        self.row0 = row0
+        self.freq_num = freq_num
+        self.freq_den = freq_den
 
     @property
     def gl(self) -> Optional[np.ndarray]:
@@ -148,6 +161,13 @@ class ChromData:
         if self._geno2b is not None:
             return int(self._geno2b.shape[0])
         return int(self._nind)
+
+    @property
+    def nind_global(self) -> int:
+        """Full-panel individual count: == nind except on per-host
+        column-range loads, where nind is only this host's row block."""
+        return int(self.nind_total) if self.nind_total is not None \
+            else self.nind
 
 
 def _unpack_geno2b(packed: np.ndarray, L: int) -> np.ndarray:

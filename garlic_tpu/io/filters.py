@@ -103,6 +103,8 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         geno2b_thunk=geno2b_thunk,
         nind=c.nind,
         geno2b_digest=digest,
+        nind_total=c.nind_total,
+        row0=c.row0,
     )
 
 

@@ -244,14 +244,22 @@ def _view(mm: np.memmap, spec) -> np.ndarray:
 
 
 def load_cache(tpedfile: str, want_fc: bool,
-               tped_missing: str = "0") -> Optional[List[dict]]:
+               tped_missing: str = "0",
+               col_range=None) -> Optional[List[dict]]:
     """Load the sidecar if present, newer than the TPED, and parsed with the
     same parse-affecting parameters; None to fall back to parsing.
 
     Small per-locus arrays (positions/gpos/freq) are copied out — later
     stages may in-place them — while the large genotype sections stay
     read-only zero-copy views into the file map (every consumer only
-    reads: filter/pack, content hash, device upload)."""
+    reads: filter/pack, content hash, device upload).
+
+    col_range=(c0, c1): per-host sharded input — only that individual-row
+    slice of the packed genotypes is exposed (zero-copy row views; host
+    RAM and upload bytes scale 1/num_hosts).  The sidecar's freq plane is
+    the full-panel value, so the dicts carry it directly (freq_num/den
+    stay absent — no psum needed on warm loads); the stored full-panel
+    geno2b digest is dropped (the slice hashes differently)."""
     from ..core.types import LocusNames
 
     path = cache_path(tpedfile)
@@ -276,11 +284,19 @@ def load_cache(tpedfile: str, want_fc: bool,
         nchrom = int(meta["nchrom"])
         specs = meta["arrays"]
         digs = meta.get("geno2b_digest") or [None] * nchrom
+        nind_file = int(meta["nind"])
+        c0, c1 = 0, nind_file
+        if col_range is not None:
+            c0 = max(min(int(col_range[0]), nind_file), 0)
+            c1 = max(min(int(col_range[1]), nind_file), c0)
+        sliced = col_range is not None and (c0, c1) != (0, nind_file)
         out = []
         for i in range(nchrom):
             # stays packed: ChromData materializes the int8 view lazily,
             # and the fast-engine path never needs it at all
             packed = _view(mm, specs[f"c{i}_geno2b"])
+            if sliced:
+                packed = packed[c0:c1]
             pos = np.array(_view(mm, specs[f"c{i}_pos"]))
             L = pos.shape[0]
             fc = None
@@ -288,8 +304,10 @@ def load_cache(tpedfile: str, want_fc: bool,
                 key = f"c{i}_fc"
                 if key not in specs:
                     return None  # cache lacks phased bits; re-parse
-                fc = np.unpackbits(_view(mm, specs[key]),
-                                   axis=1)[:, :L].view(np.bool_)
+                fcp = _view(mm, specs[key])
+                if sliced:
+                    fcp = fcp[c0:c1]
+                fc = np.unpackbits(fcp, axis=1)[:, :L].view(np.bool_)
             al = _view(mm, specs[f"c{i}_alleles"])
             if al.dtype.kind == "S":   # older sidecar: stored S1 bytes
                 al = al.astype("<U1")
@@ -301,9 +319,11 @@ def load_cache(tpedfile: str, want_fc: bool,
                 "genotypes": None,
                 "geno2b": packed,
                 "geno2b_digest": (bytes.fromhex(digs[i])
-                                  if digs[i] else None),
+                                  if digs[i] and not sliced else None),
                 "first_copy": fc,
                 "freq": np.array(_view(mm, specs[f"c{i}_freq"])),
+                "nind_total": nind_file if sliced else None,
+                "row0": c0 if sliced else 0,
                 "names": LocusNames(
                     _view(mm, specs[f"c{i}_names"]).tobytes()),
             })

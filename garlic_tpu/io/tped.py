@@ -36,13 +36,17 @@ def check_chr_name(chrom: str) -> str:
     return chrom
 
 
-def _parse_line(line: str, tped_missing: str):
+def _parse_line(line: str, tped_missing: str, col_range=None):
     """Parse one TPED line into (chr, name, gpos, ppos, geno[I], first_copy[I],
-    nalleles, total, allele).
+    nalleles, total, allele[, num_part, den_part]).
 
     The reference extracts alleles with `ss >> char` — one non-whitespace
     character at a time (src/garlic-data.cpp:111) — so we parse the
-    concatenation of all characters in the trailing fields."""
+    concatenation of all characters in the trailing fields.
+    col_range=(c0, c1) stores only genotype columns [c0, c1) (per-host
+    sharded input) and additionally returns the partial '1'-allele /
+    observed-allele counts over that range; the allele coding still scans
+    from column 0 (the '1' allele is full-row defined)."""
     fields = line.split()
     ncols = len(fields) - 4
     numind = ncols // 2
@@ -50,12 +54,17 @@ def _parse_line(line: str, tped_missing: str):
     gpos = float(fields[2])
     ppos = int(float(fields[3]))  # read as double, stored as int (truncation)
 
+    c0, c1 = (0, numind) if col_range is None else (
+        max(int(col_range[0]), 0), min(int(col_range[1]), numind))
+    c1 = max(c1, c0)
     chars = "".join(fields[4:])
     one_allele = tped_missing
-    geno = np.empty(numind, dtype=np.int8)
-    fc = np.empty(numind, dtype=bool)
+    geno = np.empty(c1 - c0, dtype=np.int8)
+    fc = np.empty(c1 - c0, dtype=bool)
     nalleles = 0
     total = 0
+    num_part = 0
+    den_part = 0
     k = 0
     for i in range(numind):
         a1 = chars[k]
@@ -65,6 +74,7 @@ def _parse_line(line: str, tped_missing: str):
             one_allele = a1
         if one_allele == tped_missing and a2 != tped_missing:
             one_allele = a2
+        in_r = c0 <= i < c1
         d = 0
         if a1 == tped_missing:
             d += -9
@@ -72,34 +82,67 @@ def _parse_line(line: str, tped_missing: str):
             d += 1
             nalleles += 1
             total += 1
+            if in_r:
+                num_part += 1
+                den_part += 1
         else:
             total += 1
+            if in_r:
+                den_part += 1
         if a2 == tped_missing:
             d += -9
         elif a2 == one_allele:
             d += 1
             nalleles += 1
             total += 1
+            if in_r:
+                num_part += 1
+                den_part += 1
         else:
             total += 1
+            if in_r:
+                den_part += 1
         if d < 0:
             d = -9
-        geno[i] = d
-        fc[i] = (a1 == one_allele)
-    return chrom, name, gpos, ppos, geno, fc, nalleles, total, one_allele
+        if in_r:
+            geno[i - c0] = d
+            fc[i - c0] = (a1 == one_allele)
+    if col_range is None:
+        return chrom, name, gpos, ppos, geno, fc, nalleles, total, one_allele
+    return (chrom, name, gpos, ppos, geno, fc, nalleles, total, one_allele,
+            num_part, den_part)
+
+
+def peek_nind(tpedfile: str) -> int:
+    """Individual count from the first non-blank TPED line (cheap even on
+    gz: only the head of the stream inflates) — used to compute per-host
+    column ranges before the sharded parse."""
+    with _open_maybe_gz(tpedfile) as fin:
+        for line in fin:
+            fields = line.split()
+            if fields:
+                return max((len(fields) - 4) // 2, 0)
+    return 0
 
 
 def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
               phased: bool = False, auto_freq: bool = True,
               log=None, rng: Optional[np.random.Generator] = None,
               panel_cache: bool = False,
-              packed_geno: bool = False) -> Tuple[Dataset, int]:
+              packed_geno: bool = False,
+              col_range=None) -> Tuple[Dataset, int]:
     """Load a TPED file into a Dataset. Returns (dataset, total_loci).
 
     Mirrors loadTPEDData (src/garlic-data.cpp:10-177). Frequency resampling
     draws `nresample` Bernoulli(freq) trials (src/garlic-data.cpp:142-148);
     the reference seeds its RNG with time(NULL), so exact replay is
     impossible by design — we accept an explicit generator instead.
+
+    col_range=(c0, c1): per-host sharded input — store only genotype
+    columns [c0, c1) (chrom.nind_total/row0 record the global layout and
+    chrom.freq_num/freq_den carry partial count planes for the freq psum).
+    Resampling is deferred to the caller in this mode (it applies to the
+    psum'd global freq).
     """
     if not os.path.exists(tpedfile):
         if log is not None:
@@ -110,7 +153,8 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
     if panel_cache:
         from . import panelcache
         native = panelcache.load_cache(tpedfile, want_fc=phased,
-                                       tped_missing=tped_missing)
+                                       tped_missing=tped_missing,
+                                       col_range=col_range)
         from_cache = native is not None
         if from_cache:
             print(f"Loaded panel cache {panelcache.cache_path(tpedfile)}",
@@ -121,7 +165,8 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
             native = parse_tped_native(tpedfile, tped_missing,
                                        want_fc=phased,
                                        want_packed=packed_geno
-                                       and not phased)
+                                       and not phased,
+                                       col_range=col_range)
         except Exception:
             native = None
 
@@ -130,7 +175,9 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
         if panel_cache:
             from . import panelcache
             ds.panel_cache_file = panelcache.cache_path(tpedfile)
-        if panel_cache and not from_cache:
+        if panel_cache and not from_cache and col_range is None:
+            # range-mode parses hold only a column slice: never write the
+            # (full-panel) sidecar from one
             from . import panelcache
             panelcache.save_cache(tpedfile, native, ds.nind
                                   if ds.ind_ids else
@@ -138,9 +185,9 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
                                   tped_missing=tped_missing)
     else:
         ds, num_loci = _load_tped_python(tpedfile, tped_missing, phased,
-                                         auto_freq, log)
+                                         auto_freq, log, col_range=col_range)
 
-    if auto_freq and nresample > 0:
+    if auto_freq and nresample > 0 and col_range is None:
         if rng is None:
             rng = np.random.default_rng()
         for c in ds.chroms:
@@ -152,12 +199,16 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
 
 
 def _finish_chrom(log, chrom, names, gposs, pposs, alleles, genos, fcs, freqs,
-                  phased, auto_freq) -> ChromData:
+                  phased, auto_freq, counts=None, layout=None) -> ChromData:
     if log is not None:
         log.log("Chromosome", check_chr_name(chrom), nl=False)
         log.log(":", len(names), nl=False)
         log.log(" sites.")
     geno = np.stack(genos, axis=0).T.copy() if genos else np.empty((0, 0), np.int8)
+    fnum = fden = None
+    if counts is not None:
+        fnum = np.asarray([c[0] for c in counts], dtype=np.float64)
+        fden = np.asarray([c[1] for c in counts], dtype=np.float64)
     return ChromData(
         chrom=check_chr_name(chrom),
         positions=np.asarray(pposs, dtype=np.int64),
@@ -167,11 +218,15 @@ def _finish_chrom(log, chrom, names, gposs, pposs, alleles, genos, fcs, freqs,
         genotypes=geno,
         freq=np.asarray(freqs, dtype=np.float64) if auto_freq else None,
         first_copy=(np.stack(fcs, axis=0).T.copy() if phased and fcs else None),
+        freq_num=fnum, freq_den=fden,
+        nind_total=None if layout is None else layout[0],
+        row0=0 if layout is None else layout[1],
     )
 
 
 def _load_tped_python(tpedfile: str, tped_missing: str, phased: bool,
-                      auto_freq: bool, log) -> Tuple[Dataset, int]:
+                      auto_freq: bool, log,
+                      col_range=None) -> Tuple[Dataset, int]:
     ds = Dataset()
     num_loci = 0
     prev_chr = None
@@ -182,22 +237,31 @@ def _load_tped_python(tpedfile: str, tped_missing: str, phased: bool,
     genos: List[np.ndarray] = []
     fcs: List[np.ndarray] = []
     freqs: List[float] = []
+    counts: Optional[List[tuple]] = [] if col_range is not None else None
+    layout = None
 
     with _open_maybe_gz(tpedfile) as fin:
         for line in fin:
             if not line.strip():
                 continue
             num_loci += 1
+            rec = _parse_line(line, tped_missing, col_range=col_range)
             chrom, name, gpos, ppos, geno, fc, nalleles, total, allele = \
-                _parse_line(line, tped_missing)
+                rec[:9]
+            if col_range is not None and layout is None:
+                nind_file = (len(line.split()) - 4) // 2
+                layout = (nind_file, max(min(int(col_range[0]), nind_file),
+                                         0))
             if prev_chr is None:
                 prev_chr = chrom
             if chrom != prev_chr:
                 ds.chroms.append(_finish_chrom(log, prev_chr, names, gposs,
                                                pposs, alleles, genos, fcs,
-                                               freqs, phased, auto_freq))
+                                               freqs, phased, auto_freq,
+                                               counts, layout))
                 names, gposs, pposs, alleles = [], [], [], []
                 genos, fcs, freqs = [], [], []
+                counts = [] if col_range is not None else None
                 prev_chr = chrom
             names.append(name)
             gposs.append(gpos)
@@ -208,6 +272,8 @@ def _load_tped_python(tpedfile: str, tped_missing: str, phased: bool,
                 fcs.append(fc)
             if auto_freq:
                 freqs.append(0.0 if total == 0 else nalleles / total)
+            if counts is not None:
+                counts.append((rec[9], rec[10]))
     if prev_chr is None:
         if log is not None:
             log.err("ERROR:", tpedfile, nl=False)
@@ -215,7 +281,7 @@ def _load_tped_python(tpedfile: str, tped_missing: str, phased: bool,
         raise GarlicDataError(f"{tpedfile} contains no data")
     ds.chroms.append(_finish_chrom(log, prev_chr, names, gposs, pposs,
                                    alleles, genos, fcs, freqs, phased,
-                                   auto_freq))
+                                   auto_freq, counts, layout))
     return ds, num_loci
 
 
@@ -229,6 +295,13 @@ def _assemble_from_native(native, phased: bool, auto_freq: bool, log):
             log.log("Chromosome", check_chr_name(blk["chrom"]), nl=False)
             log.log(":", len(blk["names"]), nl=False)
             log.log(" sites.")
+        nt = blk.get("nind_total")
+        ng = blk["genotypes"].shape[0] if blk["genotypes"] is not None \
+            else (blk["geno2b"].shape[0] if blk.get("geno2b") is not None
+                  else None)
+        if nt is not None and ng is not None and int(nt) == int(ng) \
+                and not blk.get("row0"):
+            nt = None  # full panel: keep single-process semantics
         ds.chroms.append(ChromData(
             chrom=check_chr_name(blk["chrom"]),
             positions=blk["positions"],
@@ -240,6 +313,10 @@ def _assemble_from_native(native, phased: bool, auto_freq: bool, log):
             first_copy=blk["first_copy"] if phased else None,
             geno2b=blk.get("geno2b"),
             geno2b_digest=blk.get("geno2b_digest"),
+            freq_num=blk.get("freq_num"),
+            freq_den=blk.get("freq_den"),
+            nind_total=None if nt is None else int(nt),
+            row0=int(blk.get("row0") or 0),
         ))
     return ds, num_loci
 

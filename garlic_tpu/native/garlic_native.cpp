@@ -46,6 +46,11 @@ struct ChromBlock {
   std::vector<int64_t> positions;
   std::vector<double> gpos;
   std::vector<double> freq;
+  // Column-range mode only: partial '1'-allele numerator / allele
+  // denominator over THIS range's individuals (integers stored as f64 so
+  // a cross-host psum reproduces the full-panel freq exactly).
+  std::vector<double> freq_num;
+  std::vector<double> freq_den;
   std::vector<char> allele;
   std::string names;       // '\n'-joined locus names
   int64_t row_offset = 0;  // first locus row in the handle's arenas
@@ -60,7 +65,15 @@ struct TpedHandle {
   std::vector<int8_t> geno;
   std::vector<uint8_t> first_copy;  // empty when want_fc == 0
   bool has_fc = true;
-  int64_t nind = 0;
+  int64_t nind = 0;    // individuals in the FILE (full panel)
+  // Column-range mode (per-host sharded input): only genotype columns
+  // [col0, col1) are stored in the arenas; allele coding still scans from
+  // column 0 (the '1' allele is the first non-missing allele in the FULL
+  // row, src/garlic-data.cpp:109-131) and per-locus partial freq counts
+  // over the stored range land in ChromBlock::freq_num/freq_den.
+  int64_t col0 = 0;
+  int64_t col1 = -1;   // -1: full panel (resolved to nind at first line)
+  int64_t nstore = 0;  // col1 - col0 once resolved
   std::string error;
 };
 
@@ -335,6 +348,8 @@ struct LineRec {
   int64_t ppos;
   char allele;
   double freq;
+  double num_part;  // range mode: '1'-allele count over [col0, col1)
+  double den_part;  // range mode: observed-allele count over [col0, col1)
   bool skip;  // blank line
   bool bad;
 };
@@ -351,8 +366,10 @@ inline bool ws_c(unsigned char c) {
   return c == ' ' || (c >= '\t' && c <= '\r');
 }
 
-void parse_line(const char *p, const char *end, char missing, int64_t nind,
-                LineRec &r, int8_t *geno, uint8_t *fc) {
+extern "C++" template <bool RANGE>
+void parse_line_t(const char *p, const char *end, char missing, int64_t nind,
+                  int64_t c0, int64_t c1, LineRec &r, int8_t *geno,
+                  uint8_t *fc) {
   r.skip = r.bad = false;
   while (p < end && (*p == ' ' || *p == '\t')) p++;
   if (p >= end) { r.skip = true; return; }
@@ -370,6 +387,7 @@ void parse_line(const char *p, const char *end, char missing, int64_t nind,
   p = endp;
   char one_allele = missing;
   int64_t nalleles = 0, total = 0;
+  int64_t n_part = 0, d_part = 0;
   for (int64_t i = 0; i < nind; i++) {
     while (p < end && ws_c((unsigned char)*p)) p++;
     char a1 = p < end ? *p++ : missing;
@@ -377,19 +395,43 @@ void parse_line(const char *p, const char *end, char missing, int64_t nind,
     char a2 = p < end ? *p++ : missing;
     if (one_allele == missing && a1 != missing) one_allele = a1;
     if (one_allele == missing && a2 != missing) one_allele = a2;
+    const bool in_r = !RANGE || (i >= c0 && i < c1);
     int d = 0;
     if (a1 == missing) d += -9;
-    else if (a1 == one_allele) { d += 1; nalleles++; total++; }
-    else total++;
+    else if (a1 == one_allele) {
+      d += 1; nalleles++; total++;
+      if (RANGE && in_r) { n_part++; d_part++; }
+    } else {
+      total++;
+      if (RANGE && in_r) d_part++;
+    }
     if (a2 == missing) d += -9;
-    else if (a2 == one_allele) { d += 1; nalleles++; total++; }
-    else total++;
+    else if (a2 == one_allele) {
+      d += 1; nalleles++; total++;
+      if (RANGE && in_r) { n_part++; d_part++; }
+    } else {
+      total++;
+      if (RANGE && in_r) d_part++;
+    }
     if (d < 0) d = -9;
-    geno[i] = (int8_t)d;
-    fc[i] = (a1 == one_allele);
+    if (in_r) {
+      geno[i - c0] = (int8_t)d;
+      fc[i - c0] = (a1 == one_allele);
+    }
   }
   r.allele = one_allele;
   r.freq = total == 0 ? 0.0 : (double)nalleles / (double)total;
+  r.num_part = (double)n_part;
+  r.den_part = (double)d_part;
+}
+
+inline void parse_line(const char *p, const char *end, char missing,
+                       int64_t nind, int64_t c0, int64_t c1, LineRec &r,
+                       int8_t *geno, uint8_t *fc) {
+  if (c0 == 0 && c1 >= nind)
+    parse_line_t<false>(p, end, missing, nind, 0, nind, r, geno, fc);
+  else
+    parse_line_t<true>(p, end, missing, nind, c0, c1, r, geno, fc);
 }
 
 }  // namespace
@@ -397,8 +439,13 @@ void parse_line(const char *p, const char *end, char missing, int64_t nind,
 // Chunked-streaming parallel TPED parser: gz decompression is sequential
 // (zlib), tokenization of each decompressed chunk's lines fans out over
 // OpenMP threads (the reference parses single-threaded via `>>`,
-// src/garlic-data.cpp:10-177; byte-identical results, ~NCPU x faster).
-void *gt_tped_open(const char *path, char missing, int want_fc) {
+// byte-identical results, ~NCPU x faster).  col0/col1 select a genotype
+// COLUMN range to store (per-host sharded input; col1 < 0 = full panel):
+// every line is still scanned end-to-end so the '1'-allele coding and the
+// full-row freq stay exact (src/garlic-data.cpp:109-131), but the arenas
+// only hold [col0, col1) — host RAM scales 1/num_hosts.
+void *gt_tped_open_range(const char *path, char missing, int want_fc,
+                         int64_t col0, int64_t col1) {
   const bool timing = getenv("GT_PARSE_TIMING") != nullptr;
   double t_read = 0, t_split = 0, t_parse = 0, t_append = 0;
   auto now = [] { return std::chrono::steady_clock::now(); };
@@ -511,26 +558,31 @@ void *gt_tped_open(const char *path, char missing, int want_fc) {
       nind = (nf - 4) / 2;
       if (nind <= 0) { h->error = "bad tped line"; abort_reader(); break; }
       h->nind = nind;
-      if (size_hint > 0) {
+      h->col0 = col0 < 0 ? 0 : (col0 > nind ? nind : col0);
+      h->col1 = col1 < 0 ? nind : (col1 > nind ? nind : col1);
+      if (h->col1 < h->col0) h->col1 = h->col0;
+      h->nstore = h->col1 - h->col0;
+      if (size_hint > 0 && h->nstore > 0) {
         // one arena reservation for the whole file (+3% slack)
         int64_t est_rows = size_hint / (int64_t)(lens[0] + 1) + 16;
         est_rows += est_rows / 32;
-        h->geno.reserve((size_t)(est_rows * nind));
-        if (h->has_fc) h->first_copy.reserve((size_t)(est_rows * nind));
+        h->geno.reserve((size_t)(est_rows * h->nstore));
+        if (h->has_fc) h->first_copy.reserve((size_t)(est_rows * h->nstore));
       }
     }
     t_split += secs(t1, now());
     auto t2 = now();
     recs.assign(n, LineRec());
-    geno_chunk.resize(n * (size_t)nind);
-    fc_chunk.resize(n * (size_t)nind);
+    const size_t nst = (size_t)h->nstore;
+    geno_chunk.resize(n * nst);
+    fc_chunk.resize(n * nst);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
     for (size_t i = 0; i < n; i++) {
-      parse_line(starts[i], starts[i] + lens[i], missing, nind, recs[i],
-                 geno_chunk.data() + i * (size_t)nind,
-                 fc_chunk.data() + i * (size_t)nind);
+      parse_line(starts[i], starts[i] + lens[i], missing, nind, h->col0,
+                 h->col1, recs[i], geno_chunk.data() + i * nst,
+                 fc_chunk.data() + i * nst);
     }
     t_parse += secs(t2, now());
     auto t3 = now();
@@ -541,14 +593,15 @@ void *gt_tped_open(const char *path, char missing, int want_fc) {
     auto flush_span = [&](size_t begin, size_t end_excl) {
       if (begin == (size_t)-1 || begin >= end_excl) return;
       h->geno.insert(h->geno.end(),
-                     geno_chunk.begin() + begin * nind,
-                     geno_chunk.begin() + end_excl * nind);
+                     geno_chunk.begin() + begin * nst,
+                     geno_chunk.begin() + end_excl * nst);
       if (h->has_fc) {
         h->first_copy.insert(h->first_copy.end(),
-                             fc_chunk.begin() + begin * nind,
-                             fc_chunk.begin() + end_excl * nind);
+                             fc_chunk.begin() + begin * nst,
+                             fc_chunk.begin() + end_excl * nst);
       }
     };
+    const bool range_mode = (h->col0 != 0 || h->col1 != nind);
     for (size_t i = 0; i < n; i++) {
       LineRec &r = recs[i];
       if (r.skip || r.bad) {
@@ -564,7 +617,7 @@ void *gt_tped_open(const char *path, char missing, int want_fc) {
         h->chroms.emplace_back();
         blk = &h->chroms.back();
         blk->name.assign(r.chrom_b, r.chrom_len);
-        blk->row_offset = (int64_t)(h->geno.size() / (size_t)nind);
+        blk->row_offset = nst == 0 ? 0 : (int64_t)(h->geno.size() / nst);
         prev_chr = blk->name;
       }
       if (span_start == (size_t)-1) span_start = i;
@@ -574,6 +627,10 @@ void *gt_tped_open(const char *path, char missing, int want_fc) {
       blk->names.append(r.name_b, r.name_len);
       blk->allele.push_back(r.allele);
       blk->freq.push_back(r.freq);
+      if (range_mode) {
+        blk->freq_num.push_back(r.num_part);
+        blk->freq_den.push_back(r.den_part);
+      }
     }
     if (h->error.empty()) flush_span(span_start, n);
     t_append += secs(t3, now());
@@ -596,8 +653,29 @@ void *gt_tped_open(const char *path, char missing, int want_fc) {
   return h;
 }
 
+void *gt_tped_open(const char *path, char missing, int want_fc) {
+  return gt_tped_open_range(path, missing, want_fc, 0, -1);
+}
+
 int gt_tped_nchrom(void *hv) { return (int)((TpedHandle *)hv)->chroms.size(); }
-int64_t gt_tped_nind(void *hv) { return ((TpedHandle *)hv)->nind; }
+// STORED genotype columns (== the full panel except in column-range mode).
+int64_t gt_tped_nind(void *hv) { return ((TpedHandle *)hv)->nstore; }
+// Individuals in the FILE (the full panel width).
+int64_t gt_tped_nind_total(void *hv) { return ((TpedHandle *)hv)->nind; }
+int64_t gt_tped_col0(void *hv) { return ((TpedHandle *)hv)->col0; }
+
+// Column-range mode only: per-locus partial '1'-allele numerators and
+// observed-allele denominators over the stored range (integers as f64; a
+// psum over hosts reproduces loadTPEDData's full freq exactly,
+// src/garlic-data.cpp:109-160).  Returns 0 when unavailable (full parse).
+int gt_tped_copy_counts(void *hv, int c, double *num, double *den) {
+  TpedHandle *h = (TpedHandle *)hv;
+  ChromBlock &b = h->chroms[c];
+  if (b.freq_num.size() != b.positions.size()) return 0;
+  memcpy(num, b.freq_num.data(), b.freq_num.size() * sizeof(double));
+  memcpy(den, b.freq_den.data(), b.freq_den.size() * sizeof(double));
+  return 1;
+}
 
 int64_t gt_tped_nloci(void *hv, int c) {
   return (int64_t)((TpedHandle *)hv)->chroms[c].positions.size();
@@ -646,7 +724,7 @@ void gt_tped_copy(void *hv, int c, int64_t *positions, double *gpos,
   TpedHandle *h = (TpedHandle *)hv;
   ChromBlock &b = h->chroms[c];
   int64_t L = (int64_t)b.positions.size();
-  int64_t I = h->nind;
+  int64_t I = h->nstore;
   memcpy(positions, b.positions.data(), L * sizeof(int64_t));
   memcpy(gpos, b.gpos.data(), L * sizeof(double));
   memcpy(alleles, b.allele.data(), L * sizeof(char));
@@ -671,7 +749,7 @@ void gt_tped_copy_2bit(void *hv, int c, int64_t *positions, double *gpos,
   TpedHandle *h = (TpedHandle *)hv;
   ChromBlock &b = h->chroms[c];
   int64_t L = (int64_t)b.positions.size();
-  int64_t I = h->nind;
+  int64_t I = h->nstore;
   memcpy(positions, b.positions.data(), L * sizeof(int64_t));
   memcpy(gpos, b.gpos.data(), L * sizeof(double));
   memcpy(alleles, b.allele.data(), L * sizeof(char));

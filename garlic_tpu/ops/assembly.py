@@ -174,7 +174,8 @@ def _repair_rows(packed: np.ndarray, sus, susw, chrom, exact_cover,
     recomputed."""
     if exact_cover is None or sus is None:
         return
-    nind = chrom.nind
+    # sus indexes GLOBAL rows (gathered coverage spans all hosts' blocks)
+    nind = getattr(chrom, "nind_global", None) or chrom.nind
     rows = np.flatnonzero(sus[:nind])
     if rows.size == 0:
         return

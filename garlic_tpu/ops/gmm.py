@@ -89,8 +89,27 @@ def fit_gmm(x: np.ndarray, k: int, w0: np.ndarray, mu0: np.ndarray,
                      bic=float(bic), converged=converged, iterations=it)
 
 
+_single_gmm_mesh = None
+
+
+def _device_mesh_1x1():
+    """Cached trivial ("dp", "sp") mesh over device 0: lets single-device
+    fast-engine runs reuse fit_gmm_sharded's on-device while_loop EM (the
+    psums over the size-1 axes are identity).  The host EM iterates
+    numpy at ~1-2 ms per E+M pass — ~1.8 s of the 1000x1M
+    auto-everything wall (BASELINE.md round 3); the device loop runs
+    every iteration in one dispatch."""
+    global _single_gmm_mesh
+    if _single_gmm_mesh is None:
+        from ..parallel.mesh import make_mesh
+        import jax
+        _single_gmm_mesh = make_mesh(n_dp=1, n_sp=1,
+                                     devices=jax.devices()[:1])
+    return _single_gmm_mesh
+
+
 def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
-                        mesh=None):
+                        mesh=None, device=False):
     """selectSizeClasses (src/garlic-roh.cpp:935-1003): fit the GMM, sort
     components by mean, log their parameters, then root-find the K-1 pairwise
     Gaussian intersections as size-class boundaries. Returns list of bounds.
@@ -98,7 +117,9 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
     mesh: a ("dp", "sp") jax mesh — the EM loop runs on device with the
     sufficient statistics psum'd across every chip per iteration
     (parallel.engine.fit_gmm_sharded), the production Phase-IV path for
-    --tpu-mesh runs."""
+    --tpu-mesh runs.  device=True (fast engine, no mesh): the same
+    on-device EM over a trivial 1x1 mesh — fit_gmm_sharded degrades to
+    the host EM itself when the backend cannot run f64 programs."""
     from .brent import find_boundary
     lengths = np.asarray(lengths, dtype=np.float64)
     var = float(np.var(lengths, ddof=1))
@@ -107,6 +128,11 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
     w0 = np.full(k, 1.0 / k)
     mu0 = np.array([mean * (n + 1) / (k + 1) for n in range(k)])
     var0 = np.array([var * (n + 1) / k for n in range(k)])
+    if mesh is None and device:
+        try:
+            mesh = _device_mesh_1x1()
+        except Exception:
+            mesh = None
     if mesh is not None:
         from ..parallel.engine import fit_gmm_sharded
         res = fit_gmm_sharded(lengths, k, w0, mu0, var0, mesh,

@@ -163,6 +163,86 @@ def allele_freq_sharded(geno, mesh):
     return to_host(fn(put_dp_sharded(geno, mesh, gs))).astype(np.float64)
 
 
+_freq_counts_cache = {}
+
+
+def allele_freq_counts_sharded(num, den, mesh):
+    """Global allele frequencies from PER-HOST partial count planes: the
+    production freq collective on multi-process column-range loads.
+
+    Each cooperating process passes the [L] '1'-allele numerator /
+    observed-allele denominator over ITS stored individual columns
+    (integer-valued f64 straight from the range parser, so the psum
+    reproduces loadTPEDData's full-panel counts exactly,
+    src/garlic-data.cpp:109-160); the division then matches the
+    reference's nalleles/total bit-for-bit.  The planes ride the dp axis:
+    host h contributes its plane on its first owned dp row (zeros on the
+    rest), one psum over dp merges them, and every host reads back the
+    identical [L] f64 freq.
+
+    Requires the row-aligned device layout put_dp_sharded checks
+    (local_device_count % n_sp == 0).  Falls back to a deterministic
+    host-side allgather+sum when the backend cannot run f64 programs."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    num = np.asarray(num, dtype=np.float64)
+    den = np.asarray(den, dtype=np.float64)
+    L = num.shape[0]
+    n_dp = mesh.shape[AXIS_DP]
+    n_sp = mesh.shape[AXIS_SP]
+    p = jax.process_count()
+    L2 = -(-max(L, 1) // n_sp) * n_sp
+    rows = n_dp // p if p > 1 else n_dp
+    local = np.zeros((rows, 2, L2), dtype=np.float64)
+    local[0, 0, :L] = num
+    local[0, 1, :L] = den
+
+    key = (id(mesh), L2)
+    fn = _freq_counts_cache.get(key)
+    if fn is None:
+        import jax.numpy as jnp
+        from jax import lax
+
+        def block(x):
+            s = lax.psum(x, AXIS_DP)            # [rows_blk, 2, L_s]
+            num_g = jnp.sum(s[:, 0, :], axis=0)  # rows_blk == n_dp/n_dp = 1
+            den_g = jnp.sum(s[:, 1, :], axis=0)
+            return jnp.where(den_g > 0, num_g / den_g, 0.0)
+
+        sh = jax.shard_map(block, mesh=mesh,
+                           in_specs=(P(AXIS_DP, None, AXIS_SP),),
+                           out_specs=P(AXIS_SP))
+        fn = jax.jit(sh)
+        _freq_counts_cache[key] = fn
+
+    from .multihost import to_host
+    gs = NamedSharding(mesh, P(AXIS_DP, None, AXIS_SP))
+    x64 = jax.enable_x64
+    try:
+        with x64(True):
+            if p == 1:
+                glob = jax.device_put(local, gs)
+            else:
+                glob = jax.make_array_from_process_local_data(gs, local)
+            out = to_host(fn(glob))
+        return np.asarray(out, dtype=np.float64)[:L]
+    except Exception as e:
+        # f64 SPMD unavailable on this backend: deterministic host merge
+        # (identical on every process — allgather is rank-ordered)
+        import sys
+        print(f"[garlic-tpu] sharded freq psum unavailable "
+              f"({type(e).__name__}); host allgather merge", file=sys.stderr)
+        from jax.experimental import multihost_utils
+        planes = np.stack([num, den], axis=0)[None]  # [1, 2, L]
+        allp = np.asarray(multihost_utils.process_allgather(planes,
+                                                            tiled=True))
+        num_g = allp[:, 0, :].sum(axis=0)
+        den_g = allp[:, 1, :].sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den_g > 0, num_g / den_g, 0.0)
+
+
 _gauss_mesh_cache = {}
 
 
@@ -380,13 +460,19 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
 
     from ..ops.device_win import DeviceWin
 
-    I, L = chrom.genotypes.shape
+    local_mode = chrom.nind_total is not None  # per-host column-range load
+    I = chrom.nind_global
+    L = chrom.nloci
     cstart = centro.start(chrom.chrom)
     cend = centro.end(chrom.chrom)
     miss = full_window_missing(chrom.positions, winsize, max_gap,
                                cstart, cend)
-    geno_p, miss_p, _ = pad_for_mesh(chrom.genotypes, miss, mesh)
-    I2, L2 = geno_p.shape
+    if local_mode:
+        geno_p, miss_p = pad_local_for_mesh(chrom.genotypes, miss, mesh, I)
+        L2 = geno_p.shape[1]
+    else:
+        geno_p, miss_p, _ = pad_for_mesh(chrom.genotypes, miss, mesh)
+        L2 = geno_p.shape[1]
     check_halo_fits(L2, winsize - 1, mesh.shape[AXIS_SP])
     freq_p = np.zeros(L2, dtype=np.float32)
     freq_p[:L] = np.asarray(chrom.freq, dtype=np.float32)
@@ -396,13 +482,14 @@ def lod_windows_sharded(chrom, centro, winsize: int, error: float,
     ls = NamedSharding(mesh, P(AXIS_SP))
     from .multihost import put_dp_sharded
     if use_gl:
-        gl_p = np.full((I2, L2), float(error), dtype=np.float32)
-        gl_p[:I, :L] = np.asarray(chrom.gl, dtype=np.float32)
-        win = fn(put_dp_sharded(geno_p, mesh, gs),
-                 put_dp_sharded(gl_p, mesh, gs),
+        gl_p = np.full(geno_p.shape, float(error), dtype=np.float32)
+        gl_loc = np.asarray(chrom.gl, dtype=np.float32)
+        gl_p[:gl_loc.shape[0], :L] = gl_loc
+        win = fn(put_dp_sharded(geno_p, mesh, gs, local_block=local_mode),
+                 put_dp_sharded(gl_p, mesh, gs, local_block=local_mode),
                  jax.device_put(freq_p, ls), jax.device_put(miss_p, ls))
     else:
-        win = fn(put_dp_sharded(geno_p, mesh, gs),
+        win = fn(put_dp_sharded(geno_p, mesh, gs, local_block=local_mode),
                  jax.device_put(freq_p, ls), jax.device_put(miss_p, ls))
     return DeviceWin(win=win, nind=I, nloci=L)
 
@@ -679,29 +766,41 @@ def wlod_windows_sharded(chrom, centro, ld_dev, winsize: int, error,
         W = winsize
 
         def block(score_blk, ld_blk, miss_blk):
+            from jax import lax
             I_s, L_s = score_blk.shape
             halo = _halo_right(score_blk, W - 1, AXIS_SP)
             ext = jnp.concatenate([score_blk, halo], axis=1)
             inv = 1.0 / ld_blk                           # [L_s, W]
             acc = jnp.zeros((I_s, L_s), jnp.float32)
+            tmax = jnp.float32(0.0)
             for j in range(W):
                 # same j-order as the single-device kernel and the
                 # reference's inner i-loop (src/garlic-roh.cpp:259-272)
-                acc = acc + ext[:, j:j + L_s] * inv[:, j][None, :]
-            return jnp.where(miss_blk[None, :], jnp.float32(MISSING), acc)
+                t = ext[:, j:j + L_s] * inv[:, j][None, :]
+                acc = acc + t
+                # tie-patrol band scale: max finite |term| (the same
+                # data-driven scale the single-device weighted kernel
+                # ships — 1/LD can amplify terms arbitrarily), merged
+                # over the whole mesh with a pmax
+                tmax = jnp.maximum(
+                    tmax,
+                    jnp.max(jnp.where(jnp.isfinite(t), jnp.abs(t), 0.0)))
+            tmax = lax.pmax(lax.pmax(tmax, AXIS_DP), AXIS_SP)
+            return (jnp.where(miss_blk[None, :], jnp.float32(MISSING), acc),
+                    tmax)
 
         shard_fn = jax.shard_map(
             block, mesh=mesh,
             in_specs=(P(AXIS_DP, AXIS_SP), P(AXIS_SP, None), P(AXIS_SP)),
-            out_specs=P(AXIS_DP, AXIS_SP))
+            out_specs=(P(AXIS_DP, AXIS_SP), P()))
         fn = jax.jit(shard_fn)
         _wlod_mesh_cache[key] = fn
 
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
     ls = NamedSharding(mesh, P(AXIS_SP))
-    win = fn(jax.device_put(sp_arr, gs), ld_dev,
-             jax.device_put(miss_p, ls))
-    return DeviceWin(win=win, nind=I, nloci=L)
+    win, tsc = fn(jax.device_put(sp_arr, gs), ld_dev,
+                  jax.device_put(miss_p, ls))
+    return DeviceWin(win=win, nind=I, nloci=L, tie_scale=tsc)
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +829,33 @@ def pad_for_mesh(geno: np.ndarray, win_missing: np.ndarray,
         m[:L] = win_missing
         return g, m, iw
     return geno, win_missing, iw
+
+
+def pad_local_for_mesh(geno_local: np.ndarray, win_missing: np.ndarray,
+                       mesh, nind_global: int):
+    """Per-host column-range analog of pad_for_mesh: pad THIS host's
+    [I_loc, L] row block to its full dp-row slot [I2/num_hosts, L2]
+    (all-missing pad rows; only the last host's block is ever short) and
+    the [L] mask to L2.  The padded global layout matches pad_for_mesh's
+    exactly, so make_array_from_process_local_data reassembles the same
+    array the full-panel path would device_put."""
+    import jax
+
+    n_dp = mesh.shape[AXIS_DP]
+    n_sp = mesh.shape[AXIS_SP]
+    p = jax.process_count()
+    I_loc, L = geno_local.shape
+    I2 = -(-nind_global // n_dp) * n_dp
+    per = I2 // p
+    L2 = -(-L // n_sp) * n_sp
+    if I_loc != per or L2 != L:
+        g = np.full((per, L2), -9, dtype=np.int8)
+        g[:I_loc, :L] = geno_local
+    else:
+        g = geno_local
+    m = np.ones(L2, dtype=bool)
+    m[:L] = win_missing
+    return g, m
 
 
 def full_window_missing(positions: np.ndarray, winsize: int, max_gap: int,

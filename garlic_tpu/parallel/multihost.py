@@ -16,9 +16,13 @@ Typical launch (one process per host):
 On Cloud TPU VMs the three env vars can be omitted —
 `jax.distributed.initialize()` autodetects the slice topology.
 
-Host-sharded input: each process may hold the full TPED (freq psum then
-divides identically) or a per-host individual shard; `host_individual_
-range` computes this host's contiguous dp slice.
+Host-sharded input: on eligible runs (fast engine + mesh, unweighted) the
+pipeline computes this host's genotype column range before the parse and
+each process loads ONLY its own dp-row block (native column-range parser /
+.gtpc row slices) — host RAM scales 1/num_hosts and the global allele
+freqs come from allele_freq_counts_sharded's psum.  Other configurations
+hold the full panel per process; `host_individual_range` computes the
+contiguous dp slice either way.
 """
 
 from __future__ import annotations
@@ -107,22 +111,43 @@ def to_host(x) -> "np.ndarray":
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-def put_dp_sharded(arr, mesh, sharding):
+def put_dp_sharded(arr, mesh, sharding, local_block: bool = False):
     """Place a host [I2, L2] array onto the mesh, feeding only THIS host's
     dp-row block when the device layout is row-aligned (each host then
     ships 1/num_hosts of the bytes; with per-host input shards the other
     rows never need to exist host-side at all).  Falls back to a plain
-    device_put (full transfer, JAX scatters local shards) otherwise."""
+    device_put (full transfer, JAX scatters local shards) otherwise.
+
+    local_block=True: `arr` already IS this host's dp-row block (per-host
+    column-range input, [I2/num_hosts, L2]) — no slicing, no fallback
+    (the pipeline only enables sharded loading on row-aligned layouts)."""
     import jax
 
     if jax.process_count() == 1:
         return jax.device_put(arr, sharding)
+    import numpy as np
+    if local_block:
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(arr))
     from .mesh import AXIS_SP
     d = jax.local_device_count()
     n_sp = mesh.shape[AXIS_SP]
     if d % n_sp != 0 or arr.ndim != 2:
         return jax.device_put(arr, sharding)
     start, stop = host_individual_range(arr.shape[0])
-    import numpy as np
     local = np.ascontiguousarray(arr[start:stop])
     return jax.make_array_from_process_local_data(sharding, local)
+
+
+def dp_layout_aligned(mesh) -> bool:
+    """True when every host's devices form whole dp rows of `mesh` (the
+    condition for per-host dp-row blocks: local_device_count divides into
+    complete sp rows and the dp extent splits evenly over processes)."""
+    import jax
+
+    from .mesh import AXIS_DP, AXIS_SP
+    d = jax.local_device_count()
+    n_sp = mesh.shape[AXIS_SP]
+    n_dp = mesh.shape[AXIS_DP]
+    p = jax.process_count()
+    return d % n_sp == 0 and n_dp % p == 0 and n_dp * n_sp == d * p

@@ -345,10 +345,13 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         # in spirit — still time-derived, just cluster-consistent).
         import jax
         from jax.experimental import multihost_utils
-        local = np.zeros(1, dtype=np.int64)
+        # int32 range: without x64 the broadcast truncates int64 lanes,
+        # and a wrapped-negative seed crashes default_rng (flaked ~50%)
+        local = np.zeros(1, dtype=np.int32)
         if jax.process_index() == 0:
-            local[0] = np.random.default_rng().integers(0, 2 ** 62)
-        eff_seed = int(multihost_utils.broadcast_one_to_all(local)[0])
+            local[0] = np.random.default_rng().integers(0, 2 ** 31 - 1)
+        eff_seed = int(multihost_utils.broadcast_one_to_all(local)[0]) \
+            & 0x7FFFFFFF
     rng = np.random.default_rng(eff_seed)
     engine = _resolve_engine(args[cli.ARG_ENGINE])
     if engine == "fast":
@@ -361,6 +364,39 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         tped.freq_only(tpedfile, outfile, nresample, tped_missing, log, rng)
         return 0
 
+    # Resolve the device mesh BEFORE loading: per-host sharded input needs
+    # the dp extent to compute this host's genotype column range.
+    try:
+        mesh = _resolve_mesh(args[cli.ARG_MESH], log) \
+            if engine == "fast" else None
+    except CLIError as e:
+        log.err(str(e))
+        return -1
+
+    # Per-host column-range loading (multi-process runs): each process
+    # parses/holds only its own dp-row block of individuals — host RAM
+    # and upload bytes scale 1/num_hosts — and the global allele freqs
+    # come from the production count psum (allele_freq_counts_sharded).
+    # Engaged on row-aligned unweighted runs; exploration modes that
+    # subset individuals host-side keep the replicated full parse.
+    col_range = None
+    if (_nproc > 1 and engine == "fast" and mesh is not None
+            and not weighted and not cm and tglsfile == cli.DEFAULT_TGLS
+            and not auto_winsize and not winsize_explore):
+        from .parallel.multihost import dp_layout_aligned
+        if dp_layout_aligned(mesh):
+            from .parallel.mesh import AXIS_DP
+            nind_file = tped.peek_nind(tpedfile)
+            if nind_file > 0:
+                n_dp = mesh.shape[AXIS_DP]
+                I2 = -(-nind_file // n_dp) * n_dp
+                per = I2 // _nproc
+                c0 = min(_pidx * per, nind_file)
+                col_range = (c0, min(c0 + per, nind_file))
+                print(f"[garlic-tpu] sharded input: process {_pidx} "
+                      f"holds individuals [{col_range[0]}, {col_range[1]}) "
+                      f"of {nind_file}", file=sys.stderr)
+
     # ---------------- Datafile reading ----------------
     centro = Centromere(build, centromere_file, cli.DEFAULT_CENTROMERE_FILE, log)
     use_gl = False
@@ -370,14 +406,47 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             panel_cache=args[cli.ARG_PANEL_CACHE],
             # fast engine ships 2-bit codes to the device: the parser can
             # emit them directly, skipping the int8 transpose entirely
-            packed_geno=(engine == "fast" and not phased))
+            packed_geno=(engine == "fast" and not phased),
+            col_range=col_range)
+        if col_range is not None and auto_freq:
+            # Production freq collective: psum the per-host partial count
+            # planes into the global freq (bit-identical to the
+            # reference's nalleles/total — integer counts, one division).
+            # Warm panel-cache loads already carry the stored global freq.
+            from .parallel.engine import allele_freq_counts_sharded
+            for c in ds.chroms:
+                if c.freq_num is not None:
+                    c.freq = allele_freq_counts_sharded(c.freq_num,
+                                                        c.freq_den, mesh)
+                    c.freq_num = c.freq_den = None
+            if nresample > 0:
+                for c in ds.chroms:
+                    # deferred from load_tped: resample the GLOBAL freq
+                    # with the cluster-consistent rng
+                    # (src/garlic-data.cpp:142-148)
+                    counts = rng.binomial(nresample,
+                                          np.clip(c.freq, 0.0, 1.0))
+                    c.freq = counts.astype(np.float64) / float(nresample)
+        if os.environ.get("GT_LOAD_STATS"):
+            # test/benchmark hook: per-process loaded genotype bytes + peak
+            # RSS so far (stderr only; never in .log)
+            import resource
+            tot = rows = 0
+            for c in ds.chroms:
+                rows = max(rows, c.nind)
+                for a in (c._geno, c._geno2b, c.first_copy):
+                    if a is not None:
+                        tot += a.nbytes
+            print(f"[garlic-tpu] load-stats: rows={rows} geno_bytes={tot} "
+                  f"maxrss_kb={resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}",
+                  file=sys.stderr)
         log.log("Total loci:", num_loci)
         ds.ind_ids, ds.pop = tfam.read_tfam(tfamfile, log)
         num_ind = ds.nind
         log.log("Population:", ds.pop)
         log.log("Total diploid individuals:", num_ind)
         for c in ds.chroms:
-            if c.nind != num_ind:
+            if c.nind_global != num_ind:
                 log.err("ERROR: TPED and TFAM disagree on individual count.")
                 return 1
 
@@ -459,12 +528,6 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     if (auto_winsize and weighted) or auto_overlap_frac:
         variant_density = density.calc_density(num_loci, ds.chroms, centro)
 
-    try:
-        mesh = _resolve_mesh(args[cli.ARG_MESH], log) \
-            if engine == "fast" else None
-    except CLIError as e:
-        log.err(str(e))
-        return -1
     st = PipelineState(log=log, args=args, engine=engine, rng=rng, mesh=mesh)
     if engine == "fast" and not weighted:
         import jax
@@ -582,22 +645,20 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
     # ---------------- Phase III: assembly ----------------
     print("Assembling ROH windows")
-    # Tie patrol (plain/TGLS fast engine, single process): rows holding a
-    # window inside the f32 error band around the cutoff get their
-    # coverage recomputed with the exact f64 engine, making the fast
-    # BED identical to the oracle's by construction.  Multi-host runs
-    # skip it (each process holds only its own individual rows, but the
-    # gathered coverage indexes global rows).
+    # Tie patrol (every fast-engine configuration): rows holding a window
+    # inside the f32 error band around the cutoff get their coverage
+    # recomputed with the exact f64 engine, making the fast BED identical
+    # to the oracle's by construction.  Multi-process runs verify too:
+    # with replicated input every host re-derives every suspect
+    # identically; with per-host column-range input each host verifies
+    # the rows it owns and the results merge with a rank-ordered
+    # allgather (suspect sets are tiny).
     tie_delta, exact_cover, exact_window = 0.0, None, None
-    if st.engine == "fast":
-        import jax
-        single = jax.process_count() == 1
-    else:
-        single = False
-    if single and not weighted:
+    sharded_rows = any(c.nind_total is not None for c in ds.chroms)
+    if st.engine == "fast" and not weighted:
         tie_delta = _tie_band(ds.chroms, winsize, error, use_gl)
 
-        def exact_cover(ci, rows):
+        def _cover_local(ci, rows):
             from .ops.assembly import (coverage_counts_batch,
                                        overlap_threshold)
             thr = overlap_threshold(overlap_frac, winsize)
@@ -612,20 +673,29 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                                              engine="exact")
                 out.append(coverage_counts_batch(w >= lod_cutoff,
                                                  winsize) >= thr)
-            return np.concatenate(out, axis=0)
+            return np.concatenate(out, axis=0) if out else \
+                np.zeros((0, ds.chroms[ci].nloci), dtype=bool)
 
-        def exact_window(ci, rows, wins, sides):
+        def _window_local(ci, rows, wins, sides):
             return _exact_window_flips(
                 ds.chroms[ci], rows, wins, sides, winsize, error,
                 use_gl, lod_cutoff)
-    elif single and weighted and st.mesh is None:
+
+        if sharded_rows:
+            exact_cover, exact_window = _owned_row_patrol(
+                ds, _cover_local, _window_local)
+        else:
+            exact_cover, exact_window = _cover_local, _window_local
+    elif st.engine == "fast" and weighted:
         # weighted: 1/LD can amplify terms arbitrarily, so the band scale
-        # rides each DeviceWin as a device scalar (max finite |term|) and
-        # tie_delta here is only the 256*eps*W FACTOR (same calibrated
-        # margin class as _tie_band; the reference's wLOD windows are
-        # fresh sums, so the per-window f64 verification is its exact
-        # value).  Mesh weighted runs keep their measured-identical
-        # status (sharded windows carry no tie_scale).
+        # rides each DeviceWin as a device scalar (max finite |term| —
+        # the single-device kernel and the sharded mesh kernel both ship
+        # one) and tie_delta here is only the 256*eps*W FACTOR (same
+        # calibrated margin class as _tie_band; the reference's wLOD
+        # windows are fresh sums, so the per-window f64 verification is
+        # its exact value).  Weighted runs always hold the full panel on
+        # every host (column-range loading excludes them), so
+        # multi-process verification is local and identical everywhere.
         tie_delta = 256.0 * 2.0 ** -23 * winsize
         _wband_cache = {}
 
@@ -663,8 +733,9 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     if auto_bounds:
         print(f"Fitting {nclust}-component GMM for size classification")
         try:
-            bound_sizes, _ = gmm.select_size_classes(lengths, nclust, log,
-                                                     mesh=st.mesh)
+            bound_sizes, _ = gmm.select_size_classes(
+                lengths, nclust, log, mesh=st.mesh,
+                device=(st.engine == "fast"))
         except Exception as e:
             # The reference aborts inside GSL here (collapsed component /
             # root bracket failure); we fail cleanly instead.
@@ -705,21 +776,25 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
     # coverage bits per chromosome and recompute instead of holding
     # (SURVEY.md hard part e).
     streaming = False
-    if st.engine == "fast" and st.mesh is None:
+    if st.engine == "fast":
         from .runtime import hbm_budget
         # half the usable budget: the resident window matrices must
         # coexist with the coverage program's own [I, L]-sized
         # temporaries, the genotype cache, and XLA scratch — an 8.6 GB
         # window set on a 16 GB chip OOMs during assembly if gated at
-        # 0.9x (measured: 1000 x 1M panel)
-        budget = 0.5 * hbm_budget()
-        est = sum(4.0 * (-(-c.nind // 32) * 32)
+        # 0.9x (measured: 1000 x 1M panel).  With a mesh the matrices
+        # shard over every device, so the gate is the AGGREGATE budget
+        # (per-device x device count) and streaming composes with the
+        # mesh: the LazyWin thunk rematerializes the SHARDED DeviceWin.
+        ndev = 1 if st.mesh is None else int(st.mesh.devices.size)
+        budget = 0.5 * hbm_budget() * ndev
+        est = sum(4.0 * (-(-c.nind_global // 32) * 32)
                   * max(c.nloci - winsize + 1, 1) for c in ds.chroms)
         streaming = est > budget
         if streaming:
             print(f"[garlic-tpu] window matrices ~{est / 1e9:.1f} GB exceed "
-                  "the HBM budget; streaming per chromosome",
-                  file=sys.stderr)
+                  f"the {'mesh aggregate ' if ndev > 1 else ''}HBM budget; "
+                  "streaming per chromosome", file=sys.stderr)
     out = []
     for c in ds.chroms:
         print(f"{c.chrom}    ", file=sys.stderr, end="")
@@ -735,8 +810,16 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
             # loci sequence-parallel with a ppermute halo; TGLS per-genotype
             # errors shard exactly like the genotypes
             from .parallel.engine import lod_windows_sharded
-            out.append(lod_windows_sharded(cc, centro, winsize, error,
-                                           max_gap, st.mesh, use_gl=use_gl))
+            if streaming:
+                out.append(device_win.LazyWin(
+                    (lambda cc=cc: lod_windows_sharded(
+                        cc, centro, winsize, error, max_gap, st.mesh,
+                        use_gl=use_gl)),
+                    nind=cc.nind_global, nloci=cc.nloci))
+            else:
+                out.append(lod_windows_sharded(cc, centro, winsize, error,
+                                               max_gap, st.mesh,
+                                               use_gl=use_gl))
             bar.advance(cc.nind)
         elif st.engine == "fast" and streaming:
             out.append(device_win.LazyWin(
@@ -934,6 +1017,46 @@ def _exact_window_flips(c, rows, wins, sides, winsize: int, error: float,
             continue
         flips[k] = (s >= cutoff) != bool(sides[k])
     return flips
+
+
+def _owned_row_patrol(ds: Dataset, cover_local, window_local):
+    """Tie-patrol wrappers for per-host column-range input: suspect rows
+    index the GLOBAL individual axis but each host only holds
+    [row0, row0 + nind); every host f64-verifies the rows it owns and the
+    per-row results merge with a rank-ordered allgather-OR (suspect sets
+    are tiny — bytes, not matrices).  The merged result is identical on
+    every process, so each one applies the same repairs to its gathered
+    coverage."""
+    from jax.experimental import multihost_utils
+
+    def _merge(arr):
+        allp = np.asarray(multihost_utils.process_allgather(
+            arr[None].astype(np.uint8), tiled=True))
+        return allp.any(axis=0)
+
+    def exact_cover(ci, rows):
+        c = ds.chroms[ci]
+        r0, nown = c.row0, c.nind
+        rows = np.asarray(rows, dtype=np.int64)
+        owned = (rows >= r0) & (rows < r0 + nown)
+        out = np.zeros((rows.size, c.nloci), dtype=bool)
+        if owned.any():
+            out[owned] = cover_local(ci, rows[owned] - r0)
+        return _merge(out)
+
+    def exact_window(ci, rows, wins, sides):
+        c = ds.chroms[ci]
+        r0, nown = c.row0, c.nind
+        rows = np.asarray(rows, dtype=np.int64)
+        owned = (rows >= r0) & (rows < r0 + nown)
+        flips = np.zeros(rows.size, dtype=bool)
+        if owned.any():
+            flips[owned] = window_local(
+                ci, rows[owned] - r0, np.asarray(wins)[owned],
+                np.asarray(sides)[owned])
+        return _merge(flips)
+
+    return exact_cover, exact_window
 
 
 def _subset_chrom(c, idx):

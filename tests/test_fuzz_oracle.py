@@ -398,3 +398,71 @@ def test_fuzz_weighted_fast_equals_exact(tmp_path, seed):
     a = open(os.path.join(wd, "ex.roh.bed")).read()
     b = open(os.path.join(wd, "fa.roh.bed")).read()
     assert a == b
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed",
+                         _seed_range("GARLIC_FUZZ_TIE_MW_SEEDS", "0:3"))
+def test_fuzz_mesh_weighted_fast_equals_exact(tmp_path, seed):
+    """Mesh-weighted tie patrol (round 4): --tpu-mesh weighted runs now
+    ship a pmax'd tie_scale (max finite |window term| over the whole
+    mesh), so the sharded f32 wLOD BED equals the exact f64 engine's by
+    construction — previously the one engine configuration without the
+    guarantee."""
+    rng = np.random.default_rng(99_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    wi = args.index("--winsize")
+    args[wi + 1] = str(int(rng.choice([25, 40, 70])))
+    if "--lod-cutoff" not in args:
+        args += ["--lod-cutoff", f"{rng.uniform(0.2, 2.0):.4f}"]
+    args += ["--map", "f.map.gz", "--weighted",
+             "--tpu-seed", str(seed)]  # same LD subsample both engines
+    if rng.random() < 0.5:
+        args += ["--ld-subsample", str(int(rng.integers(10, 25)))]
+    if rng.random() < 0.3:
+        args += ["--phased"]
+    mesh = str(rng.choice(["2x4", "4x2", "8x1"]))
+    panel = make_panel(**panel_kw)
+    write_tped(panel, str(tmp_path / "f.tped.gz"), str(tmp_path / "f.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "f.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
+    rce = run_ours_subprocess(wd, args + ["--tpu-engine", "exact",
+                                          "--out", "ex"])
+    rcf = run_ours_subprocess(wd, args + ["--tpu-engine", "fast",
+                                          "--tpu-mesh", mesh,
+                                          "--out", "fa"], devices=8)
+    assert rce == rcf
+    if rce != 0:
+        return
+    a = open(os.path.join(wd, "ex.roh.bed")).read()
+    b = open(os.path.join(wd, "fa.roh.bed")).read()
+    assert a == b, ("mesh-weighted BED differs from exact", mesh, args)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed",
+                         _seed_range("GARLIC_FUZZ_STREAM_MESH_SEEDS", "0:2"))
+def test_fuzz_mesh_streaming_identical_to_resident(tmp_path, seed,
+                                                   monkeypatch):
+    """Streaming composes with the mesh (round 4): when the window
+    matrices exceed the mesh's AGGREGATE HBM budget, the LazyWin thunks
+    rematerialize the SHARDED DeviceWin per chromosome — and the
+    streamed mesh BED equals the resident mesh BED exactly."""
+    rng = np.random.default_rng(44_000 + seed)
+    panel_kw, args = _draw_config(rng)
+    panel = make_panel(**panel_kw)
+    wd = str(tmp_path)
+    write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    mesh = str(rng.choice(["2x4", "4x2"]))
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam",
+            "--tpu-engine", "fast", "--tpu-mesh", mesh] + args
+    rc1 = run_ours(wd, args + ["--out", "resident"])
+    monkeypatch.setenv("GARLIC_TPU_HBM_BUDGET", "1")
+    rc2 = run_ours(wd, args + ["--out", "streamed"])
+    assert (rc1 == 0) == (rc2 == 0), (args, rc1, rc2)
+    if rc1 != 0:
+        return
+    a = read_text(os.path.join(wd, "resident.roh.bed"))
+    b = read_text(os.path.join(wd, "streamed.roh.bed"))
+    assert a == b, ("streamed mesh BED differs from resident", mesh, args)

@@ -297,19 +297,26 @@ def assert_bed_same_or_oracle_random(oracle_bin: str, wd: str,
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_ours_subprocess(workdir: str, args: List[str]) -> int:
+def run_ours_subprocess(workdir: str, args: List[str],
+                        devices: int = 1) -> int:
     """Run our pipeline as a fresh CPU subprocess.
 
     Long in-process campaigns eventually segfault inside XLA's CPU
     compiler/serializer after ~30 large compilations (LLVM JIT state —
     observed in fuzz runs; not reachable from a single pipeline run), so
     campaign-style tests isolate each invocation.  The axon TPU plugin
-    ignores the JAX_PLATFORMS env var, hence the -c driver."""
+    ignores the JAX_PLATFORMS env var, hence the -c driver.
+    devices > 1: give the subprocess that many virtual CPU devices
+    (--tpu-mesh runs)."""
     import sys as _sys
-    driver = ("import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+    driver = ("import sys, os; "
+              "os.environ['XLA_FLAGS'] = "
+              "'--xla_force_host_platform_device_count=%d'; "
+              "import jax; jax.config.update('jax_platforms', 'cpu'); "
               "sys.path.insert(0, %r); "
               "from garlic_tpu.pipeline import run_main; "
-              "sys.exit(run_main(sys.argv[1:], prog='garlic'))" % REPO)
+              "sys.exit(run_main(sys.argv[1:], prog='garlic'))"
+              % (devices, REPO))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     r = subprocess.run([_sys.executable, "-c", driver] + args, cwd=workdir,
