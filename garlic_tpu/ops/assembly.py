@@ -19,12 +19,27 @@ reference's state machine has two edge quirks we preserve:
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from typing import List
 
 import numpy as np
 
 from .lod import in_gap, pair_breaks
+
+_ASM_TIMING = os.environ.get("GT_ASM_TIMING") is not None
+
+
+def _tmark(label: str, t0: float) -> float:
+    """GT_ASM_TIMING=1 stderr stage timings (same convention as
+    GT_PARSE_TIMING / GT_SHIP_TIMING)."""
+    t1 = time.perf_counter()
+    if _ASM_TIMING:
+        import sys
+        print(f"[gt_asm] {label}: {(t1 - t0) * 1e3:.1f} ms",
+              file=sys.stderr)
+    return t1
 
 
 @dataclass
@@ -188,6 +203,10 @@ def _repair_rows(packed: np.ndarray, sus, susw, chrom, exact_cover,
             rows = np.unique(si[flip])
         else:
             rows = si
+        if _ASM_TIMING:
+            import sys
+            print(f"[gt_asm] c{ci} suspects={si.size} "
+                  f"flip-rows={rows.size}", file=sys.stderr)
         if rows.size == 0:
             return
     fixed = exact_cover(ci, rows)          # bool [k, nloci]
@@ -210,6 +229,7 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
     from .device_win import (covered_fetch, covered_packed, is_device_win,
                              is_lazy_win)
     sus = susw = None
+    t0 = time.perf_counter()
     if handle is not None:
         packed, sus, susw = covered_fetch(handle)
     elif is_lazy_win(win):
@@ -226,14 +246,18 @@ def _chrom_runs_native(win, chrom, cutoff: float, winsize: int, max_gap: int,
             above = win >= cutoff
             covered = coverage_counts_batch(above, winsize) >= threshold
             packed = np.packbits(covered, axis=1, bitorder="little")
+    t0 = _tmark(f"c{ci} fetch+reconstruct", t0)
     if sus is not None and exact_cover is not None:
         if not packed.flags.writeable:
             packed = np.array(packed)
         _repair_rows(packed, sus, susw, chrom, exact_cover, exact_window,
                      ci)
+        t0 = _tmark(f"c{ci} tie-repair", t0)
     br = pair_breaks(chrom.positions, max_gap, cstart, cend)
-    return assemble_runs_native(packed, br, chrom.positions, chrom.gpos,
-                                threshold, cm)
+    out = assemble_runs_native(packed, br, chrom.positions, chrom.gpos,
+                               threshold, cm)
+    _tmark(f"c{ci} native-scan", t0)
+    return out
 
 
 def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
@@ -261,8 +285,10 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
     # chromosome N+1's device compute overlaps chromosome N's host-side
     # fetch + run scan (LazyWin stays sequential: it rematerializes to
     # bound HBM)
+    t0 = time.perf_counter()
     handles = [covered_dispatch(w, cutoff, winsize, threshold, tie_delta)
                if is_device_win(w) else None for w in win_by_chr]
+    t0 = _tmark("dispatch-all", t0)
     per_chrom = []
     for ci, chrom in enumerate(chroms):
         cstart = centro.start(chrom.chrom)
@@ -305,6 +331,7 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
             bounds = np.searchsorted(ind_arr, np.arange(nind + 1))
             per_chrom.append(("nat", (bounds, start_arr, stop_arr, size_arr)))
 
+    t0 = time.perf_counter()
     lengths: List[float] = []
     by_ind: List[IndividualROH] = []
     for i, ind_id in enumerate(ind_ids):
@@ -323,4 +350,5 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
                                              float(size_arr[k])))
                     lengths.append(float(size_arr[k]))
         by_ind.append(rec)
+    _tmark("build-calls", t0)
     return by_ind, np.asarray(lengths, dtype=np.float64)

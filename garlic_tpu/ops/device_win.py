@@ -227,13 +227,15 @@ def _covered_kernel_factory():
         # Shifted-add doubling keeps the counts integer-exact in f32 (the
         # TPU conv lowering accumulates in bf16 on the MXU, which loses
         # integer exactness for winsize > 256).
-        above = (win >= cutoff).astype(jnp.float32)
+        # bf16 counts are exact integers <= 256 (see _cov_kernel_factory)
+        cdt = jnp.bfloat16 if winsize <= 255 else jnp.float32
+        above = (win >= cutoff).astype(cdt)
         sus = jnp.any(jnp.abs(win - cutoff) < delta, axis=1)  # tie patrol
         I, N = above.shape
-        z = jnp.zeros((I, winsize - 1), jnp.float32)
+        z = jnp.zeros((I, winsize - 1), cdt)
         padded = jnp.concatenate([z, above, z], axis=1)
         counts = window_sums_exact(padded, winsize)    # [I, N + W - 1]
-        covered = counts >= threshold
+        covered = counts >= jnp.asarray(threshold, cdt)
         # pack along loci: 8 SNP flags per byte for the host link
         outw = N + winsize - 1
         pad = (-outw) % 8
@@ -311,11 +313,17 @@ def _cov_kernel_factory():
         # -9999, far outside any band.  delta 0 flags nothing.
         susw = jnp.abs(win - cutoff) < delta
         sus = jnp.any(susw, axis=1)
-        abf = above.astype(jnp.float32)
+        # bf16 counts: integers <= 256 are exact in bf16 (8 mantissa
+        # bits), and winsize bounds every count — halves the HBM traffic
+        # of the O(log W) shifted-add passes, which dominate this kernel
+        # at WGS scale.  Large winsizes keep f32.
+        cdt = jnp.bfloat16 if winsize <= 255 else jnp.float32
+        abf = above.astype(cdt)
         I, N = abf.shape
-        z = jnp.zeros((I, winsize - 1), jnp.float32)
+        z = jnp.zeros((I, winsize - 1), cdt)
         padded = jnp.concatenate([z, abf, z], axis=1)
-        covered = window_sums_exact(padded, winsize) >= threshold
+        covered = window_sums_exact(padded, winsize) >= \
+            jnp.asarray(threshold, cdt)
         outw = N + winsize - 1
         if outw2 > outw:
             covered = jnp.concatenate(
@@ -340,9 +348,25 @@ def _edges_kernel_factory():
     The program takes the bucketed covered matrix plus a TRACED true
     width `outw`, so its ~22 s XLA compile is paid once per (I, bucket)
     shape rather than once per winsize (an --auto-winsize search or a
-    winsize sweep would otherwise recompile it per candidate)."""
+    winsize sweep would otherwise recompile it per candidate).
+
+    Compactions use cumsum + vectorized binary search instead of
+    jnp.nonzero: nonzero lowers to the TPU scalar core at ~75M elem/s,
+    and the four size-capped compactions here scan ~13M elements — ~180
+    ms/chromosome at the 1000x1M scale (measured, the warm-run assembly
+    wall).  cumsum is a VPU pass and searchsorted('scan') is ~log2(n)
+    vectorized gather rounds over only `size` queries, the same indices
+    bit-for-bit."""
     import jax
     import jax.numpy as jnp
+
+    def _nz(mask_flat, size: int):
+        """jnp.nonzero(mask, size=size, fill_value=-1)[0] as int32, via
+        cumsum + binary search (see factory docstring)."""
+        c = jnp.cumsum(mask_flat.astype(jnp.int32))
+        q = jnp.arange(1, size + 1, dtype=jnp.int32)
+        idx = jnp.searchsorted(c, q, side="left").astype(jnp.int32)
+        return jnp.where(q <= c[-1], idx, -1)
 
     @partial(jax.jit, static_argnames=("cap", "block", "ecap"))
     def _edges(covered, sus, susw, above, outw, cap: int, block: int,
@@ -368,12 +392,10 @@ def _edges_kernel_factory():
         nblk = jnp.sum(summary).astype(jnp.int32)
         nedge = jnp.sum(eb).astype(jnp.int32)
         eb, summary = jax.lax.optimization_barrier((eb, summary))
-        bidx = jnp.nonzero(summary, size=cap,
-                           fill_value=-1)[0].astype(jnp.int32)
+        bidx = _nz(summary, cap)
         gb = eb[jnp.maximum(bidx, 0)] & (bidx >= 0)[:, None]
         gb = jax.lax.optimization_barrier(gb)
-        loc = jnp.nonzero(gb.reshape(-1), size=ecap,
-                          fill_value=-1)[0].astype(jnp.int32)
+        loc = _nz(gb.reshape(-1), ecap)
         bid = bidx[jnp.maximum(loc // block, 0)]
         # blocks ascend row-major, offsets ascend within each block, so
         # gidx is globally sorted ascending (what _edges_to_packed needs)
@@ -403,12 +425,10 @@ def _edges_kernel_factory():
         # the host must see the overflow to degrade to row-level repair
         nsblk = jnp.sum(ssum).astype(jnp.int32)
         sb, ssum = jax.lax.optimization_barrier((sb, ssum))
-        sbidx = jnp.nonzero(ssum, size=_SUS_BLK_CAP,
-                            fill_value=-1)[0].astype(jnp.int32)
+        sbidx = _nz(ssum, _SUS_BLK_CAP)
         sgb = sb[jnp.maximum(sbidx, 0)] & (sbidx >= 0)[:, None]
         sgb = jax.lax.optimization_barrier(sgb)
-        sloc = jnp.nonzero(sgb.reshape(-1), size=_SUS_IDX_CAP,
-                           fill_value=-1)[0].astype(jnp.int32)
+        sloc = _nz(sgb.reshape(-1), _SUS_IDX_CAP)
         sbid = sbidx[jnp.maximum(sloc // block, 0)]
         # flat indices in the UNPADDED [I, NW] space (pad cols are never
         # suspect, so every real hit's column is < NW)

@@ -70,14 +70,47 @@ def lod_terms(geno: np.ndarray, freq: np.ndarray,
     return out.astype(dtype, copy=False)
 
 
+_lod_table_cache = {}  # id(freq) -> (freq strong ref, error, table)
+
+
 def lod_table(freq: np.ndarray, error: float) -> np.ndarray:
     """[4, L] float64 table of lod values for genotype classes 0,1,2,missing.
 
-    Only valid for scalar error (no TGLS)."""
+    Only valid for scalar error (no TGLS).  One shared pass computes all
+    three class rows (lod_terms per class would evaluate the identical
+    r0/r1/r2 expressions three times — ~150 ms per 500k-locus call at the
+    1000x1M scale), and results cache per freq ARRAY identity: the
+    chunked exact paths (tie repair, Phase-II exact sampling) rebuild
+    subset chromosomes that share the parent's freq object, so the table
+    is computed once per (chromosome, error).  The cached entry holds a
+    strong reference to the freq array, so its id cannot be reused while
+    the entry lives."""
+    key = id(freq)
+    hit = _lod_table_cache.get(key)
+    if hit is not None and hit[0] is freq and hit[1] == error:
+        return hit[2]
     L = freq.shape[0]
+    p = np.asarray(freq, dtype=np.float64)
+    e = np.float64(error)
+    one_minus = 1.0 - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        non0 = one_minus * one_minus
+        aut0 = (1.0 - e) * one_minus + e * non0
+        non1 = 2.0 * p * one_minus
+        aut1 = e * non1
+        non2 = p * p
+        aut2 = (1.0 - e) * p + e * non2
+        r0 = np.log10(aut0 / non0)
+        r1 = np.log10(aut1 / non1)
+        r2 = np.log10(aut2 / non2)
+    mono = (p == 0.0) | (p == 1.0)
     table = np.zeros((4, L), dtype=np.float64)
-    for gcls in range(3):
-        table[gcls] = lod_terms(np.full(L, gcls, dtype=np.int8), freq, error)
+    table[0] = np.where(mono, 0.0, r0)
+    table[1] = np.where(mono, 0.0, r1)
+    table[2] = np.where(mono, 0.0, r2)
+    if len(_lod_table_cache) >= 4:  # tiny LRU: panels have few chroms live
+        _lod_table_cache.pop(next(iter(_lod_table_cache)))
+    _lod_table_cache[key] = (freq, error, table)
     return table
 
 
