@@ -15,6 +15,7 @@ from .build import (  # noqa: F401
     get_native_max_threads,
     lod_windows_exact_native,
     lod_windows_exact_tbl_native,
+    lod_windows_exact_thin_native,
     native_available,
     pack_2bit_padded_native,
     parse_tgls_native,

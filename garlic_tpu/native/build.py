@@ -112,6 +112,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+        lib.gt_lod_windows_exact_thin.restype = None
+        lib.gt_lod_windows_exact_thin.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double)]
         lib.gt_filter_columns.restype = ctypes.c_int64
         lib.gt_filter_columns.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -629,6 +635,36 @@ def lod_windows_exact_tbl_native(geno: np.ndarray, table: np.ndarray,
         I, L, winsize, float(MISSING),
         win.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return win
+
+def lod_windows_exact_thin_native(geno: np.ndarray, table: np.ndarray,
+                                  missing: np.ndarray, winsize: int,
+                                  step: int) -> "Optional[np.ndarray]":
+    """Thinned exact f64 rolling LOD: the identical rolling recurrence as
+    lod_windows_exact_tbl_native, writing only columns 0, step, 2*step...
+    -> [I, ceil(L/step)] (== win[:, ::step]); the full [I, L] matrix
+    never exists.  None if the native lib is unavailable."""
+    from ..core.types import MISSING
+    lib = _load()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(geno, dtype=np.int8)
+    t = np.ascontiguousarray(table, dtype=np.float64)
+    I, L = g.shape
+    assert t.shape == (4, L)
+    nwin = max(L - winsize + 1, 0)
+    miss = np.ascontiguousarray(missing, dtype=np.uint8)
+    if miss.shape[0] < nwin:
+        raise ValueError("missing mask too short")
+    nthin = -(-L // step)
+    out = np.empty((I, nthin), dtype=np.float64)
+    lib.gt_lod_windows_exact_thin(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        I, L, winsize, step, float(MISSING),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
 
 
 def lod_windows_exact_native(terms: np.ndarray, missing: np.ndarray,

@@ -1492,6 +1492,54 @@ void gt_lod_windows_exact_tbl(const int8_t *geno, const double *table,
   }
 }
 
+// Thinned exact rolling windows: the SAME sequential subtract/add
+// recurrence as gt_lod_windows_exact_tbl (the thinned Phase-II sample
+// values depend on the full rolling history), but only every step-th
+// window is WRITTEN — out is [I][ceil(L/step)] instead of [I][L], so a
+// 1000x1M exact sampling pass writes 1/step of the bytes and never
+// allocates the 512 MB per-chunk window matrices the thin-after-compute
+// route did (measured ~10 s of the auto-everything wall at that scale).
+void gt_lod_windows_exact_thin(const int8_t *geno, const double *table,
+                               const uint8_t *missing, int64_t I, int64_t L,
+                               int64_t W, int64_t step, double miss_val,
+                               double *out) {
+  int64_t nwin = L - W + 1;
+  int64_t nthin = (L + step - 1) / step;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t ind = 0; ind < I; ind++) {
+    const int8_t *g = geno + ind * L;
+    double *w = out + ind * nthin;
+    for (int64_t t = 0; t < nthin; t++) w[t] = miss_val;
+    if (nwin <= 0) continue;
+    auto term = [&](int64_t l) -> double {
+      int8_t v = g[l];
+      int row = v < 0 ? 3 : (int)v;
+      return table[(size_t)row * L + l];
+    };
+    int64_t l = 0;
+    bool have_acc = false;
+    double acc = 0.0;
+    while (l < nwin) {
+      if (missing[l]) {
+        have_acc = false;
+        l++;
+        continue;
+      }
+      if (!have_acc) {
+        acc = 0.0;
+        for (int64_t k = 0; k < W; k++) acc += term(l + k);
+        have_acc = true;
+      } else {
+        acc = (acc - term(l - 1)) + term(l + W - 1);
+      }
+      if (l % step == 0) w[l / step] = acc;
+      l++;
+    }
+  }
+}
+
 // In-place column compaction of an [I][row_stride] matrix (elem_size
 // bytes per element): keeps columns where keep[l] != 0, moving kept spans
 // left with memmove (kept columns are usually >99% contiguous runs, so

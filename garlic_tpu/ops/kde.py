@@ -131,6 +131,13 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
         block = _device_gauss_block()
         inv_h2 = np.float32(1.0 / (h * h))
         step = 1 << 20
+        # dispatch every block, then fetch: each [512] partial is tiny
+        # but a SYNCHRONOUS per-block fetch pays the tunneled link's
+        # ~30-80 ms completion-poll quantum 17x at WGS sample counts;
+        # async copies overlap the uploads/compute and the host-side
+        # f64 accumulation order (block order) is unchanged — bitwise
+        # identical y.
+        devs = []
         for s in range(0, n, step):
             blk = src[s:s + step]
             k = blk.shape[0]
@@ -142,7 +149,14 @@ def gauss_transform(sources: np.ndarray, targets: np.ndarray, h: float,
                 b = 1 << max(k - 1, 1).bit_length()
                 blk = np.concatenate(
                     [blk, np.full(b - k, 1e30, dtype=np.float32)])
-            out += np.asarray(block(blk, tgt, inv_h2), dtype=np.float64)
+            devs.append(block(blk, tgt, inv_h2))
+        for d in devs:
+            try:
+                d.copy_to_host_async()
+            except AttributeError:
+                pass
+        for d in devs:
+            out += np.asarray(d, dtype=np.float64)
         return out * q
     m = targets.shape[0]
     out = np.zeros(m, dtype=np.float64)
@@ -299,6 +313,115 @@ def compute_kde_wins(win_by_chr, step: int, ind_idx=None,
     return KDEResult(x=out[:512].copy(), y=out[512:1024].copy())
 
 
+_gauss_wins_jit = None
+
+
+def _gauss_wins_factory():
+    """Blocked f32 Gauss transform over a device-resident thinned sample
+    pool at CALLER-PROVIDED targets: the y half of compute_kde_hybrid
+    (grid scalars come from the host's exact samples).  Same f32 block
+    scheme + f64 accumulation as _kde_flat's transform stage."""
+    global _gauss_wins_jit
+    if _gauss_wins_jit is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("block",))
+        def _gw(flat, tgtf, inv_h2, block: int):
+            valid = (flat != jnp.float32(MISSING)) & ~jnp.isnan(flat)
+            src = jnp.where(valid, flat, jnp.float32(1e30))
+            src = src.reshape(-1, block)
+
+            def body(acc, blk):
+                d = blk[:, None] - tgtf[None, :]
+                return acc + jnp.sum(jnp.exp(-(d * d) * inv_h2),
+                                     axis=0).astype(jnp.float64), None
+
+            y, _ = jax.lax.scan(
+                body, jnp.zeros(tgtf.shape[0], jnp.float64), src)
+            return y
+
+        _gauss_wins_jit = _gw
+    return _gauss_wins_jit
+
+
+def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
+                       ind_idx=None, log=None) -> "KDEResult | None":
+    """computeKDE with the round-4 exactness/bandwidth split: bandwidth,
+    grid, and n come from the ORACLE-EXACT f64 host samples (the .kde x
+    column stays byte-identical to the oracle), while the y transform
+    sums over the DEVICE-RESIDENT thinned f32 windows — the ~tens-of-MB
+    exact-sample upload never crosses the tunneled link (measured 3-6 s
+    of the 1000x1M auto wall).  The f32 window values differ from the
+    exact samples by the Phase-I f32 error (~1e-6 relative), perturbing
+    y ~1e-6 relative — orders inside the oracle's own FIGTree
+    eps=1e-2 approximation AND its time-seeded run-to-run randomness
+    (BASELINE.md round 4).  Returns None when any chromosome's windows
+    are not device-resident (streaming/host paths) — callers fall back
+    to the exact-sample transform."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from .device_win import is_device_win, is_lazy_win
+
+    data = np.asarray(samples, dtype=np.float64)
+    n = data.shape[0]
+    if n == 0:
+        return None
+    parts = []
+    for w in win_by_chr:
+        if is_lazy_win(w):
+            # streaming: rematerialize ONE chromosome's windows, keep
+            # only the thinned pool (a strided slice copies into a new
+            # ~1/step-size buffer; the full matrix frees before the next
+            # chromosome materializes)
+            w = w.make()
+        if not is_device_win(w):
+            return None  # host rows: no resident pool to reuse
+        x = w.win
+        if ind_idx is not None:
+            x = x[jnp.asarray(np.asarray(ind_idx, dtype=np.int32))]
+        else:
+            x = x[:w.nind]
+        part = x[:, ::step].reshape(-1)
+        part.block_until_ready()  # the big matrix must free NOW
+        parts.append(part)
+    if not parts:
+        return None
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if log is not None:
+        log.log("KDE with", n, nl=False)
+        log.log(" points.")
+    CUT = 3.0
+    M = 512
+    h = nrd0(data)
+    mn = float(np.min(data))
+    mx = float(np.max(data))
+    mx += CUT * h
+    mn -= CUT * h
+    i = np.arange(1, M + 1, dtype=np.float64)
+    targets = (i / M) * (mx - mn) + mn
+    spacing = targets[1] - targets[0]
+    block = 1 << 18
+    N = int(flat.shape[0])
+    total = 1 << math.ceil(math.log2(max(N, block)))
+    if total > N:
+        flat = jnp.concatenate(
+            [flat, jnp.full(total - N, jnp.float32(MISSING))])
+    with jax.enable_x64(True):
+        y = np.asarray(_gauss_wins_factory()(
+            flat, jnp.asarray(targets.astype(np.float32)),
+            jnp.float32(1.0 / (h * h)), block), dtype=np.float64)
+    y = y / float(n)
+    s = float(np.sum(y))
+    y = y / (s * spacing)
+    return KDEResult(x=targets, y=y)
+
+
 def compute_kde(data: np.ndarray, log=None, device: bool = False,
                 mesh=None) -> KDEResult:
     """Full computeKDE (src/garlic-kde.cpp:14-103).
@@ -323,6 +446,11 @@ def compute_kde(data: np.ndarray, log=None, device: bool = False,
     i = np.arange(1, M + 1, dtype=np.float64)
     targets = (i / M) * (mx - mn) + mn
     spacing = targets[1] - targets[0]
+    import os as _os
+    if _os.environ.get("GT_KDE_DEBUG"):
+        import sys as _sys
+        print(f"[gt_kde] n={n} h={h.hex()} mn={mn.hex()} mx={mx.hex()}",
+              file=_sys.stderr)
     if mesh is not None:
         from ..parallel.engine import gauss_transform_sharded
         y = gauss_transform_sharded(data, targets, h, mesh) / float(n)

@@ -235,8 +235,9 @@ def allele_freq_counts_sharded(num, den, mesh):
               f"({type(e).__name__}); host allgather merge", file=sys.stderr)
         from jax.experimental import multihost_utils
         planes = np.stack([num, den], axis=0)[None]  # [1, 2, L]
-        allp = np.asarray(multihost_utils.process_allgather(planes,
-                                                            tiled=True))
+        with jax.enable_x64(True):  # allgather downcasts f64 otherwise
+            allp = np.asarray(multihost_utils.process_allgather(
+                planes, tiled=True))
         num_g = allp[:, 0, :].sum(axis=0)
         den_g = allp[:, 1, :].sum(axis=0)
         with np.errstate(invalid="ignore", divide="ignore"):

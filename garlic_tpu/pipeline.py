@@ -427,6 +427,13 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                     counts = rng.binomial(nresample,
                                           np.clip(c.freq, 0.0, 1.0))
                     c.freq = counts.astype(np.float64) / float(nresample)
+        if os.environ.get("GT_FREQ_DEBUG"):
+            import hashlib
+            for c in ds.chroms:
+                fh = hashlib.blake2b(np.ascontiguousarray(
+                    np.asarray(c.freq, dtype=np.float64)).tobytes(),
+                    digest_size=8).hexdigest()
+                print(f"[gt_freq] {c.chrom} {fh}", file=sys.stderr)
         if os.environ.get("GT_LOAD_STATS"):
             # test/benchmark hook: per-process loaded genotype bytes + peak
             # RSS so far (stderr only; never in .log)
@@ -530,13 +537,21 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
     st = PipelineState(log=log, args=args, engine=engine, rng=rng, mesh=mesh)
     if engine == "fast" and not weighted:
-        import jax
-        if jax.process_count() == 1:
-            # Phase II reads oracle-exact f64 rolling window samples (the
-            # device f32 scores would shift the nrd0 bandwidth and with it
-            # every .kde x value); assembly keeps the device matrices +
-            # tie patrol.  Weighted runs would need the full exact host
-            # LD rebuild — they keep the f32-sample KDE (documented).
+        # Phase II reads oracle-exact f64 rolling window samples (the
+        # device f32 scores would shift the nrd0 bandwidth and with it
+        # every .kde x value); assembly keeps the device matrices +
+        # tie patrol.  Weighted runs would need the full exact host
+        # LD rebuild — they keep the f32-sample KDE (documented).
+        # Multi-process: replicated-input runs compute the identical pool
+        # on every host; per-host column-range runs pool their own rows
+        # and allgather per chromosome in rank order, which IS the global
+        # row order (rank r holds rows [r*per, (r+1)*per)).
+        if any(c.nind_total is not None for c in ds.chroms):
+            st.exact_sampler = \
+                lambda wq, step, rows: _exact_thinned_samples_sharded(
+                    ds.chroms, centro, wq, error, max_gap, use_gl, step,
+                    rows)
+        else:
             st.exact_sampler = lambda wq, step, rows: _exact_thinned_samples(
                 ds.chroms, centro, wq, error, max_gap, use_gl, step, rows)
 
@@ -1119,17 +1134,84 @@ def _exact_thinned_samples(chroms, centro, winsize: int, error: float,
     page-fault for seconds under this VM)."""
     from .core.types import MISSING
     parts = []
+    thin_native = None
+    if not use_gl:
+        from .native import lod_windows_exact_thin_native
+        thin_native = lod_windows_exact_thin_native
     for c in chroms:
         r = np.arange(c.nind) if rows is None \
             else np.asarray(rows, dtype=np.int64)
+        table = miss8 = None
+        if thin_native is not None:
+            # thinned rolling kernel: identical recurrence, but the full
+            # [64, L] f64 window matrix per chunk never exists — at the
+            # 1000x1M scale the thin-after-compute route spent ~10 s in
+            # 512 MB allocations + discarded writes (measured)
+            from .ops.lod import window_missing_mask
+            table = lod_ops.lod_table(c.freq, error)
+            nwin = max(c.nloci - winsize + 1, 0)
+            miss8 = np.zeros(max(nwin, 1), dtype=np.uint8)
+            if nwin > 0:
+                miss8[:] = window_missing_mask(
+                    c.positions, winsize, max_gap, centro.start(c.chrom),
+                    centro.end(c.chrom)).astype(np.uint8)
         for s in range(0, r.size, 64):
             sub = _subset_chrom(c, r[s:s + 64])
-            w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
-                                         max_gap, use_gl, engine="exact")
-            flat = w[:, ::step].reshape(-1)
+            w = None
+            if thin_native is not None:
+                w = thin_native(sub.genotypes, table, miss8, winsize, step)
+            if w is None:
+                wf = lod_ops.calc_lod_windows(sub, centro, winsize, error,
+                                              max_gap, use_gl,
+                                              engine="exact")
+                w = wf[:, ::step]
+            flat = w.reshape(-1)
             m = (flat != MISSING) & ~np.isnan(flat)
             parts.append(flat[m])
     return np.concatenate(parts) if parts else np.zeros(0)
+
+
+def _exact_thinned_samples_sharded(chroms, centro, winsize: int,
+                                   error: float, max_gap: int, use_gl: bool,
+                                   step: int, rows) -> np.ndarray:
+    """_exact_thinned_samples for per-host column-range input: each host
+    pools the exact f64 thinned samples of the rows it owns, then the
+    per-chromosome pools concatenate across ranks — rank r holds global
+    rows [r*per, (r+1)*per), so rank-order concatenation reproduces the
+    reference's exact chrom-major/row-major pooling order (and with it
+    the GSL bandwidth recurrence inputs, byte-for-byte).  Sample pools
+    are variable-length per rank (MISSING filtering, tail rows), so the
+    gather pads to the allgathered max and re-slices."""
+    import jax
+    from jax.experimental import multihost_utils
+    out = []
+    for c in chroms:
+        r0, nown = c.row0, c.nind
+        if rows is None:
+            local_rows = None  # all locally-held rows, in order
+        else:
+            rr = np.asarray(rows, dtype=np.int64)
+            local_rows = rr[(rr >= r0) & (rr < r0 + nown)] - r0
+        part = _exact_thinned_samples([c], centro, winsize, error,
+                                      max_gap, use_gl, step, local_rows)
+        # x64 REQUIRED: without it process_allgather silently downcasts
+        # the f64 samples to f32 (and int64 counts to int32), shifting
+        # nrd0/the .kde grid in the 7th digit (measured)
+        with jax.enable_x64(True):
+            n = np.array([part.shape[0]], dtype=np.int64)
+            ns = np.asarray(multihost_utils.process_allgather(
+                n[None], tiled=True))[:, 0]
+            cap = int(ns.max())
+            if cap == 0:
+                continue
+            pad = np.zeros(cap, dtype=np.float64)
+            pad[:part.shape[0]] = part
+            allp = np.asarray(multihost_utils.process_allgather(
+                pad[None], tiled=True))
+        assert allp.dtype == np.float64
+        for r in range(allp.shape[0]):
+            out.append(allp[r, :int(ns[r])])
+    return np.concatenate(out) if out else np.zeros(0)
 
 
 def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
@@ -1146,6 +1228,19 @@ def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
     if exact is not None and st.exact_sampler is not None:
         wq, rows = exact
         samples = st.exact_sampler(wq, step, rows)
+        if (st.engine == "fast" and st.mesh is None
+                and samples.size >= 4_000_000):
+            # WGS-scale pools: uploading the exact samples for the
+            # transform costs seconds on the tunneled link — reuse the
+            # device-resident thinned windows for y, keep the exact
+            # host samples for bandwidth/grid (compute_kde_hybrid)
+            # NOTE: subset by _compute_kde_for's ind_idx (the selector in
+            # the windows' OWN row space) — `rows` indexes the full panel
+            # and the winsize-search paths pass windows already subset
+            kr = kde_ops.compute_kde_hybrid(samples, win_by_chr, step,
+                                            ind_idx=ind_idx, log=log)
+            if kr is not None:
+                return kr
         return kde_ops.compute_kde(samples, log,
                                    device=(st.engine == "fast"),
                                    mesh=st.mesh)

@@ -312,3 +312,33 @@ def test_two_process_fast_equals_exact(tmp_path):
     ex = read_text(os.path.join(wd, "ex.roh.bed"))
     assert read_text(os.path.join(wd, "multi.roh.bed")) == ex
     assert read_text(os.path.join(wd, "multi.proc1.roh.bed")) == ex
+
+
+@pytest.mark.slow
+def test_two_process_sharded_exact_kde_grid(tmp_path):
+    """Round 4: the oracle-exact Phase-II sampler works across processes
+    — per-host column-range runs pool each host's exact f64 thinned
+    samples and allgather per chromosome in rank order (== the global
+    row order), so the multi-process .kde x grid is byte-identical to
+    the single-process run's (and hence to the oracle's)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(6000,), seed=29)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+
+    _run_single_subproc(wd, base + ["--out", "single"])
+    outs = _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"])
+    for pid, (_, se) in enumerate(outs):
+        assert f"sharded input: process {pid}" in se
+    kde_s = read_text(os.path.join(wd, "single.40SNPs.kde"))
+    kde_m = read_text(os.path.join(wd, "multi.40SNPs.kde"))
+    xs = [l.split()[0] for l in kde_s.splitlines() if l.strip()]
+    xm = [l.split()[0] for l in kde_m.splitlines() if l.strip()]
+    assert xs == xm  # y may differ at 1 ulp (psum'd transform ordering)
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == \
+        read_text(os.path.join(wd, "single.roh.bed"))

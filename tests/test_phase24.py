@@ -192,3 +192,43 @@ def test_gmm_collapse_raises():
     x = np.full(50, 1000.0)  # degenerate: zero variance
     with pytest.raises(Exception):
         gmm_ops.select_size_classes(x, 3)
+
+
+def test_compute_kde_hybrid_matches_exact_grid():
+    """compute_kde_hybrid (round 4): bandwidth/grid from the exact f64
+    host samples (x bitwise equal to compute_kde on the same pool), y
+    from the device-resident f32 thinned windows (equal to the exact
+    transform within the Phase-I f32 error class)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from garlic_tpu.centromeres import Centromere
+    from garlic_tpu.logger import RunLog
+    from garlic_tpu.ops import device_win
+    from garlic_tpu.core.types import ChromData
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from util import make_panel
+
+    panel = make_panel(nind=16, nloci_per_chr=(3000,), seed=13)
+    centro = Centromere("hg18", "__none", "__none", RunLog())
+    chroms = []
+    g = panel.genotypes[0]
+    freq = panel.freq[0]
+    chroms.append(ChromData(
+        chrom="chr1", positions=panel.positions[0],
+        gpos=panel.positions[0] * 1e-6, locus_names=None,
+        alleles=np.array(["A"] * g.shape[1]), genotypes=g,
+        freq=freq))
+    W, err, gap = 30, 0.001, 1000000
+    from garlic_tpu.pipeline import _exact_thinned_samples
+    samples = _exact_thinned_samples(chroms, centro, W, err, gap, False,
+                                     W, None)
+    dws = [device_win.lod_windows_device(c, centro, W, err, gap, False)
+           for c in chroms]
+    kr_h = kde_ops.compute_kde_hybrid(samples, dws, W)
+    kr_e = kde_ops.compute_kde(samples, device=False)
+    assert kr_h is not None
+    assert np.array_equal(kr_h.x, kr_e.x)      # grid: bitwise exact
+    assert np.allclose(kr_h.y, kr_e.y, rtol=5e-4, atol=1e-12)
