@@ -879,10 +879,28 @@ def _tie_band(chroms, winsize: int, error: float, use_gl: bool) -> float:
     return 256.0 * eps * winsize * tmax
 
 
+_corner_tmax_cache = {}
+
+
 def _corner_tmax(c, error: float, use_gl: bool) -> float:
     """max |per-locus LOD term| bound for one chromosome by corner
     evaluation (see _tie_band: terms are monotone in p, extremes at
-    (min/max freq) x (min/max error))."""
+    (min/max freq) x (min/max error)).  Memoized per freq array (the
+    patrol evaluates it once in _tie_band and again per chromosome's
+    window verification; the [L] min/max scans cost ~10 ms each at WGS
+    scale)."""
+    key = (id(c.freq), float(error), bool(use_gl))
+    hit = _corner_tmax_cache.get(key)
+    if hit is not None and hit[0] is c.freq:
+        return hit[1]
+    tmax = _corner_tmax_compute(c, error, use_gl)
+    if len(_corner_tmax_cache) >= 8:
+        _corner_tmax_cache.pop(next(iter(_corner_tmax_cache)))
+    _corner_tmax_cache[key] = (c.freq, tmax)
+    return tmax
+
+
+def _corner_tmax_compute(c, error: float, use_gl: bool) -> float:
     tmax = 1.0
     f = np.asarray(c.freq, dtype=np.float64)
     live = (f > 0) & (f < 1)
