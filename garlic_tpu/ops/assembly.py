@@ -28,14 +28,17 @@ import numpy as np
 
 from .lod import in_gap, pair_breaks
 
-_ASM_TIMING = os.environ.get("GT_ASM_TIMING") is not None
+def _asm_timing() -> bool:
+    # read per call (not at import), matching GT_PARSE_TIMING /
+    # GT_SHIP_TIMING: toggling between in-process runs must work
+    return os.environ.get("GT_ASM_TIMING") is not None
 
 
 def _tmark(label: str, t0: float) -> float:
     """GT_ASM_TIMING=1 stderr stage timings (same convention as
     GT_PARSE_TIMING / GT_SHIP_TIMING)."""
     t1 = time.perf_counter()
-    if _ASM_TIMING:
+    if _asm_timing():
         import sys
         print(f"[gt_asm] {label}: {(t1 - t0) * 1e3:.1f} ms",
               file=sys.stderr)
@@ -203,7 +206,7 @@ def _repair_rows(packed: np.ndarray, sus, susw, chrom, exact_cover,
             rows = np.unique(si[flip])
         else:
             rows = si
-        if _ASM_TIMING:
+        if _asm_timing():
             import sys
             print(f"[gt_asm] c{ci} suspects={si.size} "
                   f"flip-rows={rows.size}", file=sys.stderr)

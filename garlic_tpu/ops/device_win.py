@@ -229,6 +229,10 @@ def _covered_kernel_factory():
         # integer exactness for winsize > 256).
         # bf16 counts are exact integers <= 256 (see _cov_kernel_factory)
         cdt = jnp.bfloat16 if winsize <= 255 else jnp.float32
+        # integer counts: >= t is >= ceil(t); ceil BEFORE the bf16 cast
+        # (bf16 could round a fractional t DOWN onto an integer).
+        # covered_dispatch already ceils — this keeps direct callers safe.
+        threshold = jnp.ceil(threshold)
         above = (win >= cutoff).astype(cdt)
         sus = jnp.any(jnp.abs(win - cutoff) < delta, axis=1)  # tie patrol
         I, N = above.shape
@@ -318,6 +322,9 @@ def _cov_kernel_factory():
         # of the O(log W) shifted-add passes, which dominate this kernel
         # at WGS scale.  Large winsizes keep f32.
         cdt = jnp.bfloat16 if winsize <= 255 else jnp.float32
+        # integer counts: >= t is >= ceil(t); ceil BEFORE the bf16 cast
+        # (covered_dispatch already ceils — this keeps direct callers safe)
+        threshold = jnp.ceil(threshold)
         abf = above.astype(cdt)
         I, N = abf.shape
         z = jnp.zeros((I, winsize - 1), cdt)

@@ -128,7 +128,12 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
     w0 = np.full(k, 1.0 / k)
     mu0 = np.array([mean * (n + 1) / (k + 1) for n in range(k)])
     var0 = np.array([var * (n + 1) / k for n in range(k)])
-    if mesh is None and device:
+    # Size-gated: the device EM's jnp reductions agree with the host
+    # EM's numpy pairwise sums only to ~1e-13 relative, and the exact
+    # engine always uses the host EM — below the gate the fast engine
+    # keeps the bit-identical host path (every test/fuzz panel), above
+    # it the ulp-class trade buys back ~1.6 s at 28k ROH (BASELINE.md).
+    if mesh is None and device and lengths.shape[0] >= 16384:
         try:
             mesh = _device_mesh_1x1()
         except Exception:

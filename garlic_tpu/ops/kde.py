@@ -347,6 +347,31 @@ def _gauss_wins_factory():
     return _gauss_wins_jit
 
 
+
+def _kde_grid(data: np.ndarray):
+    """Bandwidth + 512-point target grid from the pooled samples —
+    shared by compute_kde and compute_kde_hybrid so the .kde x column
+    (a compared artifact, byte-identical to the oracle's) cannot drift
+    between the two paths.  Exact computeKDE operation order
+    (src/garlic-kde.cpp:24-43)."""
+    CUT = 3.0
+    M = 512
+    h = nrd0(data)
+    mn = float(np.min(data))
+    mx = float(np.max(data))
+    mx += CUT * h
+    mn -= CUT * h
+    i = np.arange(1, M + 1, dtype=np.float64)
+    targets = (i / M) * (mx - mn) + mn
+    spacing = targets[1] - targets[0]
+    import os as _os
+    if _os.environ.get("GT_KDE_DEBUG"):
+        import sys as _sys
+        print(f"[gt_kde] n={data.shape[0]} h={h.hex()} mn={mn.hex()} "
+              f"mx={mx.hex()}", file=_sys.stderr)
+    return h, targets, spacing
+
+
 def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
                        ind_idx=None, log=None) -> "KDEResult | None":
     """computeKDE with the round-4 exactness/bandwidth split: bandwidth,
@@ -396,16 +421,7 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
     if log is not None:
         log.log("KDE with", n, nl=False)
         log.log(" points.")
-    CUT = 3.0
-    M = 512
-    h = nrd0(data)
-    mn = float(np.min(data))
-    mx = float(np.max(data))
-    mx += CUT * h
-    mn -= CUT * h
-    i = np.arange(1, M + 1, dtype=np.float64)
-    targets = (i / M) * (mx - mn) + mn
-    spacing = targets[1] - targets[0]
+    h, targets, spacing = _kde_grid(data)
     block = 1 << 18
     N = int(flat.shape[0])
     total = 1 << math.ceil(math.log2(max(N, block)))
@@ -436,21 +452,7 @@ def compute_kde(data: np.ndarray, log=None, device: bool = False,
     if log is not None:
         log.log("KDE with", n, nl=False)
         log.log(" points.")
-    CUT = 3.0
-    M = 512
-    h = nrd0(data)
-    mn = float(np.min(data))
-    mx = float(np.max(data))
-    mx += CUT * h
-    mn -= CUT * h
-    i = np.arange(1, M + 1, dtype=np.float64)
-    targets = (i / M) * (mx - mn) + mn
-    spacing = targets[1] - targets[0]
-    import os as _os
-    if _os.environ.get("GT_KDE_DEBUG"):
-        import sys as _sys
-        print(f"[gt_kde] n={n} h={h.hex()} mn={mn.hex()} mx={mx.hex()}",
-              file=_sys.stderr)
+    h, targets, spacing = _kde_grid(data)
     if mesh is not None:
         from ..parallel.engine import gauss_transform_sharded
         y = gauss_transform_sharded(data, targets, h, mesh) / float(n)

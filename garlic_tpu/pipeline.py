@@ -387,10 +387,14 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         if dp_layout_aligned(mesh):
             from .parallel.mesh import AXIS_DP
             nind_file = tped.peek_nind(tpedfile)
-            if nind_file > 0:
-                n_dp = mesh.shape[AXIS_DP]
-                I2 = -(-nind_file // n_dp) * n_dp
-                per = I2 // _nproc
+            n_dp = mesh.shape[AXIS_DP]
+            I2 = -(-max(nind_file, 1) // n_dp) * n_dp
+            per = I2 // _nproc
+            # per >= nind would hand process 0 the FULL panel (the parser
+            # then demotes it to single-process semantics while later
+            # ranks keep sharded state — asymmetric collectives hang);
+            # such tiny panels gain nothing from sharding anyway
+            if nind_file > 0 and per < nind_file:
                 c0 = min(_pidx * per, nind_file)
                 col_range = (c0, min(c0 + per, nind_file))
                 print(f"[garlic-tpu] sharded input: process {_pidx} "
@@ -412,12 +416,36 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             # Production freq collective: psum the per-host partial count
             # planes into the global freq (bit-identical to the
             # reference's nalleles/total — integer counts, one division).
-            # Warm panel-cache loads already carry the stored global freq.
+            # Warm panel-cache loads already carry the stored global
+            # freq.  The path choice must be CLUSTER-WIDE: on multi-host
+            # disks one host can hit its sidecar (global freq, no count
+            # planes) while another cold-parses (count planes) — gating
+            # each host on its local state would leave them in different
+            # collectives and hang.  Tiny flag allgather first; mixed
+            # states take the lowest cached rank's global planes.
+            import jax
+            from jax.experimental import multihost_utils
             from .parallel.engine import allele_freq_counts_sharded
-            for c in ds.chroms:
-                if c.freq_num is not None:
+            have_counts = all(c.freq_num is not None for c in ds.chroms)
+            if _nproc > 1:
+                flags = np.asarray(multihost_utils.process_allgather(
+                    np.array([[1 if have_counts else 0]], dtype=np.int32),
+                    tiled=True))[:, 0]
+            else:
+                flags = np.array([1 if have_counts else 0])
+            if flags.all():
+                for c in ds.chroms:
                     c.freq = allele_freq_counts_sharded(c.freq_num,
                                                         c.freq_den, mesh)
+                    c.freq_num = c.freq_den = None
+            else:
+                src = int(np.flatnonzero(flags == 0)[0])
+                for c in ds.chroms:
+                    plane = np.zeros(c.nloci, dtype=np.float64)                         if have_counts                         else np.asarray(c.freq, dtype=np.float64)
+                    with jax.enable_x64(True):
+                        allp = np.asarray(multihost_utils.process_allgather(
+                            plane[None], tiled=True))
+                    c.freq = allp[src]
                     c.freq_num = c.freq_den = None
             if nresample > 0:
                 for c in ds.chroms:
@@ -545,8 +573,11 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         # Multi-process: replicated-input runs compute the identical pool
         # on every host; per-host column-range runs pool their own rows
         # and allgather per chromosome in rank order, which IS the global
-        # row order (rank r holds rows [r*per, (r+1)*per)).
-        if any(c.nind_total is not None for c in ds.chroms):
+        # row order (rank r holds rows [r*per, (r+1)*per)).  The flag is
+        # derived from col_range (set identically on every process BEFORE
+        # the parse), never from per-process chromosome state — every
+        # rank must take the same collective path.
+        if col_range is not None:
             st.exact_sampler = \
                 lambda wq, step, rows: _exact_thinned_samples_sharded(
                     ds.chroms, centro, wq, error, max_gap, use_gl, step,
@@ -669,7 +700,9 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # the rows it owns and the results merge with a rank-ordered
     # allgather (suspect sets are tiny).
     tie_delta, exact_cover, exact_window = 0.0, None, None
-    sharded_rows = any(c.nind_total is not None for c in ds.chroms)
+    # cluster-consistent by construction: col_range is computed from the
+    # mesh/args identically on every process before the parse
+    sharded_rows = col_range is not None
     if st.engine == "fast" and not weighted:
         tie_delta = _tie_band(ds.chroms, winsize, error, use_gl)
 
@@ -1095,14 +1128,37 @@ def _owned_row_patrol(ds: Dataset, cover_local, window_local):
         return allp.any(axis=0)
 
     def exact_cover(ci, rows):
+        # Gather only each host's OWNED rows, bit-packed: a full [k, L]
+        # bool allgather would ship p*k*L bytes (multi-GB when a bitmap
+        # fallback routes thousands of flagged rows here); owned slices
+        # ship p*max_owned*L/8 — ~8p x less on balanced suspect sets.
         c = ds.chroms[ci]
         r0, nown = c.row0, c.nind
+        L = c.nloci
+        rb = (L + 7) // 8
         rows = np.asarray(rows, dtype=np.int64)
         owned = (rows >= r0) & (rows < r0 + nown)
-        out = np.zeros((rows.size, c.nloci), dtype=bool)
-        if owned.any():
-            out[owned] = cover_local(ci, rows[owned] - r0)
-        return _merge(out)
+        kown = int(owned.sum())
+        cov_own = np.zeros((kown, rb), dtype=np.uint8)
+        if kown:
+            cov_own = np.packbits(cover_local(ci, rows[owned] - r0),
+                                  axis=1, bitorder="little")
+        n = np.array([[kown]], dtype=np.int32)
+        ns = np.asarray(multihost_utils.process_allgather(
+            n, tiled=True))[:, 0]
+        kmax = max(int(ns.max()), 1)
+        pad = np.zeros((1, kmax, rb), dtype=np.uint8)
+        pad[0, :kown] = cov_own
+        allp = np.asarray(multihost_utils.process_allgather(pad,
+                                                            tiled=True))
+        om = np.asarray(multihost_utils.process_allgather(
+            owned[None].astype(np.uint8), tiled=True)).astype(bool)
+        out_p = np.zeros((rows.size, rb), dtype=np.uint8)
+        for r in range(allp.shape[0]):
+            idx = np.flatnonzero(om[r])
+            out_p[idx] = allp[r, :idx.size]
+        return np.unpackbits(out_p, axis=1,
+                             bitorder="little")[:, :L].astype(bool)
 
     def exact_window(ci, rows, wins, sides):
         c = ds.chroms[ci]

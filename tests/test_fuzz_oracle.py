@@ -54,6 +54,14 @@ verified as the oracle's own randomness (BASELINE.md round 4: FIGTree
 k-center clustering is time(NULL)-seeded inside the oracle binary).
 Variants 168:200, ties 72:80, weighted ties 60:66, streaming 22:28,
 mesh 16:20 — 56/56 green.  Zero unexplained divergences.
+
+Round-4 final-HEAD campaign (2026-08-20, after: per-host sharded input +
+freq psum, tie patrol on every engine config, scalar-core-free edge
+compaction + bf16 counts, batched tie repair, thinned exact Phase-II
+kernel, hybrid KDE, device GMM): plain 700:800, variants 200:224, ties
+80:96, weighted ties 66:74, mesh 20:26, mesh-weighted ties 3:9 (new
+class), streaming 28:34, mesh-streaming 2:6 (new class) — 170/170
+green, zero unexplained divergences.
 """
 
 from __future__ import annotations

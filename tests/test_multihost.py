@@ -33,8 +33,10 @@ def _free_port() -> int:
     return port
 
 
-def _run_pair(wd: str, args, timeout=600, extra_env=None):
-    """Launch the same garlic-tpu command as a 2-process cluster."""
+def _run_pair(wd: str, args, timeout=600, extra_env=None, cwds=None):
+    """Launch the same garlic-tpu command as a 2-process cluster.
+    cwds: optional per-process working directories (defaults to wd for
+    both — per-host-disk scenarios pass two)."""
     port = _free_port()
     driver = os.path.join(wd, "driver.py")
     with open(driver, "w") as f:
@@ -51,7 +53,8 @@ def _run_pair(wd: str, args, timeout=600, extra_env=None):
         if extra_env:
             env.update(extra_env)
         procs.append(subprocess.Popen(
-            [sys.executable, driver] + args, cwd=wd, env=env,
+            [sys.executable, driver] + args,
+            cwd=wd if cwds is None else cwds[pid], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (so, se) in zip(procs, outs):
@@ -342,3 +345,42 @@ def test_two_process_sharded_exact_kde_grid(tmp_path):
     assert xs == xm  # y may differ at 1 ulp (psum'd transform ordering)
     assert read_text(os.path.join(wd, "multi.roh.bed")) == \
         read_text(os.path.join(wd, "single.roh.bed"))
+
+
+@pytest.mark.slow
+def test_two_process_mixed_panel_cache(tmp_path):
+    """Per-host disks can disagree on sidecar state: host A loads a warm
+    .gtpc (global freq, no count planes) while host B cold-parses its
+    column range (partial count planes).  The freq-path decision must be
+    CLUSTER-WIDE (a per-host gate would strand the hosts in different
+    collectives and hang): the tiny flag allgather routes both to the
+    cached rank's global planes, and outputs stay byte-identical."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(3000,), seed=47,
+                       missing_rate=0.05)
+    wds = []
+    for pid in range(2):
+        wd = tmp_path / f"host{pid}"
+        wd.mkdir()
+        write_tped(panel, str(wd / "p.tped"), str(wd / "p.tfam"))
+        wds.append(str(wd))
+    base = ["--tped", "p.tped", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.5", "--size-bounds", "300000", "800000",
+            "--tpu-engine", "fast", "--tpu-panel-cache"]
+
+    # prime the sidecar on host 0 ONLY (plus the reference BED)
+    _run_single_subproc(wds[0], base + ["--out", "single"])
+    assert os.path.exists(os.path.join(wds[0], "p.tped.gtpc"))
+    assert not os.path.exists(os.path.join(wds[1], "p.tped.gtpc"))
+
+    outs = _run_pair(str(tmp_path), base + ["--tpu-mesh", "4x2",
+                                            "--out", "multi"],
+                     cwds=wds)
+    assert "Loaded panel cache" in outs[0][1]
+    assert "Loaded panel cache" not in outs[1][1]
+    single = read_text(os.path.join(wds[0], "single.roh.bed"))
+    assert read_text(os.path.join(wds[0], "multi.roh.bed")) == single
+    assert read_text(os.path.join(wds[1], "multi.proc1.roh.bed")) == single
