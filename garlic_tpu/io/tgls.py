@@ -67,7 +67,8 @@ def _bad_shape(log, got: int, expected_ind: int):
 
 
 def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
-              gl_type: str, log=None, panel_cache: bool = False) -> None:
+              gl_type: str, log=None, panel_cache: bool = False,
+              col_range=None) -> None:
     """Attach per-genotype error data [I, L] to each ChromData in place.
 
     Prefers the native reader (chunked gz + parallel tokenize): GQ/PL-
@@ -80,7 +81,14 @@ def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
     With panel_cache=True (--tpu-panel-cache) the parse result also
     round-trips through a `<tgls>.gtlc` sidecar holding the RAW values
     (pre --gl-type conversion, so one sidecar serves any type): warm
-    runs mmap it instead of re-inflating and re-tokenizing the file."""
+    runs mmap it instead of re-inflating and re-tokenizing the file.
+
+    col_range=(c0, c1): per-host sharded input — only that individual
+    row slice attaches to the chromosomes (which hold the same local
+    rows).  Warm .gtlc loads stay zero-copy row views (host RAM scales
+    1/num_hosts); a cold parse still tokenizes the full file (each
+    host must scan every line anyway) and slices afterward, so only
+    its steady-state memory shrinks."""
     from ..native import parse_tgls_native
     row_counts = [c.nloci for c in chroms]
     r = None
@@ -94,14 +102,27 @@ def read_tgls(filename: str, chroms: List[ChromData], expected_ind: int,
         except Exception:
             r = None
     if r is None:
-        return _read_tgls_python(filename, chroms, expected_ind, gl_type,
-                                 log)
+        _read_tgls_python(filename, chroms, expected_ind, gl_type, log)
+        if col_range is not None:
+            c0 = max(min(int(col_range[0]), expected_ind), 0)
+            c1 = max(min(int(col_range[1]), expected_ind), c0)
+            for c in chroms:
+                if c._gl is not None:
+                    c._gl = c._gl[c0:c1]
+        return
     if "bad_cols" in r:
         _bad_shape(log, int(r["bad_cols"]), expected_ind)
     if panel_cache and fresh:
+        # save the FULL matrices before any row slicing: the sidecar is
+        # a whole-panel artifact shared by every host/run shape
         from .panelcache import save_tgls_cache
         save_tgls_cache(filename, expected_ind, row_counts, r["mode"],
                         r.get("lut"), r["chroms"])
+    if col_range is not None:
+        c0 = max(min(int(col_range[0]), expected_ind), 0)
+        c1 = max(min(int(col_range[1]), expected_ind), c0)
+        r = dict(r)
+        r["chroms"] = [m[c0:c1] for m in r["chroms"]]
     if r["mode"] == "codes":
         # equal tokens parse to equal doubles, so converting the lut is
         # bit-identical to converting every matrix element

@@ -381,7 +381,7 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # subset individuals host-side keep the replicated full parse.
     col_range = None
     if (_nproc > 1 and engine == "fast" and mesh is not None
-            and not weighted and not cm and tglsfile == cli.DEFAULT_TGLS
+            and not weighted and not cm
             and not auto_winsize and not winsize_explore):
         from .parallel.multihost import dp_layout_aligned
         if dp_layout_aligned(mesh):
@@ -487,7 +487,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
         if tglsfile != cli.DEFAULT_TGLS:
             tgls.read_tgls(tglsfile, ds.chroms, num_ind, gl_type, log,
-                           panel_cache=bool(args[cli.ARG_PANEL_CACHE]))
+                           panel_cache=bool(args[cli.ARG_PANEL_CACHE]),
+                           col_range=col_range)
             use_gl = True
 
         scaffolds = None

@@ -165,9 +165,10 @@ def test_two_process_auto_cutoff_and_bounds(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_tgls(tmp_path):
-    """TGLS across two processes: each host reads the full TGLS file but
-    feeds only its own dp-row block; the sharded GL Phase I reproduces
-    the single-process BED (the native dictionary reader feeds both)."""
+    """TGLS across two processes WITH per-host column-range input
+    (round 4): each host stores only its own genotype rows AND its own
+    likelihood rows (the reader slices the parsed/mmapped matrices);
+    the sharded GL Phase I reproduces the single-process BED."""
     sys.path.insert(0, os.path.dirname(__file__))
     from util import make_panel, run_ours, write_tgls, write_tped
 
@@ -182,7 +183,8 @@ def test_two_process_tgls(tmp_path):
             "--tpu-engine", "fast"]
 
     assert run_ours(wd, base + ["--out", "single"]) == 0
-    _run_pair(wd, base + ["--tpu-mesh", "2x4", "--out", "multi"])
+    outs = _run_pair(wd, base + ["--tpu-mesh", "2x4", "--out", "multi"])
+    assert "sharded input: process 0" in outs[0][1]  # TGLS shards too
     single = open(os.path.join(wd, "single.roh.bed")).read()
     multi0 = open(os.path.join(wd, "multi.roh.bed")).read()
     assert multi0 == single
