@@ -61,7 +61,12 @@ compaction + bf16 counts, batched tie repair, thinned exact Phase-II
 kernel, hybrid KDE, device GMM): plain 700:800, variants 200:224, ties
 80:96, weighted ties 66:74, mesh 20:26, mesh-weighted ties 3:9 (new
 class), streaming 28:34, mesh-streaming 2:6 (new class) — 170/170
-green, zero unexplained divergences.
+green, zero unexplained divergences.  Extension after the review-fix
+batch (cluster-wide freq gating, degenerate-split guard, in-kernel
+threshold ceil, GMM size gate, TGLS sharding): plain 800:950, variants
+224:256, ties 96:112, weighted ties 74:82, mesh-weighted 9:15, mesh
+26:32, streaming 34:40, mesh-streaming 6:10 — 228/228 green.  Round-4
+total: 306 + 170 + 228 = 704 cases, zero unexplained divergences.
 """
 
 from __future__ import annotations

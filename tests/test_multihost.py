@@ -386,3 +386,31 @@ def test_two_process_mixed_panel_cache(tmp_path):
     single = read_text(os.path.join(wds[0], "single.roh.bed"))
     assert read_text(os.path.join(wds[0], "multi.roh.bed")) == single
     assert read_text(os.path.join(wds[1], "multi.proc1.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_two_process_tiny_panel_no_shard(tmp_path):
+    """Degenerate column splits must NOT engage sharded input: with
+    nind <= I2/nproc process 0's range would cover the whole panel and
+    the parser would demote only it to single-process semantics while
+    rank 1 kept sharded state — asymmetric collectives (hang).  The
+    guard falls back to replicated loading; the run must still complete
+    with identical BEDs."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_tped
+
+    panel = make_panel(nind=2, nloci_per_chr=(2000,), seed=17)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "30", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.0", "--size-bounds", "300000", "800000",
+            "--tpu-engine", "fast"]
+
+    _run_single_subproc(wd, base + ["--out", "single"])
+    outs = _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"],
+                     timeout=240)
+    for _, se in outs:
+        assert "sharded input" not in se  # guard refused the degenerate split
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
