@@ -131,9 +131,11 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
     # Size-gated: the device EM's jnp reductions agree with the host
     # EM's numpy pairwise sums only to ~1e-13 relative, and the exact
     # engine always uses the host EM — below the gate the fast engine
-    # keeps the bit-identical host path (every test/fuzz panel), above
-    # it the ulp-class trade buys back ~1.6 s at 28k ROH (BASELINE.md).
-    if mesh is None and device and lengths.shape[0] >= 16384:
+    # keeps the bit-identical host path (test/fuzz panels produce at
+    # most a few hundred ROH), above it the ulp-class trade buys back
+    # ~1.6 s at 28k ROH and ~0.25 s at the 22-chrom WGS flagship's 5.4k
+    # (BASELINE.md).
+    if mesh is None and device and lengths.shape[0] >= 4096:
         try:
             mesh = _device_mesh_1x1()
         except Exception:

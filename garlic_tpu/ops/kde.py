@@ -399,7 +399,8 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
         return None
     parts = []
     for w in win_by_chr:
-        if is_lazy_win(w):
+        lazy = is_lazy_win(w)
+        if lazy:
             # streaming: rematerialize ONE chromosome's windows, keep
             # only the thinned pool (a strided slice copies into a new
             # ~1/step-size buffer; the full matrix frees before the next
@@ -413,7 +414,11 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
         else:
             x = x[:w.nind]
         part = x[:, ::step].reshape(-1)
-        part.block_until_ready()  # the big matrix must free NOW
+        if lazy:
+            # the big rematerialized matrix must free before the next
+            # chromosome's materializes; resident windows never block
+            # (a sync per chromosome costs a 30-80 ms link quantum each)
+            part.block_until_ready()
         parts.append(part)
     if not parts:
         return None

@@ -1304,7 +1304,7 @@ def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
         wq, rows = exact
         samples = st.exact_sampler(wq, step, rows)
         if (st.engine == "fast" and st.mesh is None
-                and samples.size >= 4_000_000):
+                and samples.size >= 2_000_000):
             # WGS-scale pools: uploading the exact samples for the
             # transform costs seconds on the tunneled link — reuse the
             # device-resident thinned windows for y, keep the exact
