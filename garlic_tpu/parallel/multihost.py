@@ -16,13 +16,18 @@ Typical launch (one process per host):
 On Cloud TPU VMs the three env vars can be omitted —
 `jax.distributed.initialize()` autodetects the slice topology.
 
-Host-sharded input: on eligible runs (fast engine + mesh, unweighted) the
-pipeline computes this host's genotype column range before the parse and
-each process loads ONLY its own dp-row block (native column-range parser /
-.gtpc row slices) — host RAM scales 1/num_hosts and the global allele
-freqs come from allele_freq_counts_sharded's psum.  Other configurations
-hold the full panel per process; `host_individual_range` computes the
-contiguous dp slice either way.
+Host-sharded input: on eligible runs (fast engine + mesh, unweighted —
+TGLS included) the pipeline computes this host's genotype column range
+before the parse and each process loads ONLY its own dp-row block
+(native column-range parser / .gtpc/.gtlc row slices) — host RAM scales
+1/num_hosts and the global allele freqs come from
+allele_freq_counts_sharded's psum.  Weighted runs DELIBERATELY keep the
+replicated full parse: their tie patrol re-derives suspect windows
+against the exact full-panel LD band host-side, which per-host rows
+cannot provide without heavy pair-count gathers — compute still shards
+over the mesh (ld_band_sharded psums the pair counts), only host RAM
+stays O(panel).  `host_individual_range` computes the contiguous dp
+slice either way.
 """
 
 from __future__ import annotations
