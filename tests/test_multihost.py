@@ -33,21 +33,22 @@ def _free_port() -> int:
     return port
 
 
-def _run_pair(wd: str, args, timeout=600, extra_env=None, cwds=None):
-    """Launch the same garlic-tpu command as a 2-process cluster.
+def _run_cluster(wd: str, args, nproc: int, timeout=600, extra_env=None,
+                 cwds=None):
+    """Launch the same garlic-tpu command as an nproc-process cluster.
     cwds: optional per-process working directories (defaults to wd for
-    both — per-host-disk scenarios pass two)."""
+    all — per-host-disk scenarios pass one per process)."""
     port = _free_port()
     driver = os.path.join(wd, "driver.py")
     with open(driver, "w") as f:
         f.write(DRIVER.format(repo=REPO))
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         env.update({
             "GARLIC_TPU_COORD": f"localhost:{port}",
-            "GARLIC_TPU_NUM_PROCS": "2",
+            "GARLIC_TPU_NUM_PROCS": str(nproc),
             "GARLIC_TPU_PROC_ID": str(pid),
         })
         if extra_env:
@@ -60,6 +61,11 @@ def _run_pair(wd: str, args, timeout=600, extra_env=None, cwds=None):
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"proc exited {p.returncode}:\n{se[-2000:]}"
     return outs
+
+
+def _run_pair(wd: str, args, timeout=600, extra_env=None, cwds=None):
+    return _run_cluster(wd, args, 2, timeout=timeout, extra_env=extra_env,
+                        cwds=cwds)
 
 
 def _run_single_subproc(wd: str, args, extra_env=None, timeout=600):
@@ -414,3 +420,37 @@ def test_two_process_tiny_panel_no_shard(tmp_path):
         assert "sharded input" not in se  # guard refused the degenerate split
     single = read_text(os.path.join(wd, "single.roh.bed"))
     assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_three_process_sharded_exact_kde(tmp_path):
+    """Three cooperating processes (asymmetric tail shard: 25 individuals
+    over per=9/9/7 blocks): rank-ordering bugs in the sharded collectives
+    (freq count psum, owned-row patrol gathers, the per-chromosome exact
+    sample allgather) hide at p=2 — p=3 exercises unequal shard sizes and
+    a genuinely multi-rank reassembly.  BED and the .kde x grid must
+    match the single-process run."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_tped
+
+    panel = make_panel(nind=25, nloci_per_chr=(6000,), seed=37,
+                       missing_rate=0.05)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+
+    _run_single_subproc(wd, base + ["--out", "single"])
+    outs = _run_cluster(wd, base + ["--tpu-mesh", "3x4", "--out", "multi"],
+                        nproc=3)
+    for pid, (_, se) in enumerate(outs):
+        assert f"sharded input: process {pid}" in se
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+    assert read_text(os.path.join(wd, "multi.proc2.roh.bed")) == single
+    xs = [l.split()[0] for l in
+          read_text(os.path.join(wd, "single.40SNPs.kde")).splitlines() if l]
+    xm = [l.split()[0] for l in
+          read_text(os.path.join(wd, "multi.40SNPs.kde")).splitlines() if l]
+    assert xs == xm
