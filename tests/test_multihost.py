@@ -454,3 +454,32 @@ def test_three_process_sharded_exact_kde(tmp_path):
     xm = [l.split()[0] for l in
           read_text(os.path.join(wd, "multi.40SNPs.kde")).splitlines() if l]
     assert xs == xm
+
+
+@pytest.mark.slow
+def test_two_process_bitmap_coverage_tie_repair(tmp_path):
+    """GARLIC_TPU_COVERED=bitmap forces the coverage-bitmap transfer,
+    which carries NO suspect-window detail — every tie-flagged row takes
+    the full exact_cover recomputation.  On sharded-input runs that is
+    the owned-row packed gather (each host recomputes only the suspect
+    rows it holds); the merged repairs must still reproduce the exact
+    engine's BED."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, run_ours_subprocess, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(4000,), seed=53,
+                       missing_rate=0.05)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "0.6843", "--size-bounds", "300000", "800000"]
+
+    assert run_ours_subprocess(wd, base + ["--tpu-engine", "exact",
+                                           "--out", "ex"]) == 0
+    _run_pair(wd, base + ["--tpu-engine", "fast", "--tpu-mesh", "4x2",
+                          "--out", "multi"],
+              extra_env={"GARLIC_TPU_COVERED": "bitmap"})
+    ex = read_text(os.path.join(wd, "ex.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == ex
+    assert read_text(os.path.join(wd, "multi.proc1.roh.bed")) == ex
