@@ -89,6 +89,22 @@ def fit_gmm(x: np.ndarray, k: int, w0: np.ndarray, mu0: np.ndarray,
                      bic=float(bic), converged=converged, iterations=it)
 
 
+def _g_format_stable(res: "GMMResult", rel: float = 3e-12) -> bool:
+    """True when every logged GMM parameter formats to the same %g string
+    under a +-rel relative perturbation — i.e. no parameter sits within
+    the calibrated device-vs-host EM deviation (~1e-13 relative, margin
+    here 3e-12) of a %g rounding boundary, so the device fit's .log lines
+    are guaranteed byte-identical to the host fit's."""
+    from ..core.fmt import g
+    for arr in (res.weights, res.means, res.variances):
+        for v in arr:
+            v = float(v)
+            d = abs(v) * rel
+            if g(v + d) != g(v) or g(v - d) != g(v):
+                return False
+    return True
+
+
 _single_gmm_mesh = None
 
 
@@ -135,15 +151,28 @@ def select_size_classes(lengths: np.ndarray, nclust: int, log=None,
     # most a few hundred ROH), above it the ulp-class trade buys back
     # ~1.6 s at 28k ROH and ~0.25 s at the 22-chrom WGS flagship's 5.4k
     # (BASELINE.md).
+    auto_1x1 = False
     if mesh is None and device and lengths.shape[0] >= 4096:
         try:
             mesh = _device_mesh_1x1()
+            auto_1x1 = True
         except Exception:
             mesh = None
     if mesh is not None:
         from ..parallel.engine import fit_gmm_sharded
         res = fit_gmm_sharded(lengths, k, w0, mu0, var0, mesh,
                               max_iter=1000, precision=1e-5, verbose=True)
+        if auto_1x1 and not _g_format_stable(res):
+            # %g boundary guard: the device EM agrees with the host EM
+            # only to ~1e-13 relative, invisible at %g's 6 significant
+            # digits UNLESS a parameter lands within that band of a %g
+            # rounding boundary — and the GMM lines are a compared .log
+            # artifact.  The stability check (format each logged value
+            # perturbed +-3e-12 relative) costs microseconds; only a
+            # boundary-straddling fit pays the bit-exact host EM rerun,
+            # making .log byte-invariance unconditional.
+            res = fit_gmm(lengths, k, w0, mu0, var0, max_iter=1000,
+                          precision=1e-5, verbose=False)
     else:
         res = fit_gmm(lengths, k, w0, mu0, var0, max_iter=1000,
                       precision=1e-5, verbose=True)

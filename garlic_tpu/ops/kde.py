@@ -383,9 +383,11 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
     exact samples by the Phase-I f32 error (~1e-6 relative), perturbing
     y ~1e-6 relative — orders inside the oracle's own FIGTree
     eps=1e-2 approximation AND its time-seeded run-to-run randomness
-    (BASELINE.md round 4).  Returns None when any chromosome's windows
-    are not device-resident (streaming/host paths) — callers fall back
-    to the exact-sample transform."""
+    (BASELINE.md round 4).  Streaming LazyWin chromosomes are
+    rematerialized one at a time (only the thinned pool is kept, with a
+    free-before-next-materialize barrier); only HOST-resident window
+    rows make this return None — callers fall back to the exact-sample
+    transform."""
     import math
 
     import jax

@@ -135,6 +135,36 @@ def assemble_ld_exact(P: np.ndarray, winsize: int) -> np.ndarray:
     return LD
 
 
+def assemble_ld_exact_rows(P: np.ndarray, winsize: int,
+                           rows: np.ndarray) -> np.ndarray:
+    """assemble_ld_exact restricted to the given window-start rows —
+    identical per-entry k-loop summation order (ldHR2/ldR2,
+    src/garlic-data.cpp:521-535), O(len(rows)*W^2) instead of O(L*W^2).
+    Used by the weighted exact Phase-II sampler, which only needs the
+    band at thinned window positions (every winsize-th row)."""
+    l = np.asarray(rows, dtype=np.int64)
+    LD = np.zeros((l.size, winsize), dtype=np.float64)
+    for j in range(winsize):
+        site = l + j
+        acc = np.zeros(l.size, dtype=np.float64)
+        for c in range(winsize):
+            acc = acc + _pair_lookup(P, l + c, site)
+        LD[:, j] = acc
+    return LD
+
+
+def pair_ld(chrom, winsize: int, phased: bool,
+            sub_idx: Optional[np.ndarray] = None) -> np.ndarray:
+    """The pairwise band P alone (calc_ld's first stage) — callers that
+    need exact LD at selected rows assemble from it with
+    assemble_ld_exact_rows / assemble_ld_exact."""
+    if phased:
+        return pair_ld_r2(chrom.genotypes, chrom.first_copy, chrom.freq,
+                          winsize, sub_idx)
+    hf = geno_hom_freq(chrom.genotypes)
+    return pair_ld_hr2(chrom.genotypes, hf, winsize, sub_idx)
+
+
 def assemble_ld_fast(P: np.ndarray, winsize: int) -> np.ndarray:
     """Cumsum decomposition (same values, different f64 rounding):
     LD[l][j] = 1 + sum_{d=1}^{j} P[l+j-d, d] + sum_{d=1}^{W-1-j} P[l+j, d]."""
@@ -162,12 +192,7 @@ def calc_ld(chrom, winsize: int, phased: bool,
             engine: str = "exact") -> np.ndarray:
     """Full LD matrix for one chromosome (calcLDData per-chr step,
     src/garlic-data.cpp:330-375)."""
-    if phased:
-        P = pair_ld_r2(chrom.genotypes, chrom.first_copy, chrom.freq,
-                       winsize, sub_idx)
-    else:
-        hf = geno_hom_freq(chrom.genotypes)
-        P = pair_ld_hr2(chrom.genotypes, hf, winsize, sub_idx)
+    P = pair_ld(chrom, winsize, phased, sub_idx)
     if engine == "fast":
         return assemble_ld_fast(P, winsize)
     return assemble_ld_exact(P, winsize)

@@ -75,6 +75,20 @@ def _resolve_mesh(spec: str, log):
 
 def _resolve_engine(name: str) -> str:
     if name == "auto":
+        # Resolve to the TPU engine when a TPU is actually attached: the
+        # tie patrol makes fast == exact BED by construction on every
+        # configuration, and Phase II pools oracle-exact f64 samples on
+        # both engines (round 5) — the remaining fast-engine delta is
+        # the .kde y transform-precision class, already far inside the
+        # oracle's own FIGTree eps/randomness.  Anywhere else (CPU/GPU
+        # hosts) the f64 exact path is both the fidelity and the speed
+        # choice.
+        try:
+            import jax
+            if jax.default_backend() == "tpu":
+                return "fast"
+        except Exception:
+            pass
         return "exact"
     if name not in ("exact", "fast"):
         raise CLIError(f"ERROR: unknown engine {name}")
@@ -384,7 +398,10 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             and not weighted and not cm
             and not auto_winsize and not winsize_explore):
         from .parallel.multihost import dp_layout_aligned
-        if dp_layout_aligned(mesh):
+        # missing-file guard: peek_nind would raise a raw FileNotFoundError
+        # here, before load_tped's clean logged-ERROR path (ADVICE r4);
+        # fall through and let load_tped report it
+        if dp_layout_aligned(mesh) and os.path.exists(tpedfile):
             from .parallel.mesh import AXIS_DP
             nind_file = tped.peek_nind(tpedfile)
             n_dp = mesh.shape[AXIS_DP]
@@ -441,7 +458,9 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             else:
                 src = int(np.flatnonzero(flags == 0)[0])
                 for c in ds.chroms:
-                    plane = np.zeros(c.nloci, dtype=np.float64)                         if have_counts                         else np.asarray(c.freq, dtype=np.float64)
+                    plane = (np.zeros(c.nloci, dtype=np.float64)
+                             if have_counts
+                             else np.asarray(c.freq, dtype=np.float64))
                     with jax.enable_x64(True):
                         allp = np.asarray(multihost_utils.process_allgather(
                             plane[None], tiled=True))
@@ -569,8 +588,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         # Phase II reads oracle-exact f64 rolling window samples (the
         # device f32 scores would shift the nrd0 bandwidth and with it
         # every .kde x value); assembly keeps the device matrices +
-        # tie patrol.  Weighted runs would need the full exact host
-        # LD rebuild — they keep the f32-sample KDE (documented).
+        # tie patrol.  Weighted runs get the equivalent sampler below,
+        # once the --ld-subsample indices are drawn (Phase I).
         # Multi-process: replicated-input runs compute the identical pool
         # on every host; per-host column-range runs pool their own rows
         # and allgather per chromosome in rank order, which IS the global
@@ -625,9 +644,22 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         log.log("Selected overlap fraction:", overlap_frac)
 
     # ---------------- Phase I ----------------
+    wpair_cache = {}
     if weighted:
         print("Calculating LD matrix.", file=sys.stderr)
         sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, rng)
+        if engine == "fast":
+            # Weighted Phase II now has the same exactness guarantee as
+            # plain runs: oracle-exact f64 thinned wLOD samples (the
+            # .kde x column / bandwidth / grid are byte-identical to the
+            # oracle's); the pair band memoizes into wpair_cache, which
+            # the weighted tie patrol shares.  The reference's Phase II
+            # is the same computeKDE for weighted runs
+            # (src/garlic-main.cpp:374-378, src/garlic-kde.cpp:14-140).
+            st.exact_sampler = \
+                lambda wq, step, rows: _exact_thinned_wsamples(
+                    ds.chroms, centro, wq, error, max_gap, use_gl, step,
+                    rows, mu, M, phased, sub_idx, wpair_cache)
         win_by_chr = []
         from .core.pbar import Bar
         print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
@@ -752,9 +784,12 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             from .ops.assembly import (coverage_counts_batch,
                                        overlap_threshold)
             if ci not in _wband_cache:
-                _wband_cache[ci] = ld_ops.calc_ld(
-                    ds.chroms[ci], winsize, phased, sub_idx,
-                    engine="exact")
+                # assemble the exact band from the pair band the Phase-II
+                # sampler may already have memoized (identical values:
+                # calc_ld(engine="exact") == assemble_ld_exact(pair_ld))
+                _wband_cache[ci] = ld_ops.assemble_ld_exact(
+                    _wpair_band(ds.chroms, ci, winsize, phased, sub_idx,
+                                wpair_cache), winsize)
             thr = overlap_threshold(overlap_frac, winsize)
             rows = np.asarray(rows, dtype=np.int64)
             out = []
@@ -1246,6 +1281,70 @@ def _exact_thinned_samples(chroms, centro, winsize: int, error: float,
     return np.concatenate(parts) if parts else np.zeros(0)
 
 
+def _wpair_band(chroms, ci: int, winsize: int, phased: bool, sub_idx,
+                cache: dict) -> np.ndarray:
+    """Exact pairwise LD band P for one chromosome, memoized per
+    (chromosome, winsize) — shared between the weighted exact Phase-II
+    sampler and the weighted tie patrol so the O(L*W*I_sub) pair counting
+    runs at most once per run."""
+    key = (ci, winsize)
+    P = cache.get(key)
+    if P is None:
+        P = ld_ops.pair_ld(chroms[ci], winsize, phased, sub_idx)
+        cache[key] = P
+    return P
+
+
+def _exact_thinned_wsamples(chroms, centro, winsize: int, error,
+                            max_gap: int, use_gl: bool, step: int, rows,
+                            mu: float, M: int, phased: bool, sub_idx,
+                            pair_cache: dict) -> np.ndarray:
+    """Oracle-exact pooled Phase-II samples for WEIGHTED runs: the f64
+    wLOD window values at the thinned positions, in the reference's
+    pooling order (chrom-major, row-major; convertWinData2DoubleData,
+    src/garlic-data.cpp:2026-2150).
+
+    The reference's wLOD has NO rolling recurrence — every window is a
+    fresh left-to-right sum over score[i] / LD[l][i-l]
+    (src/garlic-roh.cpp:259-272) — so only the thinned window positions
+    need evaluating: the exact LD band rows are assembled per-position
+    from the memoized pair band (assemble_ld_exact_rows — the reference's
+    per-entry k-loop order), and each window sums in wlod_windows' exact
+    j-loop order.  The full [I, L] f64 window matrix (and the O(L*W^2)
+    full band assembly) never materialize; cost is
+    O(L*W*I_sub + (L/step)*W^2 + rows*(L/step)*W)."""
+    from .core.types import MISSING
+    from .ops.lod import window_missing_mask
+    parts = []
+    for ci, c in enumerate(chroms):
+        L = c.nloci
+        nwin = L - winsize + 1
+        r = np.arange(c.nind) if rows is None \
+            else np.asarray(rows, dtype=np.int64)
+        if nwin <= 0 or r.size == 0:
+            continue
+        P = _wpair_band(chroms, ci, winsize, phased, sub_idx, pair_cache)
+        ws = np.arange(0, nwin, step)
+        missing = window_missing_mask(
+            c.positions, winsize, max_gap, centro.start(c.chrom),
+            centro.end(c.chrom))[ws]
+        band = ld_ops.assemble_ld_exact_rows(P, winsize, ws)
+        inv = 1.0 / band                                     # [nw, W]
+        for s in range(0, r.size, 64):  # bound [k, L] temporaries
+            sub = _subset_chrom(c, r[s:s + 64])
+            score = wlod_ops.wlod_scores(sub, error, use_gl, mu, M)
+            acc = np.zeros((score.shape[0], ws.size), dtype=np.float64)
+            for j in range(winsize):
+                # reference i-loop order (src/garlic-roh.cpp:259-272):
+                # score[i] * (1.0 / LD[l][i-l]), exactly wlod_windows
+                acc = acc + score[:, ws + j] * inv[:, j][None, :]
+            w = np.where(missing[None, :], float(MISSING), acc)
+            flat = w.reshape(-1)
+            m2 = (flat != MISSING) & ~np.isnan(flat)
+            parts.append(flat[m2])
+    return np.concatenate(parts) if parts else np.zeros(0)
+
+
 def _exact_thinned_samples_sharded(chroms, centro, winsize: int,
                                    error: float, max_gap: int, use_gl: bool,
                                    step: int, rows) -> np.ndarray:
@@ -1377,11 +1476,19 @@ def _report_cutoff_rivals(kr, wsize: int, cutoff: float) -> None:
     except Exception:
         return
     if alts:
-        print("[garlic-tpu] note: auto-KDE cutoff %g has FIGTree-error-"
-              "scale rival(s) %s; the reference's randomized Phase II "
-              "(time-seeded FIGTree) may pick any of these on a given run"
-              % (cutoff, ", ".join("%g" % a for a in alts)),
-              file=sys.stderr)
+        # cap at the 3 rivals nearest the selection: wide low-density
+        # valleys can flag dozens of grid points (every one inside the
+        # FIGTree error bound), and a 17-value list is noise no user can
+        # act on — the count carries the instability scale
+        near = sorted(alts, key=lambda a: abs(a - cutoff))[:3]
+        more = len(alts) - len(near)
+        tail = " (+%d more)" % more if more > 0 else ""
+        print("[garlic-tpu] note: auto-KDE cutoff %g has %d FIGTree-"
+              "error-scale rival(s), nearest %s%s; the reference's "
+              "randomized Phase II (time-seeded FIGTree) may pick any "
+              "reachable rival on a given run"
+              % (cutoff, len(alts), ", ".join("%g" % a for a in near),
+                 tail), file=sys.stderr)
 
 
 def _cutoff_from_kde(st: PipelineState, kde_result, wsize: int) -> float:
@@ -1468,6 +1575,17 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
     for wq in multi:
         if weighted:
             sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, st.rng)
+            if st.engine == "fast":
+                # same exactness guarantee as the main weighted path:
+                # the dumped .kde x columns are byte-identical to the
+                # oracle's (fresh sampler per candidate — sub_idx is
+                # redrawn for each winsize, matching the reference's
+                # per-candidate calcLDData, src/garlic-roh.cpp:699-763)
+                st.exact_sampler = (
+                    lambda w2, step, rows, _si=sub_idx:
+                    _exact_thinned_wsamples(
+                        ds.chroms, centro, w2, error, max_gap, use_gl,
+                        step, rows, mu, M, phased, _si, {}))
             win_by_chr = []
             print(f"Calculating LOD scores with winsize {wq}.", file=sys.stderr)
             for c in ds.chroms:
@@ -1503,5 +1621,5 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
                                            max_gap, use_gl, ind_idx=ind_idx)
         kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
-                              exact=(wq, ind_idx) if not weighted else None)
+                              exact=(wq, ind_idx))
         kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)

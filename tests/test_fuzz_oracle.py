@@ -479,3 +479,77 @@ def test_fuzz_mesh_streaming_identical_to_resident(tmp_path, seed,
     a = read_text(os.path.join(wd, "resident.roh.bed"))
     b = read_text(os.path.join(wd, "streamed.roh.bed"))
     assert a == b, ("streamed mesh BED differs from resident", mesh, args)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed",
+                         _seed_range("GARLIC_FUZZ_WAUTO_SEEDS", "0:3"))
+def test_fuzz_weighted_auto_cutoff(oracle_bin, tmp_path, seed):
+    """Weighted AUTO-KDE cutoff vs the oracle (round 5): the fast
+    engine's exact f64 wLOD Phase-II sampler must hold weighted
+    auto-everything to the same three-part guarantee as plain runs —
+    byte-identical .kde x column, and any BED divergence machine-verified
+    as the oracle's own time-seeded FIGTree randomness.  Bounds stay
+    pinned (auto-GMM aborts the oracle's GSL on many weighted length
+    distributions, an oracle-side failure orthogonal to this class)."""
+    import glob
+
+    rng = np.random.default_rng(99_000 + seed)
+    nind = int(rng.integers(22, 40))
+    nchrom = int(rng.integers(1, 3))
+    nloci = tuple(int(rng.integers(4000, 7000)) for _ in range(nchrom))
+    panel_kw = dict(nind=nind, nloci_per_chr=nloci,
+                    seed=int(rng.integers(0, 2**31)),
+                    roh_rate=float(rng.uniform(0.25, 0.5)),
+                    missing_rate=float(rng.uniform(0.0, 0.006)),
+                    spacing_mean=int(rng.integers(2000, 4500)))
+    winsize = int(rng.choice([25, 30, 40, 60]))
+    args = ["--build", "hg18", "--winsize", str(winsize),
+            "--error", f"{rng.uniform(5e-4, 3e-3):.6f}",
+            "--kde-subsample", "0", "--ld-subsample", "0",
+            "--map", "f.map.gz", "--weighted",
+            "--size-bounds", "300000", "800000"]
+    if rng.random() < 0.3:
+        args += ["--phased"]
+    gl_type = None
+    if rng.random() < 0.3:
+        gl_type = str(rng.choice(["GQ", "PL", "GL"]))
+        args += ["--tgls", "f.tgls.gz", "--gl-type", gl_type]
+    panel = make_panel(**panel_kw)
+    wd = str(tmp_path)
+    write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    write_map_scaffold(panel, f"{wd}/f.map.gz")
+    if gl_type is not None:
+        write_tgls(panel, f"{wd}/f.tgls.gz", gl_type=gl_type,
+                   seed=int(rng.integers(0, 2**31)))
+    args = ["--tped", "f.tped.gz", "--tfam", "f.tfam"] + args
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    if r.returncode != 0 and "gsl" in r.stderr.lower():
+        # oracle GSL abort (degenerate density/modes); ours must survive
+        rc = run_ours_subprocess(
+            wd, args + ["--tpu-engine", "fast", "--out", "ours"])
+        assert rc in (0, 1, 2, 255), (args, rc)
+        return
+    assert r.returncode == 0, (args, r.stderr[-1500:])
+    rc = run_ours_subprocess(
+        wd, args + ["--tpu-engine", "fast", "--out", "ours"])
+    # the x-grid guarantee holds regardless of the oracle's cutoff draw
+    ka = sorted(glob.glob(os.path.join(wd, "oracle.*.kde")))
+    kb = sorted(glob.glob(os.path.join(wd, "ours.*.kde")))
+    assert len(ka) == 1 and len(kb) == 1, (args,)
+    xa = [ln.split()[0] for ln in read_text(ka[0]).splitlines()
+          if ln.strip()]
+    xb = [ln.split()[0] for ln in read_text(kb[0]).splitlines()
+          if ln.strip()]
+    assert xa == xb, ("weighted .kde x column differs", args)
+    ca = _selected_cutoff(read_text(os.path.join(wd, "oracle.log")))
+    cb = _selected_cutoff(read_text(os.path.join(wd, "ours.log")))
+    if ca != cb and ca is not None and cb is not None:
+        _assert_randomized_oracle_class(wd, oracle_bin, args, ca, cb, rc)
+        return
+    assert rc == 0, (args, rc)
+    a = read_text(os.path.join(wd, "oracle.roh.bed"))
+    b = read_text(os.path.join(wd, "ours.roh.bed"))
+    assert a == b, ("BED differs", args,
+                    [(i, x, y) for i, (x, y) in enumerate(
+                        zip(a.splitlines(), b.splitlines())) if x != y][:5])

@@ -705,3 +705,65 @@ def test_tgls_column_mismatch_error_parity(oracle_bin, tmp_path):
         a = read_text(os.path.join(wd, f"o_{name}.error"))
         b = read_text(os.path.join(wd, f"m_{name}.error"))
         assert a == b, f"{name}: {_first_diff(a, b)}"
+
+
+@pytest.mark.slow
+def test_weighted_auto_cutoff_fast_engine(oracle_bin, tmp_path):
+    """Weighted AUTO-everything on the fast engine (round-5 exactness
+    class): the exact f64 wLOD Phase-II sampler must make the .kde x
+    column byte-identical to the oracle's, and the BED identical modulo
+    the documented randomized-oracle class (the reference's Phase II is
+    the same computeKDE for weighted runs, src/garlic-main.cpp:374-378)."""
+    from .util import write_map_scaffold
+    panel, tped, tfam = _prepare(tmp_path, nind=25,
+                                 nloci_per_chr=(3000, 2500), seed=21)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted",
+            "--build", "hg18", "--winsize", "30", "--error", "0.002",
+            "--kde-subsample", "0", "--ld-subsample", "0"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours", "--tpu-engine", "fast"])
+    assert rc == 0
+    # the x grid guarantee holds regardless of which cutoff the oracle drew
+    ka = read_text(os.path.join(wd, "oracle.30SNPs.kde"))
+    kb = read_text(os.path.join(wd, "ours.30SNPs.kde"))
+    xa = [line.split()[0] for line in ka.splitlines() if line.strip()]
+    xb = [line.split()[0] for line in kb.splitlines() if line.strip()]
+    assert xa == xb, "weighted fast-engine .kde x column differs"
+    assert_bed_same_or_oracle_random(oracle_bin, wd, args, "oracle",
+                                     "ours", 30)
+
+
+@pytest.mark.slow
+def test_weighted_tgls_auto_cutoff_fast_engine(oracle_bin, tmp_path):
+    """Weighted + TGLS auto-cutoff on the fast engine: the exact sampler
+    must thread per-genotype GL errors through the f64 wLOD pool."""
+    from .util import write_map_scaffold, write_tgls
+    panel, tped, tfam = _prepare(tmp_path, nind=22,
+                                 nloci_per_chr=(2800, 2200), seed=33)
+    write_map_scaffold(panel, str(tmp_path / "scaff.map.gz"))
+    write_tgls(panel, str(tmp_path / "panel.tgls.gz"), gl_type="GQ")
+    wd = str(tmp_path)
+    args = ["--tped", "panel.tped.gz", "--tfam", "panel.tfam",
+            "--map", "scaff.map.gz", "--weighted",
+            "--tgls", "panel.tgls.gz", "--gl-type", "GQ",
+            "--build", "hg18", "--winsize", "30", "--error", "0.002",
+            "--kde-subsample", "0", "--ld-subsample", "0",
+            # bounds pinned: this panel's ROH length distribution aborts
+            # the ORACLE's GSL GMM (log.c domain error); the class under
+            # test is the auto-KDE cutoff
+            "--size-bounds", "300000", "800000"]
+    r = run_oracle(oracle_bin, wd, args + ["--out", "oracle"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rc = run_ours(wd, args + ["--out", "ours", "--tpu-engine", "fast"])
+    assert rc == 0
+    ka = read_text(os.path.join(wd, "oracle.30SNPs.kde"))
+    kb = read_text(os.path.join(wd, "ours.30SNPs.kde"))
+    xa = [line.split()[0] for line in ka.splitlines() if line.strip()]
+    xb = [line.split()[0] for line in kb.splitlines() if line.strip()]
+    assert xa == xb, "weighted+TGLS fast-engine .kde x column differs"
+    assert_bed_same_or_oracle_random(oracle_bin, wd, args, "oracle",
+                                     "ours", 30)

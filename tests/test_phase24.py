@@ -232,3 +232,61 @@ def test_compute_kde_hybrid_matches_exact_grid():
     assert kr_h is not None
     assert np.array_equal(kr_h.x, kr_e.x)      # grid: bitwise exact
     assert np.allclose(kr_h.y, kr_e.y, rtol=5e-4, atol=1e-12)
+
+
+def test_device_gmm_above_gate_matches_host_format():
+    """ADVICE r4: the >=4096-ROH device-EM path (1x1 mesh while_loop) vs
+    the bit-exact host EM at the scale where it actually engages — the
+    logged %g parameters and the class boundaries must agree, and the
+    %g-boundary guard must detect any formatting-visible deviation."""
+    rng = np.random.default_rng(404)
+    # a realistic trimodal ROH length mixture, n >= 4096 (the gate)
+    x = np.concatenate([
+        rng.normal(2.2e5, 5e4, 2500),
+        rng.normal(8.5e5, 1.8e5, 1800),
+        rng.normal(2.6e6, 6e5, 900)]).clip(1e4, None)
+    assert x.shape[0] >= 4096
+
+    class _Log:
+        def __init__(self):
+            self.lines = []
+
+        def log(self, *a, nl=True):
+            from garlic_tpu.core.fmt import g
+            self.lines.append(" ".join(
+                v if isinstance(v, str) else g(v) for v in a))
+
+        def logv(self, *a, nl=True):
+            self.log(*a)
+
+    lh, ld = _Log(), _Log()
+    bounds_host, res_host = gmm_ops.select_size_classes(x, 3, log=lh,
+                                                        device=False)
+    bounds_dev, res_dev = gmm_ops.select_size_classes(x, 3, log=ld,
+                                                      device=True)
+    # identical %g-formatted .log parameter lines (the compared artifact)
+    assert lh.lines == ld.lines, (lh.lines, ld.lines)
+    # boundaries agree within the Brent epsabs (1e-4) — both roots of
+    # near-identical parameter sets
+    for bh, bd in zip(bounds_host, bounds_dev):
+        assert abs(bh - bd) <= 1e-3, (bh, bd)
+    assert res_host.iterations == res_dev.iterations
+
+
+def test_g_format_stable_guard():
+    """_g_format_stable flags parameters that sit on a %g rounding
+    boundary (where a 1e-13-relative device-vs-host deviation could flip
+    a printed digit) and passes ordinary values."""
+    from garlic_tpu.ops.gmm import GMMResult, _g_format_stable
+    ok = GMMResult(weights=np.array([0.25, 0.5]),
+                   means=np.array([1.2345, 7.5]),
+                   variances=np.array([2.0, 3.0]),
+                   loglikelihood=0.0, bic=0.0, converged=True, iterations=1)
+    assert _g_format_stable(ok)
+    # 0.1234565 rounds at the 6-significant-digit %g boundary: +-3e-12
+    # relative perturbation flips between 0.123456 and 0.123457
+    bad = GMMResult(weights=np.array([0.1234565000001]),
+                    means=np.array([1.0]), variances=np.array([1.0]),
+                    loglikelihood=0.0, bic=0.0, converged=True,
+                    iterations=1)
+    assert not _g_format_stable(bad)

@@ -191,30 +191,71 @@ def diff_logs(log_a: str, log_b: str, base_a: str = "oracle",
 def oracle_cutoff_reachable(kde: "np.ndarray", wsize: int,
                             oracle_cutoff: str, ours_cutoff: str) -> bool:
     """Is the oracle's auto-cutoff draw reachable at the FIGTree error
-    scale from our exact density?  True when the seeded perturbation
-    probe (ops.cutoff.cutoff_tie_probe) flags instability AND the
-    oracle's value lies inside the instability span (alternatives +
-    ours, padded by one grid spacing): in low-density tails FIGTree's
-    absolute-error ordering is effectively random, so the probe
-    demonstrates the SPAN of reachable argmins rather than enumerating
-    every grid point a draw could hit."""
+    scale from our exact density?  Two calibrated criteria (round 5 —
+    replaces the old min/max-span fallback, which on wide valleys
+    accepted nearly anything):
+
+      1. EXACT probe-rival membership: the seeded perturbation probe
+         (ops.cutoff.cutoff_tie_probe) produced the oracle's value at a
+         grid point, %g-equal;
+      2. deterministic valley reachability: the oracle's cutoff is one
+         of OUR grid points, lies between our located modes, and its
+         density is within 2x the measured FIGTree absolute-error bound
+         (FIGTREE_ABS_ERR * ymax) of the valley minimum — i.e. some
+         error draw within the measured envelope makes it the argmin of
+         the quirk-faithful between-modes scan.  This is exact where the
+         probe is sampled: the K random draws can miss a reachable
+         point, but no point OUTSIDE the error bound is ever accepted.
+
+    The oracle's 0.0 sanity-clamp case (|x/winsize| >= 1,
+    src/garlic-kde.cpp:231-232) is accepted when any
+    valley-reachable grid point triggers the clamp."""
     import numpy as np
 
-    from garlic_tpu.ops.cutoff import cutoff_tie_probe
-    alts = cutoff_tie_probe(kde[:, 0], kde[:, 1], wsize)
-    if not alts:
-        return False
+    from garlic_tpu.ops.cutoff import (FIGTREE_ABS_ERR, CutoffError,
+                                       cutoff_tie_probe,
+                                       get_min_btw_modes_indices)
+    x, y = kde[:, 0], kde[:, 1]
+    alts = cutoff_tie_probe(x, y, wsize)
     if any("%g" % a == oracle_cutoff for a in alts):
         return True
     try:
-        oc = float(oracle_cutoff)
-        ours = float(ours_cutoff)
-    except ValueError:
+        _, li, ri, _ = get_min_btw_modes_indices(x, y, wsize)
+    except CutoffError:
         return False
-    spacing = float(kde[1, 0] - kde[0, 0])
-    lo = min(min(alts), ours) - spacing
-    hi = max(max(alts), ours) + spacing
-    return lo <= oc <= hi
+    ymax = float(np.max(y))
+    err = 2.0 * FIGTREE_ABS_ERR * ymax
+    # Mode-structure stability under FIGTree's zero truncation: FIGTree
+    # drops cluster contributions below its truncation radius to EXACT
+    # ZERO with a spatially varying threshold, and get_min_btw_modes'
+    # run-length counting branches on exact equality — so on densities
+    # with wide near-zero regions the located modes themselves move
+    # wholesale between draws (observed: modes (381,488) on exact y vs
+    # (24,46) on the oracle's).  When any global-threshold truncation
+    # relocates a mode beyond the finder's own 20-point window, every
+    # grid point inside the error bound of zero is reachable; when the
+    # structure is stable, only valley points within the bound of the
+    # valley minimum are.
+    unstable = False
+    for t in (1e-300, 1e-16, 1e-13, 1e-10, 1e-8, 1e-6, 1e-4, 1e-3):
+        yt = np.where(y <= t * ymax, 0.0, y)
+        try:
+            _, li2, ri2, _ = get_min_btw_modes_indices(x, yt, wsize)
+        except CutoffError:
+            unstable = True
+            continue
+        if abs(li2 - li) > 20 or abs(ri2 - ri) > 20:
+            unstable = True
+    if unstable:
+        reach = np.flatnonzero(y <= err)
+    else:
+        vmin = float(np.min(y[li:ri + 1]))
+        reach = np.flatnonzero(y[li:ri + 1] <= vmin + err) + li
+    if oracle_cutoff == "0":
+        # the clamp fires when the selected grid point's |x/wsize| >= 1
+        return bool(np.any(np.abs(x[reach] / wsize) >= 1))
+    io = [i for i in reach if "%g" % x[i] == oracle_cutoff]
+    return bool(io)
 
 
 def assert_bed_same_or_oracle_random(oracle_bin: str, wd: str,
