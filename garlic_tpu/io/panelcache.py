@@ -88,10 +88,15 @@ def _collect_arrays(chroms: List[dict], nind: int):
 
 
 def save_cache(tpedfile: str, chroms: List[dict], nind: int,
-               tped_missing: str = "0") -> None:
+               tped_missing: str = "0"):
     """Write the sidecar (best effort: failures are silent — the TPED is
     always the source of truth).  Parse-affecting parameters (the missing
-    code) go into the header; a mismatch on load is a cache miss."""
+    code) go into the header; a mismatch on load is a cache miss.
+
+    Returns the per-chromosome packed-payload digests (bytes) on every
+    path once computed — the COLD run's chroms carry them too, so
+    digest-keyed consumers (device cache, Phase-II pool cache) engage on
+    the very first run instead of only after a warm reload."""
     path = cache_path(tpedfile)
     arrays = _collect_arrays(chroms, nind)
     # one-time content digests of the packed payloads: later runs key the
@@ -100,10 +105,11 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
     from ..core.digest import content_digest
     digests = [content_digest(arrays[f"c{i}_geno2b"]).hex()
                for i in range(len(chroms))]
+    dig_bytes = [bytes.fromhex(d) for d in digests]
     try:
         probe = _src_probe(tpedfile)
     except OSError:
-        return
+        return dig_bytes
     meta = {"nind": int(nind), "nchrom": len(chroms),
             "missing": str(tped_missing), "src_probe": probe,
             "chrom_names": [str(c["chrom"]) for c in chroms],
@@ -123,7 +129,7 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         off += a.nbytes
     hdr = json.dumps(meta).encode()
     if len(hdr) > hdr_cap:  # cannot happen (16-digit slack); skip, don't die
-        return
+        return dig_bytes
     try:
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -136,6 +142,7 @@ def save_cache(tpedfile: str, chroms: List[dict], nind: int,
         os.replace(tmp, path)
     except OSError:
         pass
+    return dig_bytes
 
 
 _TGLS_MAGIC = b"GTLCv1\n\0"

@@ -179,10 +179,17 @@ def load_tped(tpedfile: str, tped_missing: str = "0", nresample: int = 0,
             # range-mode parses hold only a column slice: never write the
             # (full-panel) sidecar from one
             from . import panelcache
-            panelcache.save_cache(tpedfile, native, ds.nind
-                                  if ds.ind_ids else
-                                  (ds.chroms[0].nind if ds.chroms else 0),
-                                  tped_missing=tped_missing)
+            digs = panelcache.save_cache(
+                tpedfile, native,
+                ds.nind if ds.ind_ids else
+                (ds.chroms[0].nind if ds.chroms else 0),
+                tped_missing=tped_missing)
+            if digs:
+                # attach the payload digests to the COLD run's chroms too
+                # (warm loads read them from the sidecar header) — the
+                # device cache and the Phase-II pool cache key off them
+                for c, d in zip(ds.chroms, digs):
+                    c.geno2b_digest = d
     else:
         ds, num_loci = _load_tped_python(tpedfile, tped_missing, phased,
                                          auto_freq, log, col_range=col_range)

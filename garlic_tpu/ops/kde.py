@@ -373,7 +373,8 @@ def _kde_grid(data: np.ndarray):
 
 
 def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
-                       ind_idx=None, log=None) -> "KDEResult | None":
+                       ind_idx=None, log=None,
+                       grid=None) -> "KDEResult | None":
     """computeKDE with the round-4 exactness/bandwidth split: bandwidth,
     grid, and n come from the ORACLE-EXACT f64 host samples (the .kde x
     column stays byte-identical to the oracle), while the y transform
@@ -395,8 +396,14 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
 
     from .device_win import is_device_win, is_lazy_win
 
-    data = np.asarray(samples, dtype=np.float64)
-    n = data.shape[0]
+    if grid is not None:
+        # warm pool-cache hit: (h, targets, spacing, n) replayed from the
+        # stored scalars — the 100+ MB host pool never loads (samples may
+        # be None)
+        h, targets, spacing, n = grid
+    else:
+        data = np.asarray(samples, dtype=np.float64)
+        n = data.shape[0]
     if n == 0:
         return None
     parts = []
@@ -428,7 +435,8 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
     if log is not None:
         log.log("KDE with", n, nl=False)
         log.log(" points.")
-    h, targets, spacing = _kde_grid(data)
+    if grid is None:
+        h, targets, spacing = _kde_grid(data)
     block = 1 << 18
     N = int(flat.shape[0])
     total = 1 << math.ceil(math.log2(max(N, block)))
@@ -446,20 +454,27 @@ def compute_kde_hybrid(samples: np.ndarray, win_by_chr, step: int,
 
 
 def compute_kde(data: np.ndarray, log=None, device: bool = False,
-                mesh=None) -> KDEResult:
+                mesh=None, grid=None) -> KDEResult:
     """Full computeKDE (src/garlic-kde.cpp:14-103).
 
     mesh: a ("dp", "sp") jax mesh — the transform (the O(N x 512) part)
     runs as per-shard partials psum'd over every device
     (parallel.engine.gauss_transform_sharded); bandwidth/grid scalars are
     computed host-side from the (already thinned) pooled samples, exactly
-    like the single-device path, so the same samples give the same grid."""
+    like the single-device path, so the same samples give the same grid.
+
+    grid: optional (h, targets, spacing, n) — precomputed scalars (pool
+    cache); skips the sort/nrd0 pass, the transform still consumes
+    `data` in pooling order so y is byte-identical either way."""
     data = np.asarray(data, dtype=np.float64)
     n = data.shape[0]
     if log is not None:
         log.log("KDE with", n, nl=False)
         log.log(" points.")
-    h, targets, spacing = _kde_grid(data)
+    if grid is not None:
+        h, targets, spacing, _ = grid
+    else:
+        h, targets, spacing = _kde_grid(data)
     if mesh is not None:
         from ..parallel.engine import gauss_transform_sharded
         y = gauss_transform_sharded(data, targets, h, mesh) / float(n)

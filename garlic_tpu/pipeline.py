@@ -45,6 +45,11 @@ class PipelineState:
     # x column, a compared artifact) are bit-identical to the oracle's
     # instead of derived from f32 device window scores.
     exact_sampler: object = None
+    # io.poolcache.PoolCache: persists the exact Phase-II pool next to
+    # the --tpu-panel-cache sidecar (content-keyed); warm runs skip the
+    # sampler entirely.  None when uncacheable (no sidecar, multi-process,
+    # unseeded --resample).
+    pool_cache: object = None
 
 
 def _resolve_mesh(spec: str, log):
@@ -605,6 +610,20 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         else:
             st.exact_sampler = lambda wq, step, rows: _exact_thinned_samples(
                 ds.chroms, centro, wq, error, max_gap, use_gl, step, rows)
+        if _nproc == 1 and ds.panel_cache_file is not None \
+                and nresample == 0:
+            # pool cache (--tpu-panel-cache sidecar): warm auto-cutoff
+            # runs replay the grid scalars / mmap the pool instead of
+            # re-running the exact sampler (1.4-5 s at the 1000x1M
+            # scale).  Content-keyed on the FILTERED panel digests —
+            # never engaged multi-process (a per-host hit/miss split
+            # would desync the sharded sampler's collectives) or under
+            # --resample (unseeded freqs never re-key).
+            from .io.poolcache import PoolCache, pool_key
+            st.pool_cache = PoolCache(
+                ds.panel_cache_file,
+                lambda wq, stp: pool_key(ds.chroms, wq, stp, error,
+                                         max_gap, use_gl, centro))
 
     # ---------------- Winsize resolution ----------------
     kde_result = None
@@ -660,6 +679,15 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                 lambda wq, step, rows: _exact_thinned_wsamples(
                     ds.chroms, centro, wq, error, max_gap, use_gl, step,
                     rows, mu, M, phased, sub_idx, wpair_cache)
+            if _nproc == 1 and ds.panel_cache_file is not None \
+                    and nresample == 0:
+                from .io.poolcache import PoolCache, pool_key
+                st.pool_cache = PoolCache(
+                    ds.panel_cache_file,
+                    lambda wq, stp: pool_key(
+                        ds.chroms, wq, stp, error, max_gap, use_gl,
+                        centro, weighted=True, mu=mu, M=M, phased=phased,
+                        sub_idx=sub_idx))
         win_by_chr = []
         from .core.pbar import Bar
         print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
@@ -1401,9 +1429,29 @@ def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
     device."""
     if exact is not None and st.exact_sampler is not None:
         wq, rows = exact
-        samples = st.exact_sampler(wq, step, rows)
-        if (st.engine == "fast" and st.mesh is None
-                and samples.size >= 2_000_000):
+        hybrid_ok = st.engine == "fast" and st.mesh is None
+        grid = samples = None
+        ent = (st.pool_cache.lookup(wq, step)
+               if rows is None and st.pool_cache is not None else None)
+        if ent is not None:
+            # warm pool-cache hit: grid scalars replay bit-exactly from
+            # the sidecar; the pool itself only loads (mmap, original
+            # pooling order) if a non-hybrid path needs the transform
+            grid = ent.grid()
+            if hybrid_ok and ent.n >= 2_000_000:
+                kr = kde_ops.compute_kde_hybrid(None, win_by_chr, step,
+                                                ind_idx=ind_idx, log=log,
+                                                grid=grid)
+                if kr is not None:
+                    return kr
+            samples = ent.load()
+        else:
+            samples = st.exact_sampler(wq, step, rows)
+            if rows is None and st.pool_cache is not None:
+                # persists in the background; returns the grid scalars
+                # (this run needs the nrd0/sort anyway — computed once)
+                grid = st.pool_cache.store(wq, step, samples)
+        if hybrid_ok and samples.size >= 2_000_000:
             # WGS-scale pools: uploading the exact samples for the
             # transform costs seconds on the tunneled link — reuse the
             # device-resident thinned windows for y, keep the exact
@@ -1412,12 +1460,13 @@ def _compute_kde_for(st: PipelineState, win_by_chr, step: int, ind_idx,
             # the windows' OWN row space) — `rows` indexes the full panel
             # and the winsize-search paths pass windows already subset
             kr = kde_ops.compute_kde_hybrid(samples, win_by_chr, step,
-                                            ind_idx=ind_idx, log=log)
+                                            ind_idx=ind_idx, log=log,
+                                            grid=grid)
             if kr is not None:
                 return kr
         return kde_ops.compute_kde(samples, log,
                                    device=(st.engine == "fast"),
-                                   mesh=st.mesh)
+                                   mesh=st.mesh, grid=grid)
     if st.engine == "fast" and st.mesh is None:
         try:
             kr = kde_ops.compute_kde_wins(win_by_chr, step, ind_idx=ind_idx,
