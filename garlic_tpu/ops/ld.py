@@ -31,25 +31,55 @@ from typing import Optional
 import numpy as np
 
 
+def geno_hom_counts(genotypes: np.ndarray):
+    """(hom, total) int64 [L] count planes behind geno_hom_freq — exact
+    integers, so per-host partials sum across a cluster and one division
+    reproduces the full-panel frequency bit-for-bit."""
+    valid = genotypes != -9
+    hom = valid & (genotypes != 1)
+    return hom.sum(axis=0).astype(np.int64), valid.sum(axis=0).astype(np.int64)
+
+
+def geno_hom_freq_from_counts(hom: np.ndarray, total: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return hom.astype(np.float64) / total.astype(np.float64)
+
+
 def geno_hom_freq(genotypes: np.ndarray) -> np.ndarray:
     """Per-locus frequency of homozygous genotypes over non-missing calls
     (calculateGenoFreq, src/garlic-data.cpp:656-676).  total==0 yields nan,
     as in the reference (0/0)."""
-    valid = genotypes != -9
-    hom = valid & (genotypes != 1)
-    total = valid.sum(axis=0).astype(np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return hom.sum(axis=0).astype(np.float64) / total
+    hom, total = geno_hom_counts(genotypes)
+    return geno_hom_freq_from_counts(hom, total)
 
 
-def pair_ld_hr2(genotypes: np.ndarray, hom_freq: np.ndarray, winsize: int,
-                sub_idx: Optional[np.ndarray] = None) -> np.ndarray:
-    """P [L, W] float64 with P[m, d] = hr2(m, m+d) for d in [1, W-1]
-    (P[:, 0] unused; out-of-range entries 0)."""
+def pair_counts_hr2(genotypes: np.ndarray, winsize: int,
+                    sub_idx: Optional[np.ndarray] = None):
+    """(num, den) int64 [L, winsize] joint count planes: num[m, d] =
+    #(both hom at m, m+d), den[m, d] = #(both valid), d in [1, W-1] —
+    exact integers, so per-host partials over row blocks sum across a
+    cluster and the divisions below reproduce the full-panel pair LD
+    bit-for-bit."""
     g = genotypes if sub_idx is None else genotypes[sub_idx]
     I, L = g.shape
     valid = (g != -9)
     homv = valid & (g != 1)
+    num = np.zeros((L, winsize), dtype=np.int64)
+    den = np.zeros((L, winsize), dtype=np.int64)
+    for d in range(1, winsize):
+        if d >= L:
+            break
+        num[:L - d, d] = (homv[:, :-d] & homv[:, d:]).sum(axis=0)
+        den[:L - d, d] = (valid[:, :-d] & valid[:, d:]).sum(axis=0)
+    return num, den
+
+
+def pair_ld_hr2_from_counts(num: np.ndarray, den: np.ndarray,
+                            hom_freq: np.ndarray,
+                            winsize: int) -> np.ndarray:
+    """P from the joint count planes — the exact arithmetic sequence of
+    the fused pair_ld_hr2 (hr2, src/garlic-data.cpp:558-583)."""
+    L = num.shape[0]
     P = np.zeros((L, winsize), dtype=np.float64)
     HA = hom_freq
     ok_h = (HA > 0) & (HA < 1)
@@ -57,11 +87,8 @@ def pair_ld_hr2(genotypes: np.ndarray, hom_freq: np.ndarray, winsize: int,
     for d in range(1, winsize):
         if d >= L:
             break
-        # joint counts over the subsample (integer, exact)
-        both_valid = valid[:, :-d] & valid[:, d:]
-        both_hom = homv[:, :-d] & homv[:, d:]
-        total = both_valid.sum(axis=0).astype(np.float64)
-        hab = both_hom.sum(axis=0).astype(np.float64)
+        total = den[:L - d, d].astype(np.float64)
+        hab = num[:L - d, d].astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             hab = hab / total
             h = hab - HA[:-d] * HA[d:]
@@ -72,18 +99,27 @@ def pair_ld_hr2(genotypes: np.ndarray, hom_freq: np.ndarray, winsize: int,
     return P
 
 
-def pair_ld_r2(genotypes: np.ndarray, first_copy: np.ndarray,
-               freq: np.ndarray, winsize: int,
-               sub_idx: Optional[np.ndarray] = None) -> np.ndarray:
-    """P [L, W] float64 with P[m, d] = r2(m, m+d) (phased path)."""
+def pair_ld_hr2(genotypes: np.ndarray, hom_freq: np.ndarray, winsize: int,
+                sub_idx: Optional[np.ndarray] = None) -> np.ndarray:
+    """P [L, W] float64 with P[m, d] = hr2(m, m+d) for d in [1, W-1]
+    (P[:, 0] unused; out-of-range entries 0)."""
+    num, den = pair_counts_hr2(genotypes, winsize, sub_idx)
+    return pair_ld_hr2_from_counts(num, den, hom_freq, winsize)
+
+
+def pair_counts_r2(genotypes: np.ndarray, first_copy: np.ndarray,
+                   winsize: int,
+                   sub_idx: Optional[np.ndarray] = None):
+    """(x11, bv) int64 [L, winsize] count planes for the phased r2 pair
+    LD: x11[m, d] = the haplotype-count accumulation
+    (src/garlic-data.cpp:594-607), bv[m, d] = #(both valid) — exact
+    integers, psum-able across row blocks."""
     g = genotypes if sub_idx is None else genotypes[sub_idx]
     fc = first_copy if sub_idx is None else first_copy[sub_idx]
     I, L = g.shape
     valid = (g != -9)
-    P = np.zeros((L, winsize), dtype=np.float64)
-    p = freq
-    ok = (p > 0) & (p < 1)
-    denom = p * (1.0 - p)
+    x11p = np.zeros((L, winsize), dtype=np.int64)
+    bvp = np.zeros((L, winsize), dtype=np.int64)
     g2 = (g == 2)
     g1 = (g == 1)
     for d in range(1, winsize):
@@ -93,11 +129,27 @@ def pair_ld_r2(genotypes: np.ndarray, first_copy: np.ndarray,
         a2, b2 = g2[:, :-d], g2[:, d:]
         a1, b1 = g1[:, :-d], g1[:, d:]
         same_fc = fc[:, :-d] == fc[:, d:]
-        # x11 accumulation (src/garlic-data.cpp:594-607)
         x11 = (2 * (a2 & b2) + (a1 & b2) + (a2 & b1)
                + (a1 & b1 & same_fc)).astype(np.int64)
-        x11 = np.where(bv, x11, 0).sum(axis=0).astype(np.float64)
-        total = 2.0 * bv.sum(axis=0).astype(np.float64)
+        x11p[:L - d, d] = np.where(bv, x11, 0).sum(axis=0)
+        bvp[:L - d, d] = bv.sum(axis=0)
+    return x11p, bvp
+
+
+def pair_ld_r2_from_counts(x11p: np.ndarray, bvp: np.ndarray,
+                           freq: np.ndarray, winsize: int) -> np.ndarray:
+    """P from the phased count planes — the exact arithmetic sequence of
+    the fused pair_ld_r2 (r2, src/garlic-data.cpp:585-617)."""
+    L = x11p.shape[0]
+    P = np.zeros((L, winsize), dtype=np.float64)
+    p = freq
+    ok = (p > 0) & (p < 1)
+    denom = p * (1.0 - p)
+    for d in range(1, winsize):
+        if d >= L:
+            break
+        x11 = x11p[:L - d, d].astype(np.float64)
+        total = 2.0 * bvp[:L - d, d].astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             x11 = x11 / total
             D = x11 - p[:-d] * p[d:]
@@ -106,6 +158,14 @@ def pair_ld_r2(genotypes: np.ndarray, first_copy: np.ndarray,
         r2 = np.where(ok[:-d] & ok[d:], r2, 0.0)
         P[:L - d, d] = r2
     return P
+
+
+def pair_ld_r2(genotypes: np.ndarray, first_copy: np.ndarray,
+               freq: np.ndarray, winsize: int,
+               sub_idx: Optional[np.ndarray] = None) -> np.ndarray:
+    """P [L, W] float64 with P[m, d] = r2(m, m+d) (phased path)."""
+    x11p, bvp = pair_counts_r2(genotypes, first_copy, winsize, sub_idx)
+    return pair_ld_r2_from_counts(x11p, bvp, freq, winsize)
 
 
 def _pair_lookup(P: np.ndarray, m: np.ndarray, k: np.ndarray) -> np.ndarray:

@@ -589,25 +589,56 @@ def ld_band_sharded(chrom, winsize: int, phased: bool, sub_idx, mesh):
 
     from ..ops.ld import geno_hom_freq
 
-    g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
-    I, L = g.shape
+    local_mode = chrom.nind_total is not None  # per-host column-range load
+    if local_mode:
+        # this host's row block only; the LD subsample keeps the global
+        # layout and MASKS non-selected owned rows to missing (-9): pair
+        # counts then reduce over exactly the subsample, identically to
+        # the materialized-subset path, without a cross-host row shuffle
+        g = np.asarray(chrom.genotypes)
+        if sub_idx is not None:
+            rr = np.asarray(sub_idx, dtype=np.int64)
+            own = rr[(rr >= chrom.row0) & (rr < chrom.row0 + chrom.nind)] \
+                - chrom.row0
+            keep = np.zeros(g.shape[0], dtype=bool)
+            keep[own] = True
+            g = np.where(keep[:, None], g, np.int8(-9))
+        I = chrom.nind_global if sub_idx is None else int(len(sub_idx))
+        L = chrom.nloci
+        miss_dummy = np.ones(L, dtype=bool)
+        gp, _ = pad_local_for_mesh(g, miss_dummy, mesh,
+                                   chrom.nind_global)
+        L2 = gp.shape[1]
+    else:
+        g = chrom.genotypes if sub_idx is None else chrom.genotypes[sub_idx]
+        I, L = g.shape
+        gp, _, _ = pad_for_mesh(g, np.ones(L, dtype=bool), mesh)
+        L2 = gp.shape[1]
     n_sp = mesh.shape[AXIS_SP]
-    miss_dummy = np.ones(L, dtype=bool)
-    gp, _, _ = pad_for_mesh(g, miss_dummy, mesh)
-    I2, L2 = gp.shape
     check_halo_fits(L2, winsize - 1, n_sp)
 
     if phased:
         fc = chrom.first_copy if sub_idx is None else chrom.first_copy[sub_idx]
-        fcp = np.zeros((I2, L2), dtype=np.int8)
-        fcp[:I, :L] = np.asarray(fc, dtype=np.int8)
+        fcp = np.zeros(gp.shape, dtype=np.int8)
+        fcp[:np.asarray(fc).shape[0], :L] = np.asarray(fc, dtype=np.int8)
         marg = np.zeros(L2, dtype=np.float32)
         marg[:L] = np.asarray(chrom.freq, dtype=np.float32)
     else:
-        fcp = np.zeros((I2, L2), dtype=np.int8)  # unused placeholder
+        fcp = np.zeros(gp.shape, dtype=np.int8)  # unused placeholder
         marg = np.zeros(L2, dtype=np.float32)
         # full-panel marginal homozygosity freqs (src/garlic-data.cpp:648)
-        marg[:L] = np.nan_to_num(geno_hom_freq(chrom.genotypes))
+        if local_mode:
+            from ..ops.ld import geno_hom_counts, geno_hom_freq_from_counts
+            from jax.experimental import multihost_utils
+            hom, tot = geno_hom_counts(chrom.genotypes)
+            # x64 REQUIRED: allgather silently downcasts int64 without it
+            with jax.enable_x64(True):
+                planes = np.asarray(multihost_utils.process_allgather(
+                    np.stack([hom, tot])[None], tiled=True))
+            marg[:L] = np.nan_to_num(geno_hom_freq_from_counts(
+                planes[:, 0].sum(axis=0), planes[:, 1].sum(axis=0)))
+        else:
+            marg[:L] = np.nan_to_num(geno_hom_freq(chrom.genotypes))
 
     key = (id(mesh), winsize, phased)
     fn = _ld_mesh_cache.get(key)
@@ -721,7 +752,9 @@ def ld_band_sharded(chrom, winsize: int, phased: bool, sub_idx, mesh):
 
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
     ls = NamedSharding(mesh, P(AXIS_SP))
-    return fn(jax.device_put(gp, gs), jax.device_put(fcp, gs),
+    from .multihost import put_dp_sharded
+    return fn(put_dp_sharded(gp, mesh, gs, local_block=local_mode),
+              put_dp_sharded(fcp, mesh, gs, local_block=local_mode),
               jax.device_put(marg, ls))
 
 
@@ -744,7 +777,9 @@ def wlod_windows_sharded(chrom, centro, ld_dev, winsize: int, error,
     from ..ops.lod import window_missing_mask
     from ..ops.wlod import wlod_scores
 
-    I, L = chrom.genotypes.shape
+    local_mode = chrom.nind_total is not None  # per-host column-range load
+    I = chrom.nind_global
+    L = chrom.nloci
     cstart = centro.start(chrom.chrom)
     cend = centro.end(chrom.chrom)
     nwin = max(L - winsize + 1, 0)
@@ -753,9 +788,16 @@ def wlod_windows_sharded(chrom, centro, ld_dev, winsize: int, error,
     I2 = -(-I // n_dp) * n_dp
     check_halo_fits(L2, winsize - 1, mesh.shape[AXIS_SP])
 
+    # per-locus weighted scores for the rows THIS HOST holds (the whole
+    # panel on replicated loads); pad rows contribute 0-score windows,
+    # clipped by DeviceWin.nind exactly like the unweighted path
     score = wlod_scores(chrom, error, use_gl, mu, M).astype(np.float32)
-    sp_arr = np.zeros((I2, L2), dtype=np.float32)
-    sp_arr[:I, :L] = score
+    if local_mode:
+        sp_arr = np.zeros((I2 // jax.process_count(), L2),
+                          dtype=np.float32)
+    else:
+        sp_arr = np.zeros((I2, L2), dtype=np.float32)
+    sp_arr[:score.shape[0], :L] = score
     miss_p = np.ones(L2, dtype=bool)
     if nwin > 0:
         miss_p[:nwin] = window_missing_mask(chrom.positions, winsize,
@@ -799,8 +841,9 @@ def wlod_windows_sharded(chrom, centro, ld_dev, winsize: int, error,
 
     gs = NamedSharding(mesh, P(AXIS_DP, AXIS_SP))
     ls = NamedSharding(mesh, P(AXIS_SP))
-    win, tsc = fn(jax.device_put(sp_arr, gs), ld_dev,
-                  jax.device_put(miss_p, ls))
+    from .multihost import put_dp_sharded
+    win, tsc = fn(put_dp_sharded(sp_arr, mesh, gs, local_block=local_mode),
+                  ld_dev, jax.device_put(miss_p, ls))
     return DeviceWin(win=win, nind=I, nloci=L, tie_scale=tsc)
 
 

@@ -398,10 +398,15 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # come from the production count psum (allele_freq_counts_sharded).
     # Engaged on row-aligned unweighted runs; exploration modes that
     # subset individuals host-side keep the replicated full parse.
+    # Round 5 extends per-host input to weighted runs (unphased: the
+    # range parser does not emit first-copy bits): the LD band's pair
+    # counts psum over the distributed rows, the exact band for the tie
+    # patrol / Phase-II sampler reassembles from psum'd integer count
+    # planes, and hom freqs psum like allele freqs.
     col_range = None
     if (_nproc > 1 and engine == "fast" and mesh is not None
-            and not weighted and not cm
-            and not auto_winsize and not winsize_explore):
+            and not (weighted and phased) and not cm
+            and not (winsize_explore and weighted)):
         from .parallel.multihost import dp_layout_aligned
         # missing-file guard: peek_nind would raise a raw FileNotFoundError
         # here, before load_tped's clean logged-ERROR path (ADVICE r4);
@@ -675,10 +680,18 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             # the weighted tie patrol shares.  The reference's Phase II
             # is the same computeKDE for weighted runs
             # (src/garlic-main.cpp:374-378, src/garlic-kde.cpp:14-140).
-            st.exact_sampler = \
-                lambda wq, step, rows: _exact_thinned_wsamples(
-                    ds.chroms, centro, wq, error, max_gap, use_gl, step,
-                    rows, mu, M, phased, sub_idx, wpair_cache)
+            # Per-host column-range loads pool owned rows against the
+            # psum'd global pair band and allgather in rank order.
+            if col_range is not None:
+                st.exact_sampler = \
+                    lambda wq, step, rows: _exact_thinned_wsamples_sharded(
+                        ds.chroms, centro, wq, error, max_gap, use_gl,
+                        step, rows, mu, M, phased, sub_idx, wpair_cache)
+            else:
+                st.exact_sampler = \
+                    lambda wq, step, rows: _exact_thinned_wsamples(
+                        ds.chroms, centro, wq, error, max_gap, use_gl,
+                        step, rows, mu, M, phased, sub_idx, wpair_cache)
             if _nproc == 1 and ds.panel_cache_file is not None \
                     and nresample == 0:
                 from .io.poolcache import PoolCache, pool_key
@@ -802,38 +815,56 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         # one) and tie_delta here is only the 256*eps*W FACTOR (same
         # calibrated margin class as _tie_band; the reference's wLOD
         # windows are fresh sums, so the per-window f64 verification is
-        # its exact value).  Weighted runs always hold the full panel on
-        # every host (column-range loading excludes them), so
-        # multi-process verification is local and identical everywhere.
+        # its exact value).  Replicated multi-process runs verify locally
+        # and identically everywhere; per-host column-range runs (round
+        # 5) verify owned rows against the exact band assembled from the
+        # psum'd global pair counts and merge via _owned_row_patrol.
         tie_delta = 256.0 * 2.0 ** -23 * winsize
         _wband_cache = {}
 
-        def exact_cover(ci, rows):
-            from .ops.assembly import (coverage_counts_batch,
-                                       overlap_threshold)
+        def _wband(ci):
             if ci not in _wband_cache:
                 # assemble the exact band from the pair band the Phase-II
                 # sampler may already have memoized (identical values:
                 # calc_ld(engine="exact") == assemble_ld_exact(pair_ld))
-                _wband_cache[ci] = ld_ops.assemble_ld_exact(
-                    _wpair_band(ds.chroms, ci, winsize, phased, sub_idx,
-                                wpair_cache), winsize)
+                P = (_wpair_band_sharded(ds.chroms, ci, winsize, phased,
+                                         sub_idx, wpair_cache)
+                     if sharded_rows else
+                     _wpair_band(ds.chroms, ci, winsize, phased, sub_idx,
+                                 wpair_cache))
+                _wband_cache[ci] = ld_ops.assemble_ld_exact(P, winsize)
+            return _wband_cache[ci]
+
+        def _wcover_local(ci, rows):
+            from .ops.assembly import (coverage_counts_batch,
+                                       overlap_threshold)
+            band = _wband(ci)  # collective on sharded runs: always first
             thr = overlap_threshold(overlap_frac, winsize)
             rows = np.asarray(rows, dtype=np.int64)
             out = []
             for s in range(0, rows.size, 64):  # bound [k, L] temporaries
                 sub = _subset_chrom(ds.chroms[ci], rows[s:s + 64])
-                w = wlod_ops.wlod_windows(sub, centro, _wband_cache[ci],
+                w = wlod_ops.wlod_windows(sub, centro, band,
                                           winsize, error, max_gap, use_gl,
                                           mu, M)
                 out.append(coverage_counts_batch(w >= lod_cutoff,
                                                  winsize) >= thr)
-            return np.concatenate(out, axis=0)
+            return np.concatenate(out, axis=0) if out else \
+                np.zeros((0, ds.chroms[ci].nloci), dtype=bool)
 
-        def exact_window(ci, rows, wins, sides):
+        def _wwindow_local(ci, rows, wins, sides):
+            P = (_wpair_band_sharded(ds.chroms, ci, winsize, phased,
+                                     sub_idx, wpair_cache)
+                 if sharded_rows else wpair_cache.get((ci, winsize)))
             return _exact_wlod_window_flips(
                 ds.chroms[ci], rows, wins, sides, winsize, error, use_gl,
-                mu, M, phased, sub_idx, lod_cutoff)
+                mu, M, phased, sub_idx, lod_cutoff, P=P)
+
+        if sharded_rows:
+            exact_cover, exact_window = _owned_row_patrol(
+                ds, _wcover_local, _wwindow_local)
+        else:
+            exact_cover, exact_window = _wcover_local, _wwindow_local
 
     roh_by_ind, lengths = assembly.assemble_roh(
         win_by_chr, ds.chroms, ds.ind_ids, centro, lod_cutoff, winsize,
@@ -1058,7 +1089,8 @@ def _wlod_score_slice(c, i: int, w: int, W: int, error, use_gl: bool,
 
 def _exact_wlod_window_flips(c, rows, wins, sides, winsize: int, error,
                              use_gl: bool, mu: float, M: int, phased: bool,
-                             sub_idx, cutoff: float) -> np.ndarray:
+                             sub_idx, cutoff: float,
+                             P: np.ndarray = None) -> np.ndarray:
     """Weighted tie-patrol verification: per suspect (row, window), does
     the f64 decision flip versus the device's f32 one?
 
@@ -1067,22 +1099,32 @@ def _exact_wlod_window_flips(c, rows, wins, sides, winsize: int, error,
     recomputation is the oracle's exact value, not an approximation: the
     window's LD row comes from the locus slice [w, w+W) alone (the band
     entries only involve in-window pairs) through the same pair formulas
-    and per-entry summation order as ops/ld.py's exact engine."""
+    and per-entry summation order as ops/ld.py's exact engine.
+
+    P: optional full pair band (the sampler/patrol memo, or the psum'd
+    GLOBAL band on per-host column-range runs — REQUIRED there, since
+    local rows alone cannot reproduce full-panel pair counts); band rows
+    then assemble from it with the identical k-loop order."""
     from .ops import ld as ld_ops
     flips = np.empty(len(rows), dtype=bool)
     band_rows = {}
     for k in range(len(rows)):
         i, w = int(rows[k]), int(wins[k])
         if w not in band_rows:
-            gsl = _geno_cols_slice(c, w, winsize)
-            if phased:
-                P = ld_ops.pair_ld_r2(gsl, c.first_copy[:, w:w + winsize],
-                                      c.freq[w:w + winsize], winsize,
-                                      sub_idx)
+            if P is not None:
+                band_rows[w] = ld_ops.assemble_ld_exact_rows(
+                    P, winsize, np.array([w]))[0]
             else:
-                hf = ld_ops.geno_hom_freq(gsl)
-                P = ld_ops.pair_ld_hr2(gsl, hf, winsize, sub_idx)
-            band_rows[w] = ld_ops.assemble_ld_exact(P, winsize)[0]
+                gsl = _geno_cols_slice(c, w, winsize)
+                if phased:
+                    P2 = ld_ops.pair_ld_r2(gsl,
+                                           c.first_copy[:, w:w + winsize],
+                                           c.freq[w:w + winsize], winsize,
+                                           sub_idx)
+                else:
+                    hf = ld_ops.geno_hom_freq(gsl)
+                    P2 = ld_ops.pair_ld_hr2(gsl, hf, winsize, sub_idx)
+                band_rows[w] = ld_ops.assemble_ld_exact(P2, winsize)[0]
         score = _wlod_score_slice(c, i, w, winsize, error, use_gl, mu, M)
         with np.errstate(divide="ignore", invalid="ignore"):
             # a zero band entry divides to inf exactly as the reference's
@@ -1203,10 +1245,14 @@ def _owned_row_patrol(ds: Dataset, cover_local, window_local):
         rows = np.asarray(rows, dtype=np.int64)
         owned = (rows >= r0) & (rows < r0 + nown)
         kown = int(owned.sum())
+        # ALWAYS invoke, even with zero owned rows: sharded weighted
+        # implementations open collectives (the psum'd pair band) that
+        # every rank must join — the suspect set is cluster-consistent,
+        # the ownership split is not
+        cov = cover_local(ci, rows[owned] - r0)
         cov_own = np.zeros((kown, rb), dtype=np.uint8)
         if kown:
-            cov_own = np.packbits(cover_local(ci, rows[owned] - r0),
-                                  axis=1, bitorder="little")
+            cov_own = np.packbits(cov, axis=1, bitorder="little")
         n = np.array([[kown]], dtype=np.int32)
         ns = np.asarray(multihost_utils.process_allgather(
             n, tiled=True))[:, 0]
@@ -1230,10 +1276,11 @@ def _owned_row_patrol(ds: Dataset, cover_local, window_local):
         rows = np.asarray(rows, dtype=np.int64)
         owned = (rows >= r0) & (rows < r0 + nown)
         flips = np.zeros(rows.size, dtype=bool)
-        if owned.any():
-            flips[owned] = window_local(
-                ci, rows[owned] - r0, np.asarray(wins)[owned],
-                np.asarray(sides)[owned])
+        # always invoke (see exact_cover): collectives inside must run
+        # on every rank even when this one owns no suspect rows
+        flips[owned] = window_local(
+            ci, rows[owned] - r0, np.asarray(wins)[owned],
+            np.asarray(sides)[owned])
         return _merge(flips)
 
     return exact_cover, exact_window
@@ -1321,6 +1368,121 @@ def _wpair_band(chroms, ci: int, winsize: int, phased: bool, sub_idx,
         P = ld_ops.pair_ld(chroms[ci], winsize, phased, sub_idx)
         cache[key] = P
     return P
+
+
+def _wpair_band_sharded(chroms, ci: int, winsize: int, phased: bool,
+                        sub_idx, cache: dict) -> np.ndarray:
+    """GLOBAL exact pairwise LD band on per-host column-range input:
+    per-host integer joint-count planes over owned rows (the global
+    --ld-subsample reduces to owned-row intersection, matching the LD
+    engine's masking) psum across the cluster, then the exact division
+    sequence (pair_ld_*_from_counts) — bit-identical to the full-panel
+    pair band.  COLLECTIVE: every rank must call this for the same
+    (chromosome, winsize) sequence.  Memoized like _wpair_band."""
+    key = (ci, winsize)
+    P = cache.get(key)
+    if P is not None:
+        return P
+    import jax
+    from jax.experimental import multihost_utils
+    c = chroms[ci]
+    rows = None
+    if sub_idx is not None:
+        rr = np.asarray(sub_idx, dtype=np.int64)
+        rows = rr[(rr >= c.row0) & (rr < c.row0 + c.nind)] - c.row0
+    g = c.genotypes if rows is None else c.genotypes[rows]
+    if phased:
+        fcl = c.first_copy if rows is None else c.first_copy[rows]
+        n1, n2 = ld_ops.pair_counts_r2(g, fcl, winsize)
+    else:
+        n1, n2 = ld_ops.pair_counts_hr2(g, winsize)
+    # marginal hom freqs over ALL individuals (never subsampled,
+    # src/garlic-data.cpp:648)
+    hom, tot = ld_ops.geno_hom_counts(c.genotypes)
+    flat = np.concatenate([n1.reshape(-1), n2.reshape(-1), hom, tot])
+    # x64 REQUIRED: allgather silently downcasts int64 without it
+    with jax.enable_x64(True):
+        planes = np.asarray(multihost_utils.process_allgather(
+            flat[None], tiled=True))
+    tot_planes = planes.sum(axis=0)
+    sz = n1.size
+    n1g = tot_planes[:sz].reshape(n1.shape)
+    n2g = tot_planes[sz:2 * sz].reshape(n1.shape)
+    if phased:
+        P = ld_ops.pair_ld_r2_from_counts(n1g, n2g, c.freq, winsize)
+    else:
+        HA = ld_ops.geno_hom_freq_from_counts(
+            tot_planes[2 * sz:2 * sz + hom.size],
+            tot_planes[2 * sz + hom.size:])
+        P = ld_ops.pair_ld_hr2_from_counts(n1g, n2g, HA, winsize)
+    cache[key] = P
+    return P
+
+
+def _exact_thinned_wsamples_sharded(chroms, centro, winsize: int, error,
+                                    max_gap: int, use_gl: bool, step: int,
+                                    rows, mu: float, M: int, phased: bool,
+                                    sub_idx, pair_cache: dict) -> np.ndarray:
+    """_exact_thinned_wsamples on per-host column-range input: the exact
+    band assembles identically on every host from the psum'd global pair
+    counts; each host pools its owned rows' f64 thinned wLOD windows and
+    the per-chromosome pools concatenate in rank order (rank r holds
+    global rows [r*per, (r+1)*per), so rank order IS the reference's
+    pooling order)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .core.types import MISSING
+    from .ops.lod import window_missing_mask
+    out = []
+    for ci, c in enumerate(chroms):
+        L = c.nloci
+        nwin = L - winsize + 1
+        r0, nown = c.row0, c.nind
+        if rows is None:
+            local_rows = np.arange(nown, dtype=np.int64)
+        else:
+            rr = np.asarray(rows, dtype=np.int64)
+            local_rows = rr[(rr >= r0) & (rr < r0 + nown)] - r0
+        part = np.zeros(0, dtype=np.float64)
+        if nwin > 0:
+            # collective — unconditional on every rank (local_rows may
+            # be empty here while another rank owns samples)
+            P = _wpair_band_sharded(chroms, ci, winsize, phased, sub_idx,
+                                    pair_cache)
+            ws = np.arange(0, nwin, step)
+            missing = window_missing_mask(
+                c.positions, winsize, max_gap, centro.start(c.chrom),
+                centro.end(c.chrom))[ws]
+            inv = 1.0 / ld_ops.assemble_ld_exact_rows(P, winsize, ws)
+            parts = []
+            for s in range(0, local_rows.size, 64):
+                sub = _subset_chrom(c, local_rows[s:s + 64])
+                score = wlod_ops.wlod_scores(sub, error, use_gl, mu, M)
+                acc = np.zeros((score.shape[0], ws.size), dtype=np.float64)
+                for j in range(winsize):
+                    acc = acc + score[:, ws + j] * inv[:, j][None, :]
+                w = np.where(missing[None, :], float(MISSING), acc)
+                flat = w.reshape(-1)
+                m2 = (flat != MISSING) & ~np.isnan(flat)
+                parts.append(flat[m2])
+            if parts:
+                part = np.concatenate(parts)
+        # rank-padded allgather (see _exact_thinned_samples_sharded)
+        with jax.enable_x64(True):
+            n = np.array([part.shape[0]], dtype=np.int64)
+            ns = np.asarray(multihost_utils.process_allgather(
+                n[None], tiled=True))[:, 0]
+            cap = int(ns.max())
+            if cap == 0:
+                continue
+            pad = np.zeros(cap, dtype=np.float64)
+            pad[:part.shape[0]] = part
+            allp = np.asarray(multihost_utils.process_allgather(
+                pad[None], tiled=True))
+        for r in range(allp.shape[0]):
+            out.append(allp[r, :int(ns[r])])
+    return np.concatenate(out) if out else np.zeros(0)
 
 
 def _exact_thinned_wsamples(chroms, centro, winsize: int, error,
@@ -1561,6 +1723,16 @@ def _subset_for_kde(st: PipelineState, ds: Dataset, kde_subsample: int):
     return idx
 
 
+def _sharded_rows_mode(ds: Dataset) -> bool:
+    """True on per-host column-range loads: winsize-search Phase I then
+    keeps the FULL (distributed) panel and the KDE row subset applies
+    downstream — global indices can't subset a local row block, and the
+    device search windows are cheap at full width (the reference's
+    subsetData existed to bound single-core CPU cost,
+    src/garlic-data.cpp:2171)."""
+    return bool(ds.chroms) and ds.chroms[0].nind_total is not None
+
+
 def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
                     step: int, error: float, use_gl: bool, max_gap: int,
                     kde_subsample: int, outfile: str, thin: bool):
@@ -1568,14 +1740,17 @@ def _select_winsize(st: PipelineState, ds: Dataset, centro, winsize: int,
     the wiggle metric <= 0.5."""
     log = st.log
     ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    sharded = _sharded_rows_mode(ds)
     log.log("Searching for acceptable window size, smoothness threshold:",
             AUTO_WINSIZE_THRESHOLD)
     log.log("winsize\tsmoothness")
     wq = winsize
     while True:
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
-                                       use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                                       use_gl,
+                                       ind_idx=None if sharded else ind_idx)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1,
+                              ind_idx if sharded else None, log,
                               exact=(wq, ind_idx))
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
@@ -1594,13 +1769,16 @@ def _select_winsize_from_list(st: PipelineState, ds: Dataset, centro,
     """selectWinsizeFromList (src/garlic-roh.cpp:852-933)."""
     log = st.log
     ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    sharded = _sharded_rows_mode(ds)
     log.log("Searching for acceptable window size, smoothness threshold:",
             AUTO_WINSIZE_THRESHOLD)
     log.log("winsize\tsmoothness")
     for i, wq in enumerate(multi):
         win_by_chr = _calc_lod_windows(st, ds, centro, wq, error, max_gap,
-                                       use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                                       use_gl,
+                                       ind_idx=None if sharded else ind_idx)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1,
+                              ind_idx if sharded else None, log,
                               exact=(wq, ind_idx))
         mse = wiggle_ops.calculate_wiggle(kr)
         log.log("", wq, nl=False)
@@ -1621,6 +1799,7 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
     winsize and exit."""
     log = st.log
     ind_idx = _subset_for_kde(st, ds, kde_subsample) if kde_subsample > 0 else None
+    sharded = _sharded_rows_mode(ds)
     for wq in multi:
         if weighted:
             sub_idx = _ld_subsample_idx(ds.nind, ld_subsample, st.rng)
@@ -1668,7 +1847,10 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
             print(file=sys.stderr)
         else:
             win_by_chr = _calc_lod_windows(st, ds, centro, wq, error,
-                                           max_gap, use_gl, ind_idx=ind_idx)
-        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1, None, log,
+                                           max_gap, use_gl,
+                                           ind_idx=None if sharded
+                                           else ind_idx)
+        kr = _compute_kde_for(st, win_by_chr, wq if thin else 1,
+                              ind_idx if sharded else None, log,
                               exact=(wq, ind_idx))
         kdefile.write_kde(kr, kdefile.make_kde_filename(outfile, wq), log)
