@@ -76,7 +76,8 @@ class ChromData:
     __slots__ = ("chrom", "positions", "gpos", "locus_names", "alleles",
                  "_geno", "freq", "first_copy", "_gl", "gl_codes", "gl_lut",
                  "_geno2b", "_geno2b_thunk", "_nind", "geno2b_digest",
-                 "nind_total", "row0", "freq_num", "freq_den")
+                 "nind_total", "row0", "freq_num", "freq_den",
+                 "geno2b_parent")
 
     def __init__(self, chrom: str, positions: np.ndarray, gpos: np.ndarray,
                  locus_names, alleles: np.ndarray,
@@ -117,6 +118,13 @@ class ChromData:
         self.row0 = row0
         self.freq_num = freq_num
         self.freq_den = freq_den
+        # (parent_packed_u8, kept_parent_col_idx): set by the monomorphic
+        # filter when the column compaction is deferred — sparse consumers
+        # (the tie patrol's suspect-window gather) decode the few bytes
+        # they need straight from the UNFILTERED payload instead of
+        # forcing the whole-matrix compaction thunk (~20 ms/chromosome on
+        # warm WGS runs whose device-cache hit never needs the bytes)
+        self.geno2b_parent = None
 
     @property
     def gl(self) -> Optional[np.ndarray]:

@@ -86,7 +86,7 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
             digest = derived_digest(c.geno2b_digest, keep)
     if geno2b_thunk is None:
         geno = _compact(c.genotypes, keep)
-    return ChromData(
+    out = ChromData(
         chrom=c.chrom,
         positions=c.positions[idx],
         gpos=c.gpos[idx],
@@ -106,6 +106,11 @@ def _apply(c: ChromData, keep: np.ndarray) -> ChromData:
         nind_total=c.nind_total,
         row0=c.row0,
     )
+    if geno2b_thunk is not None:
+        # sparse consumers can decode straight from the unfiltered parent
+        # payload without firing the compaction (ChromData.geno2b_parent)
+        out.geno2b_parent = (c.geno2b, idx)
+    return out
 
 
 def filter_monomorphic(chroms: List[ChromData]) -> tuple[List[ChromData], int]:

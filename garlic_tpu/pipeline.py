@@ -1206,6 +1206,16 @@ def _geno_windows_batch(c, rows: np.ndarray, wins: np.ndarray,
     if not c.geno_is_packed_only:
         cols = wins[:, None] + np.arange(W)
         return np.asarray(c.genotypes)[rows[:, None], cols]
+    if c._geno2b is None and c.geno2b_parent is not None:
+        # compaction still deferred: decode per-element from the
+        # UNFILTERED parent payload via the kept-column index map —
+        # [k, W] byte gathers instead of firing the whole-matrix
+        # compaction thunk (~20 ms/chromosome on warm WGS runs)
+        pb, idx = c.geno2b_parent
+        pidx = idx[wins[:, None] + np.arange(W)]       # parent columns
+        byts = pb[rows[:, None], pidx >> 2]
+        g = (byts >> ((pidx & 3) * 2)) & 3
+        return np.where(g == 3, -9, g).astype(np.int8)
     rb = c.geno2b.shape[1]
     nbytes = W // 4 + 2  # covers any w%4 alignment
     bidx = np.minimum(wins[:, None] // 4 + np.arange(nbytes), rb - 1)
