@@ -138,3 +138,20 @@ def test_oracle_rejects_same_flags(oracle_bin, tmp_path):
             capture_output=True, text=True, timeout=60)
         combined = (r.stdout + r.stderr).lower()
         assert "error" in combined, extra
+
+
+def test_engine_auto_resolution(monkeypatch):
+    """--tpu-engine auto resolves to the TPU fast engine when a TPU
+    backend is attached (round 5: the tie patrol makes fast == exact BED
+    by construction and Phase II pools exact f64 samples on both
+    engines) and to exact everywhere else."""
+    import jax
+
+    from garlic_tpu.pipeline import _resolve_engine
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _resolve_engine("auto") == "fast"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _resolve_engine("auto") == "exact"
+    assert _resolve_engine("fast") == "fast"
+    assert _resolve_engine("exact") == "exact"
