@@ -281,16 +281,19 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
     (_repair_rows).  exact_cover(ci, rows) -> bool [len(rows), nloci]
     exact coverage; exact_window(ci, rows, wins, sides) -> bool flip
     mask (f64 decision differs from the device's f32 one)."""
-    from .device_win import covered_dispatch, is_device_win, is_lazy_win
+    from .device_win import (covered_dispatch, is_device_win, is_fused_cov,
+                             is_lazy_win)
     threshold = overlap_threshold(overlap_frac, winsize)
     nind = len(ind_ids)
     # enqueue every resident chromosome's coverage kernels up front so
     # chromosome N+1's device compute overlaps chromosome N's host-side
     # fetch + run scan (LazyWin stays sequential: it rematerializes to
-    # bound HBM)
+    # bound HBM); FusedCov entries run the fused Phase-I+coverage Pallas
+    # program here (pinned-cutoff runs: the window matrix never exists)
     t0 = time.perf_counter()
     handles = [covered_dispatch(w, cutoff, winsize, threshold, tie_delta)
-               if is_device_win(w) else None for w in win_by_chr]
+               if is_device_win(w) or is_fused_cov(w) else None
+               for w in win_by_chr]
     t0 = _tmark("dispatch-all", t0)
     per_chrom = []
     for ci, chrom in enumerate(chroms):
@@ -303,7 +306,7 @@ def assemble_roh(win_by_chr, chroms, ind_ids: List[str],
                                   exact_window=exact_window, ci=ci)
         if runs is None:
             w = win_by_chr[ci]
-            if is_lazy_win(w):
+            if is_lazy_win(w) or is_fused_cov(w):
                 w = w.make()
             covered = None
             if is_device_win(w):

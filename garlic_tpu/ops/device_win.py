@@ -111,6 +111,53 @@ def is_lazy_win(obj) -> bool:
     return isinstance(obj, LazyWin)
 
 
+class FusedCov:
+    """Deferred fused Phase-I + coverage dispatch (pinned-cutoff fast
+    runs on TPU): the window matrix never materializes — covered bits,
+    tie-patrol suspect flags, and above-flags come straight out of one
+    Pallas program (ops.pallas_lod._covered_pallas_padded), saving the
+    2.1 GB win write + the coverage program's re-read at WGS scale.
+    covered_dispatch detects it; make() falls back to the ordinary
+    DeviceWin for any consumer that genuinely needs window scores.
+
+    handle: a covered_dispatch result pre-enqueued during Phase I (the
+    pinned cutoff/threshold/tie band are all known there), so the fused
+    programs overlap the load/freq/filter tail instead of starting at
+    assembly."""
+
+    __slots__ = ("chrom", "centro", "winsize", "error", "max_gap",
+                 "handle")
+
+    def __init__(self, chrom, centro, winsize: int, error: float,
+                 max_gap: int):
+        self.chrom = chrom
+        self.centro = centro
+        self.winsize = winsize
+        self.error = error
+        self.max_gap = max_gap
+        self.handle = None
+
+    @property
+    def nind(self) -> int:
+        return self.chrom.nind
+
+    @property
+    def nloci(self) -> int:
+        return self.chrom.nloci
+
+    @property
+    def shape(self):
+        return (self.nind, self.nloci)
+
+    def make(self) -> DeviceWin:
+        return lod_windows_device(self.chrom, self.centro, self.winsize,
+                                  self.error, self.max_gap, False)
+
+
+def is_fused_cov(obj) -> bool:
+    return isinstance(obj, FusedCov)
+
+
 def lod_windows_device(chrom, centro, winsize: int, error: float,
                        max_gap: int, use_gl: bool) -> DeviceWin:
     """Phase-I fast path with NO host transfer (cf. ops.lod.calc_lod_windows
@@ -507,12 +554,23 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
     tie_delta of the cutoff (the f32 error band); the flags ride the
     same D2H payload and covered_fetch returns them alongside the bits.
     When the DeviceWin carries a tie_scale (weighted paths), tie_delta
-    is a FACTOR multiplied by that device scalar — no host sync."""
+    is a FACTOR multiplied by that device scalar — no host sync.
+
+    A FusedCov input runs the fused Phase-I+coverage Pallas program
+    instead (no window matrix); on ineligibility it degrades to making
+    the DeviceWin and taking the split path."""
     global _covered_jit, _edges_jit
     import os
 
     import jax.numpy as jnp
 
+    if is_fused_cov(dwin):
+        if dwin.handle is not None:  # pre-enqueued during Phase I
+            return dwin.handle
+        h = _dispatch_fused(dwin, cutoff, winsize, threshold, tie_delta)
+        if h is not None:
+            return h
+        dwin = dwin.make()
     if tie_delta and getattr(dwin, "tie_scale", None) is not None:
         tie_delta = jnp.float32(tie_delta) * dwin.tie_scale
     # coverage counts are exact integers, so `count >= threshold` over
@@ -537,15 +595,97 @@ def covered_dispatch(dwin: DeviceWin, cutoff: float, winsize: int,
     return ("bitmap", dwin, cutoff, winsize, threshold, tie_delta, packed)
 
 
-def _dispatch_edges(dwin: DeviceWin, cutoff: float, winsize: int,
+def _dispatch_fused(fc: FusedCov, cutoff: float, winsize: int,
+                    threshold: float, tie_delta: float):
+    """Run the fused Phase-I+coverage kernel and enqueue the edge
+    extraction on its outputs.  None -> caller degrades to the split
+    path (bitmap mode forced, no bucket slack, nwin <= 0, non-TPU, TGLS,
+    or the Pallas entry not available)."""
+    import math
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("GARLIC_TPU_COVERED") == "bitmap":
+        return None
+    c = fc.chrom
+    if not c.geno_is_packed_only and c._geno is None:
+        return None
+    try:
+        if jax.default_backend() != "tpu" \
+                and not os.environ.get("GARLIC_TPU_FUSED_INTERPRET"):
+            return None
+    except Exception:
+        return None
+    from .lod import window_missing_mask
+    from .pallas_lod import (_chrom_key, covered_pallas_prepacked_raw,
+                             pack_genotypes)
+    W = winsize
+    nwin = max(c.nloci - W + 1, 0)
+    if nwin <= 0:
+        return None
+    missing = window_missing_mask(c.positions, W, fc.max_gap,
+                                  fc.centro.start(c.chrom),
+                                  fc.centro.end(c.chrom))
+    thr = float(math.ceil(threshold))
+    interp = bool(os.environ.get("GARLIC_TPU_FUSED_INTERPRET"))
+    if c.geno_is_packed_only:
+        r = covered_pallas_prepacked_raw(
+            lambda: c.geno2b, c.nloci, c.freq, fc.error, missing, W,
+            cutoff, thr, tie_delta, key=_chrom_key(c), I=c.nind,
+            interpret=interp)
+    else:
+        r = covered_pallas_prepacked_raw(
+            pack_genotypes(np.ascontiguousarray(
+                _pad4_cols(c.genotypes))), c.nloci, c.freq, fc.error,
+            missing, W, cutoff, thr, tie_delta, interpret=interp)
+    if r is None:
+        return None
+    cov, susw, abv, _ = r
+    sus = jnp.any(susw, axis=1)
+    I2, N = cov.shape
+    outw = nwin + W - 1
+    if I2 * N >= 2**31:
+        return None
+    return _dispatch_edges(("arrays", cov, sus, susw, abv, I2, N, outw),
+                           cutoff, winsize, thr, tie_delta, 0)
+
+
+def _pad4_cols(geno: np.ndarray) -> np.ndarray:
+    """Pad the locus axis to a multiple of 4 with missing codes (the
+    2-bit packer consumes whole bytes)."""
+    I, L = geno.shape
+    Lp = -(-L // 4) * 4
+    if Lp == L:
+        return geno
+    gp = np.full((I, Lp), -9, dtype=np.int8)
+    gp[:, :L] = geno
+    return gp
+
+
+def _dispatch_edges(src, cutoff: float, winsize: int,
                     threshold: float, tie_delta: float, tier: int):
+    """src: a DeviceWin (split path — the XLA coverage program runs
+    here) or an ("arrays", covered, sus, susw, above, I, N, outw) tuple
+    from the fused Pallas path (coverage already computed; only the edge
+    extraction runs)."""
     global _cov_jit, _edges_jit
     import jax.numpy as jnp
 
-    if _cov_jit is None:
-        _cov_jit = _cov_kernel_factory()
     if _edges_jit is None:
         _edges_jit = _edges_kernel_factory()
+    if isinstance(src, tuple) and src[0] == "arrays":
+        _, covered, sus, susw, above, I, N, outw = src
+        cap, icap = _edge_tiers(I)[tier]
+        fused = _edges_jit(covered, sus, susw, above, jnp.int32(outw),
+                           cap, _EDGE_BLOCK, icap)
+        _start_host_copy(fused)
+        return ("edges", src, cutoff, winsize, threshold, tie_delta,
+                (fused, I, N, outw, tier))
+    dwin = src
+    if _cov_jit is None:
+        _cov_jit = _cov_kernel_factory()
     I, N = dwin.win.shape
     cap, icap = _edge_tiers(I)[tier]
     outw = N + winsize - 1
@@ -622,13 +762,44 @@ def covered_fetch(handle):
         if tier + 1 < len(tiers):  # escalate: one extra small round trip
             return covered_fetch(_dispatch_edges(
                 dwin, cutoff, winsize, threshold, tie_delta, tier + 1))
-        if _covered_jit is None:
-            _covered_jit = _covered_kernel_factory()
-        data = _covered_jit(dwin.win, jnp.float32(cutoff),
-                            jnp.float32(threshold), jnp.float32(tie_delta),
-                            winsize)
+        if isinstance(dwin, tuple) and dwin[0] == "arrays":
+            # fused source: the coverage matrix already exists — pack it
+            # (+ the sus flags as the trailing byte column) directly
+            data = _pack_covered_arrays(dwin[1], dwin[2])
+        else:
+            if _covered_jit is None:
+                _covered_jit = _covered_kernel_factory()
+            data = _covered_jit(dwin.win, jnp.float32(cutoff),
+                                jnp.float32(threshold),
+                                jnp.float32(tie_delta), winsize)
     m = to_host(data)
     return np.ascontiguousarray(m[:, :-1]), m[:, -1].astype(bool), None
+
+
+_pack_cov_jit = None
+
+
+def _pack_covered_arrays(covered, sus):
+    """Bitmap-fallback packer for the fused path: packbits the coverage
+    matrix + sus flags as a trailing byte column (same payload layout as
+    _covered_kernel_factory's)."""
+    global _pack_cov_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _pack_cov_jit is None:
+        @jax.jit
+        def _pk(cov, sus):
+            I, N = cov.shape
+            pad = (-N) % 8
+            cp = jnp.concatenate(
+                [cov, jnp.zeros((I, pad), bool)], axis=1) if pad else cov
+            return jnp.concatenate(
+                [jnp.packbits(cp, axis=1, bitorder="little"),
+                 sus[:, None].astype(jnp.uint8)], axis=1)
+
+        _pack_cov_jit = _pk
+    return _pack_cov_jit(covered, sus)
 
 
 def covered_packed(dwin: DeviceWin, cutoff: float, winsize: int,

@@ -226,6 +226,193 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
     )(a)
 
 
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _covered_pallas_padded(geno, table, missp, scal, winsize: int,
+                           block_i: int, block_l: int,
+                           interpret: bool = False):
+    """FUSED Phase-I + coverage kernel (pinned-cutoff fast runs): window
+    sums, cutoff compare, tie-patrol suspect flags, and the width-W
+    coverage count all happen in-register per tile — the [I2, NW2] f32
+    window matrix (2.1 GB at the 1000x1M scale) never reaches HBM, and
+    the separate XLA coverage program (its 2.1 GB re-read + O(log W)
+    shifted-add passes) disappears.
+
+    geno [I2, HW + NW2 + HW] int8: a LEFT halo of missing codes (-9; the
+    coverage window at SNP s looks back W-1 window starts) + the padded
+    core + the usual right halo.  table [8, same] f32 (rows 0-2 live).
+    missp [8, HW + NW2] int8 window-missing mask, rows identical
+    (left-halo slots 1; 8 rows because a [1, N] int8 DMA is sub-tile —
+    "Slice shape along dimension 0 must be aligned to tiling").
+    scal [8, 128] f32: rows 0/1/2 broadcast cutoff / ceil(threshold) /
+    tie delta (traced — one compilation serves every cutoff).
+
+    Returns (covered, susw, above) bool [I2, NW2]; coverage is valid for
+    SNPs [0, outw) provided outw = nwin + W - 1 <= NW2 (callers gate on
+    the bucket slack, which the pow2 bucketing almost always provides).
+    Window-sum f32 values are _window_sum_block's — bit-identical to the
+    split Phase-I kernel's, so every downstream decision (covered bits,
+    suspect set, calibrated tie band) is unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    I2, L2c = geno.shape
+    W = winsize
+    BI, BL = block_i, block_l
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    NW2 = L2c - 2 * HW
+
+    def kernel(geno_hbm, table_hbm, miss_hbm, scal_hbm,
+               cov_ref, susw_ref, abv_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(g_vmem, t_vmem, m_vmem, s_vmem, sems):
+            row0 = i * BI
+            col0 = j * BL
+            # geno/table cols [col0, col0 + BL + 2HW) in left-padded
+            # coords = window starts [col0 - HW, col0 + BL + HW)
+            cps = [
+                pltpu.make_async_copy(
+                    geno_hbm.at[pl.ds(row0, BI), pl.ds(col0, BL + HW)],
+                    g_vmem.at[:, 0:BL + HW], sems.at[0]),
+                pltpu.make_async_copy(
+                    geno_hbm.at[pl.ds(row0, BI),
+                                pl.ds(col0 + BL + HW, HW)],
+                    g_vmem.at[:, BL + HW:BL + 2 * HW], sems.at[1]),
+                pltpu.make_async_copy(
+                    table_hbm.at[:, pl.ds(col0, BL + HW)],
+                    t_vmem.at[:, 0:BL + HW], sems.at[2]),
+                pltpu.make_async_copy(
+                    table_hbm.at[:, pl.ds(col0 + BL + HW, HW)],
+                    t_vmem.at[:, BL + HW:BL + 2 * HW], sems.at[3]),
+                pltpu.make_async_copy(
+                    miss_hbm.at[:, pl.ds(col0, BL + HW)],
+                    m_vmem.at[:, 0:BL + HW], sems.at[4]),  # 8 rows
+                pltpu.make_async_copy(scal_hbm, s_vmem, sems.at[5]),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+            g = g_vmem[:].astype(jnp.int32)           # [BI, BL+2HW]
+            t0 = t_vmem[0:1, :]
+            t1 = t_vmem[1:2, :]
+            t2 = t_vmem[2:3, :]
+            a = jnp.where(g == 0, t0,
+                          jnp.where(g == 1, t1,
+                                    jnp.where(g == 2, t2,
+                                              jnp.float32(0.0))))
+            # window sums for starts [col0 - HW, col0 + BL)
+            win_ext = _window_sum_block(a, BI, BL + HW, W)
+            # i8 vector compares are unsupported on this target
+            live = (m_vmem[0:1, :].astype(jnp.int32) == 0)  # [1, BL+HW]
+            cutoff = s_vmem[0, 0]
+            thr = s_vmem[1, 0]
+            delta = s_vmem[2, 0]
+            above_ext = (win_ext >= cutoff) & live    # [BI, BL+HW]
+            af = above_ext.astype(jnp.float32)
+            # coverage at SNP s sums above over starts [s-W+1, s]:
+            # local offset HW - W + 1 (< 128: inside the first lane
+            # tile, which Mosaic's value slicing requires), W-wide
+            # window, BL outputs
+            counts = _window_sum_block(af[:, HW - W + 1:], BI, BL, W)
+            cov_ref[:] = counts >= thr
+            # core extraction at lane offset HW (>= 128) is NOT sliceable
+            # as a value ("input offsets outside the first tile") — lane-
+            # rotate left by HW instead, then slice at offset 0
+            # pltpu.roll requires a non-negative shift (right by BL over
+            # width BL+HW == left by HW) and only rotates 32-bit data —
+            # the bool masks ride as f32 0/1
+            win_core = pltpu.roll(win_ext, BL, 1)[:, :BL]
+            livef = jnp.broadcast_to(live, win_ext.shape).astype(
+                jnp.float32)
+            live_core = pltpu.roll(livef, BL, 1)[:, :BL] > 0.5
+            abv_core = pltpu.roll(af, BL, 1)[:, :BL] > 0.5
+            susw_ref[:] = (jnp.abs(win_core - cutoff) < delta) & live_core
+            abv_ref[:] = abv_core
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((BI, BL + 2 * HW), jnp.int8),
+            pltpu.VMEM((8, BL + 2 * HW), jnp.float32),
+            pltpu.VMEM((8, BL + HW), jnp.int8),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        )
+
+    grid = (I2 // BI, NW2 // BL)
+    spec = pl.BlockSpec((BI, BL), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((I2, NW2), jnp.bool_),
+                   jax.ShapeDtypeStruct((I2, NW2), jnp.bool_),
+                   jax.ShapeDtypeStruct((I2, NW2), jnp.bool_)),
+        interpret=interpret,
+    )(geno, table, missp, scal)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _covered_masked_entry(packed, freq, error, missing, cutoff, threshold,
+                          delta, winsize: int, block_i: int, block_l: int,
+                          interpret: bool = False):
+    """Fused-coverage analog of _packed_masked_entry: unpack + table in
+    XLA, left-pad the halo, run _covered_pallas_padded.  cutoff/
+    threshold/delta are traced f32 scalars (one compile per shape, not
+    per cutoff)."""
+    import jax.numpy as jnp
+
+    I2, Lq = packed.shape
+    L2 = Lq * 4
+    W = winsize
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    NW2 = L2 - HW
+    parts = [(packed >> s) & 3 for s in (0, 2, 4, 6)]
+    codes = jnp.stack(parts, axis=-1).reshape(I2, L2)
+    geno = jnp.where(codes == 3, jnp.int8(-9), codes.astype(jnp.int8))
+    p = freq
+    e = jnp.float32(error)
+    one_minus = 1.0 - p
+    non0 = one_minus * one_minus
+    aut0 = (1.0 - e) * one_minus + e * non0
+    non1 = 2.0 * p * one_minus
+    aut1 = e * non1
+    non2 = p * p
+    aut2 = (1.0 - e) * p + e * non2
+    mono = (p <= 0.0) | (p >= 1.0)
+
+    def row(aut, non):
+        r = jnp.log10(aut / non)
+        return jnp.where(mono, 0.0, r).astype(jnp.float32)
+
+    table = jnp.stack([row(aut0, non0), row(aut1, non1), row(aut2, non2),
+                       jnp.zeros_like(p, jnp.float32)] +
+                      [jnp.zeros_like(p, jnp.float32)] * 4, axis=0)
+    geno_l = jnp.concatenate(
+        [jnp.full((I2, HW), jnp.int8(-9)), geno], axis=1)
+    table_l = jnp.concatenate(
+        [jnp.zeros((8, HW), jnp.float32), table], axis=1)
+    miss_l = jnp.concatenate(
+        [jnp.ones((1, HW), jnp.int8), missing], axis=1)
+    miss_l = jnp.broadcast_to(miss_l, (8, miss_l.shape[1]))
+    scal = jnp.zeros((8, 128), jnp.float32)
+    scal = scal.at[0, :].set(jnp.float32(cutoff))
+    scal = scal.at[1, :].set(jnp.ceil(jnp.float32(threshold)))
+    scal = scal.at[2, :].set(jnp.float32(delta))
+    return _covered_pallas_padded(geno_l, table_l, miss_l, scal, W,
+                                  block_i, block_l, interpret)
+
+
 def _gl_terms(g, freq, e):
     """Per-(ind, locus) LOD terms with per-genotype error e
     (src/garlic-roh.cpp:68,91-95 — the TGLS value replaces epsilon).
@@ -908,6 +1095,27 @@ def lod_windows_pallas_prepacked_raw(packed, nloci: int,
     L = nloci
     W = winsize
     nwin = L - W + 1
+    dev, fp, mp = _prepacked_device_input(_mat, key, I, L, W, missing,
+                                          freq, block_i, block_l)
+    win = _packed_masked_entry(
+        dev, _device_plane(fp), error,
+        _device_plane(mp), W, block_i, block_l, interpret)
+    return win, nwin
+
+
+def _prepacked_device_input(_mat, key, I: int, L: int, W: int,
+                            missing: np.ndarray, freq: np.ndarray,
+                            block_i: int, block_l: int):
+    """Shared device-input stage of the prepacked kernels: resolve the
+    content-addressed HBM genotype payload (device cache / ship stash /
+    fresh upload, 2-bit or base-3), repad on device, and build the
+    padded freq/mask planes.  Returns (dev_packed [I2, L2/4], fp [L2]
+    f32, mp [1, NW2] int8)."""
+    import jax.numpy as jnp
+
+    from ..native import pack_base3_native
+
+    nwin = L - W + 1
     HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
     I2 = _cdiv(I, block_i) * block_i
     NW2 = _bucket(max(nwin, 1), block_l)
@@ -943,10 +1151,47 @@ def lod_windows_pallas_prepacked_raw(packed, nloci: int,
         entry = ("2b", jnp.asarray(np.ascontiguousarray(_mat())))
         _device_cache_put(key, entry)
         dev = _decode_2bit(entry[1], I, L, I2, L2)
-    win = _packed_masked_entry(
-        dev, _device_plane(fp), error,
-        _device_plane(mp), W, block_i, block_l, interpret)
-    return win, nwin
+    return dev, fp, mp
+
+
+def covered_pallas_prepacked_raw(packed, nloci: int, freq: np.ndarray,
+                                 error: float, missing: np.ndarray,
+                                 winsize: int, cutoff: float,
+                                 threshold: float, delta: float,
+                                 block_i: int = 32, block_l: int = 1024,
+                                 interpret: bool = False,
+                                 key=None, I: int = None):
+    """Fused Phase-I + coverage over the prepacked path (pinned-cutoff
+    fast runs): same content-addressed device input as
+    lod_windows_pallas_prepacked_raw, but the window matrix never
+    materializes — returns (covered, susw, above) bool [I2, NW2] device
+    arrays + nwin, or None when the coverage width exceeds the bucket
+    (outw > NW2: the caller falls back to the split path)."""
+    if not callable(packed):
+        I = packed.shape[0]
+
+    def _mat():
+        nonlocal packed
+        if callable(packed):
+            packed = packed()
+        return packed
+
+    L = nloci
+    W = winsize
+    nwin = L - W + 1
+    if nwin <= 0:
+        return None
+    NW2 = _bucket(max(nwin, 1), block_l)
+    if nwin + W - 1 > NW2:
+        return None  # no bucket slack for the W-1 coverage tail (rare)
+    dev, fp, mp = _prepacked_device_input(_mat, key, I, L, W, missing,
+                                          freq, block_i, block_l)
+    import jax.numpy as jnp
+    cov, susw, abv = _covered_masked_entry(
+        dev, _device_plane(fp), error, _device_plane(mp),
+        jnp.float32(cutoff), jnp.float32(threshold), jnp.float32(delta),
+        W, block_i, block_l, interpret)
+    return cov, susw, abv, nwin
 
 
 _plane_cache: "OrderedDict" = None  # lazy; separate LRU so plane churn

@@ -731,8 +731,29 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
                     bar=bar))
             bar.finalize()
     else:
+        # Pinned-cutoff fast runs fuse Phase I INTO the coverage kernel
+        # (ops.pallas_lod._covered_pallas_padded): the [I, nwin] f32
+        # window matrix never reaches HBM and the separate XLA coverage
+        # program disappears — nothing downstream needs window SCORES
+        # when the cutoff is known and Phase II is skipped (raw-lod and
+        # TGLS keep the split path; non-TPU backends fall back inside
+        # the dispatch).
+        fused_ok = (st.engine == "fast" and st.mesh is None
+                    and not use_gl and not auto_cutoff and not raw_lod)
+        fused_args = None
+        if fused_ok:
+            # pre-resolve the tie band + threshold so the fused coverage
+            # programs ENQUEUE during Phase I (overlapping the load/freq
+            # tail) instead of at assembly — otherwise the first fetch
+            # waits on every chromosome's kernel back-to-back
+            from .ops.assembly import overlap_threshold
+            pre_delta = _tie_band(ds.chroms, winsize, error, use_gl)
+            fused_args = (lod_cutoff,
+                          overlap_threshold(overlap_frac, winsize),
+                          pre_delta)
         win_by_chr = _calc_lod_windows(st, ds, centro, winsize, error,
-                                       max_gap, use_gl)
+                                       max_gap, use_gl, fused=fused_ok,
+                                       fused_args=fused_args)
     # The freq writer keeps running through Phase II/III (it only reads
     # per-locus arrays no later phase mutates); _run's finally joins it and
     # reports failure with exit 1, so deferring the join just overlaps the
@@ -909,8 +930,14 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
 
 def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
                       error: float, max_gap: int, use_gl: bool,
-                      ind_idx: Optional[np.ndarray] = None):
-    """calcLODWindows (src/garlic-roh.cpp:279-309)."""
+                      ind_idx: Optional[np.ndarray] = None,
+                      fused: bool = False, fused_args=None):
+    """calcLODWindows (src/garlic-roh.cpp:279-309).
+
+    fused: pinned-cutoff fast runs hand assembly FusedCov entries (the
+    fused Phase-I+coverage Pallas dispatch) instead of computing window
+    matrices here; fused_args=(cutoff, threshold, tie_delta) pre-enqueues
+    each chromosome's coverage program immediately."""
     from .core.pbar import Bar
     print(f"Calculating LOD scores with winsize {winsize}.", file=sys.stderr)
     # HBM budget: when every chromosome's window matrix cannot stay
@@ -969,6 +996,17 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
                 (lambda cc=cc: device_win.lod_windows_device(
                     cc, centro, winsize, error, max_gap, use_gl)),
                 nind=cc.nind, nloci=cc.nloci))
+            bar.advance(cc.nind)
+        elif st.engine == "fast" and fused and ind_idx is None:
+            # deferred fused Phase-I+coverage dispatch (pinned cutoff):
+            # assembly drives the kernel; ineligible configurations fall
+            # back to the split DeviceWin inside covered_dispatch
+            fc = device_win.FusedCov(cc, centro, winsize, error, max_gap)
+            if fused_args is not None:
+                fc.handle = device_win.covered_dispatch(
+                    fc, fused_args[0], winsize, fused_args[1],
+                    fused_args[2])
+            out.append(fc)
             bar.advance(cc.nind)
         elif st.engine == "fast":
             # device-resident: no [I, L] matrix crosses the host link
