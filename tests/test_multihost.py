@@ -608,3 +608,37 @@ def test_two_process_sharded_auto_winsize(tmp_path):
     single = read_text(os.path.join(wd, "single.roh.bed"))
     assert read_text(os.path.join(wd, "multi.roh.bed")) == single
     assert read_text(os.path.join(wd, "multi.proc1.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_three_process_sharded_weighted(tmp_path):
+    """Three-process WEIGHTED column-range input with an asymmetric tail
+    shard (25 individuals over 9/9/7 blocks): the psum'd pair-count
+    planes, the owned-row tie patrol, and the rank-ordered exact wLOD
+    sample allgather must all survive unequal shard sizes.  BED and the
+    .kde x grid match the single-process run."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=25, nloci_per_chr=(4000,), seed=41)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--ld-subsample", "0",
+            "--winsize", "30", "--error", "0.002", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+
+    _run_single_subproc(wd, base + ["--out", "single"])
+    outs = _run_cluster(wd, base + ["--tpu-mesh", "3x4", "--out", "multi"],
+                        nproc=3)
+    for pid, (_, se) in enumerate(outs):
+        assert f"sharded input: process {pid}" in se
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+    assert read_text(os.path.join(wd, "multi.proc2.roh.bed")) == single
+    xs = [l.split()[0] for l in
+          read_text(os.path.join(wd, "single.30SNPs.kde")).splitlines() if l]
+    xm = [l.split()[0] for l in
+          read_text(os.path.join(wd, "multi.30SNPs.kde")).splitlines() if l]
+    assert xs == xm
