@@ -618,7 +618,15 @@ def ld_band_sharded(chrom, winsize: int, phased: bool, sub_idx, mesh):
     check_halo_fits(L2, winsize - 1, n_sp)
 
     if phased:
-        fc = chrom.first_copy if sub_idx is None else chrom.first_copy[sub_idx]
+        if local_mode:
+            # local rows as-is: the subsample reduces to the g mask
+            # above (masked rows contribute no pairs), so fc stays the
+            # full local block — sub_idx holds GLOBAL indices that must
+            # not index the local rows
+            fc = chrom.first_copy
+        else:
+            fc = chrom.first_copy if sub_idx is None \
+                else chrom.first_copy[sub_idx]
         fcp = np.zeros(gp.shape, dtype=np.int8)
         fcp[:np.asarray(fc).shape[0], :L] = np.asarray(fc, dtype=np.int8)
         marg = np.zeros(L2, dtype=np.float32)

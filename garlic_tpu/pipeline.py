@@ -398,15 +398,15 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # come from the production count psum (allele_freq_counts_sharded).
     # Engaged on row-aligned unweighted runs; exploration modes that
     # subset individuals host-side keep the replicated full parse.
-    # Round 5 extends per-host input to weighted runs (unphased: the
-    # range parser does not emit first-copy bits): the LD band's pair
-    # counts psum over the distributed rows, the exact band for the tie
-    # patrol / Phase-II sampler reassembles from psum'd integer count
-    # planes, and hom freqs psum like allele freqs.
+    # Round 5 extends per-host input to weighted runs (phased included —
+    # the native range parser emits first-copy bits for its column
+    # slice): the LD band's pair counts psum over the distributed rows,
+    # the exact band for the tie patrol / Phase-II sampler reassembles
+    # from psum'd integer count planes, and hom freqs psum like allele
+    # freqs.
     col_range = None
     if (_nproc > 1 and engine == "fast" and mesh is not None
-            and not (weighted and phased) and not cm
-            and not (winsize_explore and weighted)):
+            and not cm and not (winsize_explore and weighted)):
         from .parallel.multihost import dp_layout_aligned
         # missing-file guard: peek_nind would raise a raw FileNotFoundError
         # here, before load_tped's clean logged-ERROR path (ADVICE r4);

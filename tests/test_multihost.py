@@ -642,3 +642,57 @@ def test_three_process_sharded_weighted(tmp_path):
     xm = [l.split()[0] for l in
           read_text(os.path.join(wd, "multi.30SNPs.kde")).splitlines() if l]
     assert xs == xm
+
+
+@pytest.mark.slow
+def test_two_process_sharded_weighted_phased(tmp_path):
+    """--weighted --phased with per-host column-range input: the r2 LD
+    path's x11/valid count planes psum over distributed rows (first-copy
+    bits parsed per column slice) — BED identical to single-process."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(2500,), seed=79)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--phased",
+            "--ld-subsample", "0",
+            "--winsize", "30", "--error", "0.002", "--kde-subsample", "0",
+            "--size-bounds", "300000", "800000", "--tpu-engine", "fast"]
+    _, se = _run_single_subproc(wd, base + ["--out", "single"],
+                                extra_env={"GT_LOAD_STATS": "1"})
+    outs = _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"],
+                     extra_env={"GT_LOAD_STATS": "1"})
+    for pid, (_, se2) in enumerate(outs):
+        assert f"sharded input: process {pid} holds individuals" in se2
+        rows_m, _, _ = _load_stats(se2)
+        assert rows_m == 12
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+    assert read_text(os.path.join(wd, "multi.proc1.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_two_process_sharded_weighted_phased_subsample(tmp_path):
+    """Phased weighted sharding WITH --ld-subsample: the global subsample
+    indices must become an owned-row genotype mask (never index the
+    local first-copy block directly)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(2500,), seed=87)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--phased",
+            "--ld-subsample", "10", "--tpu-seed", "3",
+            "--winsize", "30", "--error", "0.002", "--kde-subsample", "0",
+            "--lod-cutoff", "40", "--size-bounds", "300000", "800000",
+            "--tpu-engine", "fast"]
+    _run_single_subproc(wd, base + ["--out", "single"])
+    _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"])
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
