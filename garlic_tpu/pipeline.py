@@ -404,9 +404,13 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # the exact band for the tie patrol / Phase-II sampler reassembles
     # from psum'd integer count planes, and hom freqs psum like allele
     # freqs.
+    # (cm composes too: the scaffold filter and the genetic-map
+    # interpolation are per-locus and the loader holds positions/gpos in
+    # full; only the weighted EXPLORE mode keeps the replicated parse —
+    # it subsets individuals per candidate winsize host-side.)
     col_range = None
     if (_nproc > 1 and engine == "fast" and mesh is not None
-            and not cm and not (winsize_explore and weighted)):
+            and not (winsize_explore and weighted)):
         from .parallel.multihost import dp_layout_aligned
         # missing-file guard: peek_nind would raise a raw FileNotFoundError
         # here, before load_tped's clean logged-ERROR path (ADVICE r4);
@@ -810,7 +814,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             # row blocks bound the [k, L] f64/int64 temporaries: fresh
             # multi-GB allocations page-fault for seconds under this VM
             for s in range(0, rows.size, 64):
-                sub = _subset_chrom(ds.chroms[ci], rows[s:s + 64])
+                sub = _subset_chrom_rows(ds.chroms[ci],
+                                         rows[s:s + 64])
                 w = lod_ops.calc_lod_windows(sub, centro, winsize, error,
                                              max_gap, use_gl,
                                              engine="exact")
@@ -864,7 +869,8 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
             rows = np.asarray(rows, dtype=np.int64)
             out = []
             for s in range(0, rows.size, 64):  # bound [k, L] temporaries
-                sub = _subset_chrom(ds.chroms[ci], rows[s:s + 64])
+                sub = _subset_chrom_rows(ds.chroms[ci],
+                                         rows[s:s + 64])
                 w = wlod_ops.wlod_windows(sub, centro, band,
                                           winsize, error, max_gap, use_gl,
                                           mu, M)
@@ -1332,6 +1338,34 @@ def _owned_row_patrol(ds: Dataset, cover_local, window_local):
         return _merge(flips)
 
     return exact_cover, exact_window
+
+
+def _subset_chrom_rows(c, idx):
+    """_subset_chrom for a FEW rows without firing the whole-matrix
+    packed-column compaction (tie-patrol exact repair: 2-3 flip rows at
+    the 1000x1M scale paid the ~50 ms deferred [I, L/4] compaction just
+    to read them): decode the selected rows from the UNFILTERED parent
+    payload and column-gather the kept loci."""
+    from .core.types import ChromData
+    if not (c.geno_is_packed_only and c._geno2b is None
+            and c.geno2b_parent is not None):
+        return _subset_chrom(c, idx)
+    pb, kidx = c.geno2b_parent
+    rows_b = np.asarray(pb[np.asarray(idx, dtype=np.int64)])
+    k = rows_b.shape[0]
+    codes = np.stack([(rows_b >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=-1).reshape(k, -1)
+    g = codes[:, kidx]
+    g = np.where(g == 3, -9, g).astype(np.int8)
+    return ChromData(chrom=c.chrom, positions=c.positions, gpos=c.gpos,
+                     locus_names=c.locus_names, alleles=c.alleles,
+                     genotypes=g, freq=c.freq,
+                     first_copy=None if c.first_copy is None
+                     else c.first_copy[idx],
+                     gl=None if c._gl is None else c._gl[idx],
+                     gl_codes=None if c.gl_codes is None
+                     else c.gl_codes[idx],
+                     gl_lut=c.gl_lut)
 
 
 def _subset_chrom(c, idx):

@@ -696,3 +696,28 @@ def test_two_process_sharded_weighted_phased_subsample(tmp_path):
     _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"])
     single = read_text(os.path.join(wd, "single.roh.bed"))
     assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_two_process_sharded_cm(tmp_path):
+    """--cm (genetic-length ROH) with per-host column-range input: the
+    scaffold OOB filter and genetic-map interpolation are per-locus, so
+    sharded rows compose — BED identical to single-process."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(3000,), seed=93)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--cm",
+            "--winsize", "40", "--error", "0.001", "--kde-subsample", "0",
+            "--lod-cutoff", "1.2", "--size-bounds", "0.3", "0.8",
+            "--tpu-engine", "fast"]
+    _run_single_subproc(wd, base + ["--out", "single"])
+    outs = _run_pair(wd, base + ["--tpu-mesh", "4x2", "--out", "multi"])
+    for pid, (_, se) in enumerate(outs):
+        assert f"sharded input: process {pid} holds individuals" in se
+    single = read_text(os.path.join(wd, "single.roh.bed"))
+    assert read_text(os.path.join(wd, "multi.roh.bed")) == single
