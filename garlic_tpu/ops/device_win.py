@@ -126,16 +126,17 @@ class FusedCov:
     assembly."""
 
     __slots__ = ("chrom", "centro", "winsize", "error", "max_gap",
-                 "handle")
+                 "handle", "use_gl")
 
     def __init__(self, chrom, centro, winsize: int, error: float,
-                 max_gap: int):
+                 max_gap: int, use_gl: bool = False):
         self.chrom = chrom
         self.centro = centro
         self.winsize = winsize
         self.error = error
         self.max_gap = max_gap
         self.handle = None
+        self.use_gl = use_gl
 
     @property
     def nind(self) -> int:
@@ -151,7 +152,7 @@ class FusedCov:
 
     def make(self) -> DeviceWin:
         return lod_windows_device(self.chrom, self.centro, self.winsize,
-                                  self.error, self.max_gap, False)
+                                  self.error, self.max_gap, self.use_gl)
 
 
 def is_fused_cov(obj) -> bool:
@@ -619,8 +620,8 @@ def _dispatch_fused(fc: FusedCov, cutoff: float, winsize: int,
     except Exception:
         return None
     from .lod import window_missing_mask
-    from .pallas_lod import (_chrom_key, covered_pallas_prepacked_raw,
-                             pack_genotypes)
+    from .pallas_lod import (_chrom_key, covered_pallas_gl_codes_raw,
+                             covered_pallas_prepacked_raw, pack_genotypes)
     W = winsize
     nwin = max(c.nloci - W + 1, 0)
     if nwin <= 0:
@@ -630,7 +631,11 @@ def _dispatch_fused(fc: FusedCov, cutoff: float, winsize: int,
                                   fc.centro.end(c.chrom))
     thr = float(math.ceil(threshold))
     interp = bool(os.environ.get("GARLIC_TPU_FUSED_INTERPRET"))
-    if c.geno_is_packed_only:
+    if fc.use_gl:
+        # dictionary-TGLS fused variant; float-matrix TGLS keeps split
+        r = covered_pallas_gl_codes_raw(c, missing, W, cutoff, thr,
+                                        tie_delta, interpret=interp)
+    elif c.geno_is_packed_only:
         r = covered_pallas_prepacked_raw(
             lambda: c.geno2b, c.nloci, c.freq, fc.error, missing, W,
             cutoff, thr, tie_delta, key=_chrom_key(c), I=c.nind,

@@ -226,6 +226,38 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
     )(a)
 
 
+def _covered_tile_core(a, m_vmem, s_vmem, BI: int, BL: int, HW: int,
+                       W: int):
+    """Shared in-kernel tail of the fused coverage kernels: terms
+    a [BI, BL+2HW] (window starts [col0-HW, col0+BL+HW)) -> (covered,
+    susw, above) [BI, BL] tiles.  Mosaic constraints shape this code:
+    value slices must stay inside the first lane tile (the coverage
+    window-sum starts at offset HW-W+1 < 128; core extraction at offset
+    HW >= 128 lane-rotates instead — pltpu.roll, non-negative shifts,
+    32-bit data only, so the bool masks ride as f32 0/1), and i8 vector
+    compares are unsupported (the mask casts to i32)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    # window sums for starts [col0 - HW, col0 + BL)
+    win_ext = _window_sum_block(a, BI, BL + HW, W)
+    live = (m_vmem[0:1, :].astype(jnp.int32) == 0)  # [1, BL+HW]
+    cutoff = s_vmem[0, 0]
+    thr = s_vmem[1, 0]
+    delta = s_vmem[2, 0]
+    above_ext = (win_ext >= cutoff) & live          # [BI, BL+HW]
+    af = above_ext.astype(jnp.float32)
+    # coverage at SNP s sums above over starts [s-W+1, s]
+    counts = _window_sum_block(af[:, HW - W + 1:], BI, BL, W)
+    cov = counts >= thr
+    win_core = pltpu.roll(win_ext, BL, 1)[:, :BL]
+    livef = jnp.broadcast_to(live, win_ext.shape).astype(jnp.float32)
+    live_core = pltpu.roll(livef, BL, 1)[:, :BL] > 0.5
+    abv_core = pltpu.roll(af, BL, 1)[:, :BL] > 0.5
+    susw = (jnp.abs(win_core - cutoff) < delta) & live_core
+    return cov, susw, abv_core
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("winsize", "block_i", "block_l", "interpret"))
@@ -307,34 +339,11 @@ def _covered_pallas_padded(geno, table, missp, scal, winsize: int,
                           jnp.where(g == 1, t1,
                                     jnp.where(g == 2, t2,
                                               jnp.float32(0.0))))
-            # window sums for starts [col0 - HW, col0 + BL)
-            win_ext = _window_sum_block(a, BI, BL + HW, W)
-            # i8 vector compares are unsupported on this target
-            live = (m_vmem[0:1, :].astype(jnp.int32) == 0)  # [1, BL+HW]
-            cutoff = s_vmem[0, 0]
-            thr = s_vmem[1, 0]
-            delta = s_vmem[2, 0]
-            above_ext = (win_ext >= cutoff) & live    # [BI, BL+HW]
-            af = above_ext.astype(jnp.float32)
-            # coverage at SNP s sums above over starts [s-W+1, s]:
-            # local offset HW - W + 1 (< 128: inside the first lane
-            # tile, which Mosaic's value slicing requires), W-wide
-            # window, BL outputs
-            counts = _window_sum_block(af[:, HW - W + 1:], BI, BL, W)
-            cov_ref[:] = counts >= thr
-            # core extraction at lane offset HW (>= 128) is NOT sliceable
-            # as a value ("input offsets outside the first tile") — lane-
-            # rotate left by HW instead, then slice at offset 0
-            # pltpu.roll requires a non-negative shift (right by BL over
-            # width BL+HW == left by HW) and only rotates 32-bit data —
-            # the bool masks ride as f32 0/1
-            win_core = pltpu.roll(win_ext, BL, 1)[:, :BL]
-            livef = jnp.broadcast_to(live, win_ext.shape).astype(
-                jnp.float32)
-            live_core = pltpu.roll(livef, BL, 1)[:, :BL] > 0.5
-            abv_core = pltpu.roll(af, BL, 1)[:, :BL] > 0.5
-            susw_ref[:] = (jnp.abs(win_core - cutoff) < delta) & live_core
-            abv_ref[:] = abv_core
+            cov, susw, abv = _covered_tile_core(a, m_vmem, s_vmem,
+                                                BI, BL, HW, W)
+            cov_ref[:] = cov
+            susw_ref[:] = susw
+            abv_ref[:] = abv
 
         pl.run_scoped(
             body,
@@ -358,6 +367,165 @@ def _covered_pallas_padded(geno, table, missp, scal, winsize: int,
                    jax.ShapeDtypeStruct((I2, NW2), jnp.bool_)),
         interpret=interpret,
     )(geno, table, missp, scal)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _covered_terms_pallas_padded(a, missp, scal, winsize: int,
+                                 block_i: int, block_l: int,
+                                 interpret: bool = False):
+    """_covered_pallas_padded over PRECOMPUTED f32 terms (the TGLS path:
+    per-genotype errors cannot come from a 4-row table, so XLA builds
+    the term plane and this kernel fuses the two window passes).
+    a [I2, HW + NW2 + HW] f32 (left halo zeros), missp/scal as in the
+    geno-input variant."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    I2, L2c = a.shape
+    W = winsize
+    BI, BL = block_i, block_l
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    NW2 = L2c - 2 * HW
+
+    def kernel(a_hbm, miss_hbm, scal_hbm, cov_ref, susw_ref, abv_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(a_vmem, m_vmem, s_vmem, sems):
+            row0 = i * BI
+            col0 = j * BL
+            cps = [
+                pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(row0, BI), pl.ds(col0, BL + HW)],
+                    a_vmem.at[:, 0:BL + HW], sems.at[0]),
+                pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(row0, BI),
+                             pl.ds(col0 + BL + HW, HW)],
+                    a_vmem.at[:, BL + HW:BL + 2 * HW], sems.at[1]),
+                pltpu.make_async_copy(
+                    miss_hbm.at[:, pl.ds(col0, BL + HW)],
+                    m_vmem.at[:, 0:BL + HW], sems.at[2]),
+                pltpu.make_async_copy(scal_hbm, s_vmem, sems.at[3]),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            cov, susw, abv = _covered_tile_core(a_vmem[:], m_vmem, s_vmem,
+                                                BI, BL, HW, W)
+            cov_ref[:] = cov
+            susw_ref[:] = susw
+            abv_ref[:] = abv
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((BI, BL + 2 * HW), jnp.float32),
+            pltpu.VMEM((8, BL + HW), jnp.int8),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        )
+
+    grid = (I2 // BI, NW2 // BL)
+    spec = pl.BlockSpec((BI, BL), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(spec, spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((I2, NW2), jnp.bool_),
+                   jax.ShapeDtypeStruct((I2, NW2), jnp.bool_),
+                   jax.ShapeDtypeStruct((I2, NW2), jnp.bool_)),
+        interpret=interpret,
+    )(a, missp, scal)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("winsize", "block_i", "block_l", "interpret"))
+def _covered_gl_codes_masked_entry(p2r, freq, codes_p, lut, missing,
+                                   cutoff, threshold, delta, winsize: int,
+                                   block_i: int, block_l: int,
+                                   interpret: bool = False):
+    """Fused-coverage analog of _gl_codes_masked_entry: decode genotypes
+    + the TGLS error plane in XLA, build the term plane, left-pad the
+    halo, run the terms kernel."""
+    import jax.numpy as jnp
+
+    I2 = p2r.shape[0]
+    W = winsize
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    d = p2r.astype(jnp.int32)
+    digs = [(d >> (2 * k)) & 3 for k in range(4)]
+    g = jnp.stack(digs, axis=2).reshape(I2, -1)  # [I2, L2]; pad code 3
+    e = jnp.broadcast_to(lut[0], g.shape)
+    for k in range(1, lut.shape[0]):  # static K, unrolled selects
+        e = jnp.where(codes_p == k, lut[k], e)
+    a = _gl_terms(g, freq, e)
+    a_l = jnp.concatenate(
+        [jnp.zeros((I2, HW), jnp.float32), a], axis=1)
+    miss_l = jnp.concatenate(
+        [jnp.ones((1, HW), jnp.int8), missing], axis=1)
+    miss_l = jnp.broadcast_to(miss_l, (8, miss_l.shape[1]))
+    scal = jnp.zeros((8, 128), jnp.float32)
+    scal = scal.at[0, :].set(jnp.float32(cutoff))
+    scal = scal.at[1, :].set(jnp.ceil(jnp.float32(threshold)))
+    scal = scal.at[2, :].set(jnp.float32(delta))
+    return _covered_terms_pallas_padded(a_l, miss_l, scal, W,
+                                        block_i, block_l, interpret)
+
+
+def covered_pallas_gl_codes_raw(chrom, missing: np.ndarray, winsize: int,
+                                cutoff: float, threshold: float,
+                                delta: float, block_i: int = 32,
+                                block_l: int = 1024,
+                                interpret: bool = False):
+    """Fused Phase-I + coverage for the dictionary-TGLS path (pinned
+    cutoff): same content-addressed device inputs as
+    lod_windows_pallas_gl_codes_raw; returns (covered, susw, above,
+    nwin) or None (no bucket slack / no dictionary form / nwin <= 0)."""
+    import jax.numpy as jnp
+
+    from ..core.digest import content_digest
+    from .device_wlod import _device_packed_keyed
+
+    if chrom.gl_codes is None:
+        return None
+    I, L = chrom.nind, chrom.nloci
+    W = winsize
+    nwin = L - W + 1
+    if nwin <= 0:
+        return None
+    HW = _cdiv(W - 1, _COL_TILE) * _COL_TILE
+    I2 = _cdiv(I, block_i) * block_i
+    NW2 = _bucket(max(nwin, 1), block_l)
+    if nwin + W - 1 > NW2:
+        return None  # no bucket slack for the coverage tail (rare)
+    L2 = NW2 + HW
+    pk, _ = _device_packed_keyed(chrom)
+    geno_dev = _decode_2bit(pk, I, L, I2, L2)
+    codes = np.ascontiguousarray(chrom.gl_codes)
+    ckey = ("glc", codes.shape, content_digest(codes), I2, L2)
+    hit = _device_cache_get(ckey)
+    if hit is not None and hit[0] == "glc":
+        codes_dev = hit[1]
+    else:
+        codes_dev = _pad_codes_dev(jnp.asarray(codes), I, L, I2, L2)
+        _device_cache_put(ckey, ("glc", codes_dev))
+    lut32 = np.asarray(chrom.gl_lut, dtype=np.float32)
+    fp = np.zeros(L2, dtype=np.float32)
+    fp[:L] = np.asarray(chrom.freq, dtype=np.float32)
+    mp = np.ones((1, NW2), dtype=np.int8)
+    mp[0, :nwin] = np.asarray(missing)[:nwin].astype(np.int8)
+    cov, susw, abv = _covered_gl_codes_masked_entry(
+        geno_dev, _device_plane(fp), codes_dev, jnp.asarray(lut32),
+        _device_plane(mp), jnp.float32(cutoff), jnp.float32(threshold),
+        jnp.float32(delta), W, block_i, block_l, interpret)
+    return cov, susw, abv, nwin
 
 
 @functools.partial(

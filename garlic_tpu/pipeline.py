@@ -743,7 +743,7 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
         # TGLS keep the split path; non-TPU backends fall back inside
         # the dispatch).
         fused_ok = (st.engine == "fast" and st.mesh is None
-                    and not use_gl and not auto_cutoff and not raw_lod)
+                    and not auto_cutoff and not raw_lod)
         fused_args = None
         if fused_ok:
             # pre-resolve the tie band + threshold so the fused coverage
@@ -1007,7 +1007,8 @@ def _calc_lod_windows(st: PipelineState, ds: Dataset, centro, winsize: int,
             # deferred fused Phase-I+coverage dispatch (pinned cutoff):
             # assembly drives the kernel; ineligible configurations fall
             # back to the split DeviceWin inside covered_dispatch
-            fc = device_win.FusedCov(cc, centro, winsize, error, max_gap)
+            fc = device_win.FusedCov(cc, centro, winsize, error, max_gap,
+                                     use_gl=use_gl)
             if fused_args is not None:
                 fc.handle = device_win.covered_dispatch(
                     fc, fused_args[0], winsize, fused_args[1],
