@@ -569,9 +569,17 @@ def test_fuzz_fused_coverage_equals_split(tmp_path, seed):
         args += ["--lod-cutoff", f"{rng.uniform(0.3, 2.5):.4f}"]
     if "--size-bounds" not in args:
         args += ["--size-bounds", "300000", "900000"]
+    gl_type = None
+    if rng.random() < 0.3:  # dictionary-TGLS fused variant
+        gl_type = str(rng.choice(["GQ", "PL"]))
+        args += ["--tgls", "f.tgls.gz", "--gl-type", gl_type]
     panel = make_panel(**panel_kw)
     wd = str(tmp_path)
     write_tped(panel, f"{wd}/f.tped.gz", f"{wd}/f.tfam")
+    if gl_type is not None:
+        from .util import write_tgls
+        write_tgls(panel, f"{wd}/f.tgls.gz", gl_type=gl_type,
+                   seed=int(rng.integers(0, 2**31)))
     args = ["--tped", "f.tped.gz", "--tfam", "f.tfam",
             "--tpu-engine", "fast"] + args
     rc1 = run_ours(wd, args + ["--out", "split"])
