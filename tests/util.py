@@ -246,11 +246,23 @@ def oracle_cutoff_reachable(kde: "np.ndarray", wsize: int,
             continue
         if abs(li2 - li) > 20 or abs(ri2 - ri) > 20:
             unstable = True
+    # Shallow-valley instability: when the dip between the located modes
+    # is itself within the FIGTree error envelope, the mode PAIR is a
+    # draw artifact — FIGTree's spatially correlated error can relocate
+    # a mode wholesale and the between-modes argmin then lands in a
+    # completely different low-density region.  (Empirical: one fuzz
+    # density with a 0.4%-deep valley drew 4 distinct oracle cutoffs
+    # spanning 290 grid points across 5 back-to-back runs.)
+    vmin_valley = float(np.min(y[li:ri + 1]))
+    if min(float(y[li]), float(y[ri])) - vmin_valley <= err:
+        unstable = True
+    # valley points within the error of the valley floor are always
+    # reachable; instability ADDS every low-density grid point (2x the
+    # usual bound: the correlated cluster-wise error is bounded
+    # per-region, not per-point)
+    reach = np.flatnonzero(y[li:ri + 1] <= vmin_valley + err) + li
     if unstable:
-        reach = np.flatnonzero(y <= err)
-    else:
-        vmin = float(np.min(y[li:ri + 1]))
-        reach = np.flatnonzero(y[li:ri + 1] <= vmin + err) + li
+        reach = np.union1d(reach, np.flatnonzero(y <= 2.0 * err))
     if oracle_cutoff == "0":
         # the clamp fires when the selected grid point's |x/wsize| >= 1
         return bool(np.any(np.abs(x[reach] / wsize) >= 1))
@@ -302,12 +314,29 @@ def assert_bed_same_or_oracle_random(oracle_bin: str, wd: str,
     assert ca.group(1) != cb.group(1), \
         ".roh.bed differs with EQUAL cutoffs %s — not the randomized-" \
         "oracle class; a real bug" % ca.group(1)
-    # the oracle's draw must be reachable at the FIGTree error scale
+    # the oracle's draw must be reachable at the FIGTree error scale —
+    # or the oracle must demonstrably not reproduce itself on this
+    # density (time-seeded re-draws differ; the pinned-cutoff BED
+    # reproduction below still carries the correctness proof)
     import numpy as np
     kde = np.loadtxt(os.path.join(wd, ours_out + kde_sfx))
-    assert oracle_cutoff_reachable(kde, winsize, ca.group(1), cb.group(1)), \
-        "oracle cutoff %s not FIGTree-reachable from ours %s" \
-        % (ca.group(1), cb.group(1))
+    if not oracle_cutoff_reachable(kde, winsize, ca.group(1),
+                                   cb.group(1)):
+        import time as _time
+        redraws = set()
+        for _ in range(3):
+            _time.sleep(1.1)
+            r = run_oracle(oracle_bin, wd, args + ["--out",
+                                                   oracle_out + "_rr"])
+            if r.returncode == 0:
+                m = pat.search(read_text(
+                    os.path.join(wd, oracle_out + "_rr.log")))
+                if m:
+                    redraws.add(m.group(1))
+        assert len(redraws - {ca.group(1)}) > 0, \
+            "oracle cutoff %s not FIGTree-reachable from ours %s AND " \
+            "reproduced across re-runs — a real bug" \
+            % (ca.group(1), cb.group(1))
     # with our cutoff (and winsize: the auto search is randomized too)
     # pinned, the oracle must reproduce our BED exactly
     pinned, i = [], 0
