@@ -187,13 +187,13 @@ def main():
         log(f"bench: device kernel {kwps:,.0f} windows/s")
     except Exception as e:
         log(f"bench: kernel diagnostic failed: {e}")
-    # best of 5: the first run parses/loads + fills the device panel cache
+    # best of 7: the first run parses/loads + fills the device panel cache
     # and persistent-compile cache; the rest measure steady state (a
     # repeat costs ~0.3 s, and the tunneled dev link's completion-poll
     # quantum swings 30-80 ms between runs, so several steady samples
     # damp the variance).
-    wps = max(run_ours(tped, tfam) for _ in range(5))
-    log(f"bench: end-to-end {wps:,.0f} windows/s (best of 5)")
+    wps = max(run_ours(tped, tfam) for _ in range(7))
+    log(f"bench: end-to-end {wps:,.0f} windows/s (best of 7)")
     print(json.dumps({
         "metric": "lod_windows_per_sec",
         "value": round(wps, 1),
