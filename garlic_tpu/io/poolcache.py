@@ -134,7 +134,9 @@ class PoolCache:
             return None  # caller falls through to the uncached path
         key = self._key_fn(winsize, step)
         h, targets, spacing = _kde_grid(samples)
-        if key is None:
+        if key is None or samples.nbytes > (512 << 20):
+            # unkeyable, or an unthinned (--no-kde-thinning) WGS pool —
+            # a multi-GB sidecar is worse than recomputing
             return h, targets, spacing, int(samples.size)
         mn = float(np.min(samples))
         mx = float(np.max(samples))
