@@ -406,11 +406,10 @@ def _run_impl(args: ParsedArgs, argv: List[str], prog: str, log: RunLog,
     # freqs.
     # (cm composes too: the scaffold filter and the genetic-map
     # interpolation are per-locus and the loader holds positions/gpos in
-    # full; only the weighted EXPLORE mode keeps the replicated parse —
-    # it subsets individuals per candidate winsize host-side.)
+    # full; the weighted explore mode keeps full-panel Phase I per
+    # candidate and subsets at the sampler, like the plain searches.)
     col_range = None
-    if (_nproc > 1 and engine == "fast" and mesh is not None
-            and not (winsize_explore and weighted)):
+    if _nproc > 1 and engine == "fast" and mesh is not None:
         from .parallel.multihost import dp_layout_aligned
         # missing-file guard: peek_nind would raise a raw FileNotFoundError
         # here, before load_tped's clean logged-ERROR path (ADVICE r4);
@@ -1892,16 +1891,26 @@ def _explore_winsizes(st: PipelineState, ds: Dataset, centro,
                 # oracle's (fresh sampler per candidate — sub_idx is
                 # redrawn for each winsize, matching the reference's
                 # per-candidate calcLDData, src/garlic-roh.cpp:699-763)
-                st.exact_sampler = (
-                    lambda w2, step, rows, _si=sub_idx:
-                    _exact_thinned_wsamples(
-                        ds.chroms, centro, w2, error, max_gap, use_gl,
-                        step, rows, mu, M, phased, _si, {}))
+                if sharded:
+                    st.exact_sampler = (
+                        lambda w2, step, rows, _si=sub_idx:
+                        _exact_thinned_wsamples_sharded(
+                            ds.chroms, centro, w2, error, max_gap,
+                            use_gl, step, rows, mu, M, phased, _si, {}))
+                else:
+                    st.exact_sampler = (
+                        lambda w2, step, rows, _si=sub_idx:
+                        _exact_thinned_wsamples(
+                            ds.chroms, centro, w2, error, max_gap, use_gl,
+                            step, rows, mu, M, phased, _si, {}))
             win_by_chr = []
             print(f"Calculating LOD scores with winsize {wq}.", file=sys.stderr)
             for c in ds.chroms:
                 print(f"{c.chrom}    ", file=sys.stderr, end="")
-                cc = _subset_chrom(c, ind_idx) if ind_idx is not None else c
+                # sharded loads keep the full (distributed) panel — the
+                # KDE subset applies downstream via global indices
+                cc = _subset_chrom(c, ind_idx) \
+                    if ind_idx is not None and not sharded else c
                 if st.engine == "fast" and st.mesh is not None:
                     from .parallel.engine import (ld_band_sharded,
                                                   wlod_windows_sharded)

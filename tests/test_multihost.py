@@ -721,3 +721,34 @@ def test_two_process_sharded_cm(tmp_path):
         assert f"sharded input: process {pid} holds individuals" in se
     single = read_text(os.path.join(wd, "single.roh.bed"))
     assert read_text(os.path.join(wd, "multi.roh.bed")) == single
+
+
+@pytest.mark.slow
+def test_two_process_sharded_weighted_explore(tmp_path):
+    """--winsize-multi exploration on WEIGHTED sharded input (the last
+    combination to join column-range loading): per-candidate Phase I
+    keeps the full distributed panel, the KDE subset applies at the
+    exact sharded sampler — every dumped .kde x column matches the
+    single-process run byte-for-byte."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_panel, read_text, write_map_scaffold, write_tped
+
+    panel = make_panel(nind=24, nloci_per_chr=(2500,), seed=97)
+    write_tped(panel, str(tmp_path / "p.tped.gz"), str(tmp_path / "p.tfam"))
+    write_map_scaffold(panel, str(tmp_path / "p.map.gz"))
+    wd = str(tmp_path)
+    base = ["--tped", "p.tped.gz", "--tfam", "p.tfam", "--build", "hg18",
+            "--map", "p.map.gz", "--weighted", "--ld-subsample", "0",
+            "--winsize-multi", "25", "35", "--winsize", "25",
+            "--error", "0.002", "--kde-subsample", "8", "--tpu-seed", "5",
+            "--tpu-engine", "fast"]
+    _run_single_subproc(wd, base + ["--tpu-mesh", "4x1", "--out", "single"])
+    outs = _run_pair(wd, base + ["--tpu-mesh", "8x1", "--out", "multi"])
+    for pid, (_, se) in enumerate(outs):
+        assert f"sharded input: process {pid} holds individuals" in se
+    for w in (25, 35):
+        ks = read_text(os.path.join(wd, f"single.{w}SNPs.kde"))
+        km = read_text(os.path.join(wd, f"multi.{w}SNPs.kde"))
+        xs = [ln.split()[0] for ln in ks.splitlines() if ln.strip()]
+        xm = [ln.split()[0] for ln in km.splitlines() if ln.strip()]
+        assert xs == xm, f"winsize {w} .kde x column differs"
