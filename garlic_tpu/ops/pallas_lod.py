@@ -226,6 +226,33 @@ def _window_sums_pallas_padded(a, winsize: int, block_i: int, block_l: int,
     )(a)
 
 
+def _window_count_block(a, BI: int, BL: int, W: int):
+    """Integer-exact width-W window sums for the in-kernel coverage
+    counts: shifted-add doubling — O(log W) VPU adds instead of the
+    W-unrolled chain (the win-sum chain must stay unrolled for its
+    calibrated f32 rounding, but counts of 0/1 data are exact under ANY
+    add order, so the covered bits are bit-identical).  Value-slice
+    offsets stay < W <= 64 (inside Mosaic's first lane tile); W > 64
+    takes _window_sum_block's cumsum path."""
+    import jax.numpy as jnp
+    if W > 64:
+        return _window_sum_block(a, BI, BL, W)
+    sums = {1: a}
+    k = 1
+    while k * 2 <= W:
+        s = sums[k]
+        sums[2 * k] = s[:, : s.shape[1] - k] + s[:, k:]
+        k *= 2
+    out = None
+    off = 0
+    for k in sorted(sums, reverse=True):
+        if W & k:
+            part = sums[k][:, off:off + BL]
+            out = part if out is None else out + part
+            off += k
+    return out
+
+
 def _covered_tile_core(a, m_vmem, s_vmem, BI: int, BL: int, HW: int,
                        W: int):
     """Shared in-kernel tail of the fused coverage kernels: terms
@@ -248,7 +275,7 @@ def _covered_tile_core(a, m_vmem, s_vmem, BI: int, BL: int, HW: int,
     above_ext = (win_ext >= cutoff) & live          # [BI, BL+HW]
     af = above_ext.astype(jnp.float32)
     # coverage at SNP s sums above over starts [s-W+1, s]
-    counts = _window_sum_block(af[:, HW - W + 1:], BI, BL, W)
+    counts = _window_count_block(af[:, HW - W + 1:], BI, BL, W)
     cov = counts >= thr
     win_core = pltpu.roll(win_ext, BL, 1)[:, :BL]
     livef = jnp.broadcast_to(live, win_ext.shape).astype(jnp.float32)
